@@ -1,0 +1,88 @@
+"""SparkSession factory with reference-parity configs.
+
+The reference is a Spark 2.1.0 fork (SURVEY.md §0) — pre-ANSI SQL
+semantics, session-local timezone arithmetic.  Modern Spark 4 defaults
+ANSI mode ON, so parity requires flipping it off; everything else the
+reference's optimizer/execution layer does (predicate pushdown, codegen,
+Tungsten, adaptive shuffle coalescing — SURVEY.md §4) is native to
+modern Spark and is simply enabled here.
+
+Scale posture: these configs are chosen for a real cluster — AQE for
+runtime re-planning and skew-join handling, partition coalescing so
+small stages don't produce thousands of empty tasks, and a broadcast
+threshold that keeps dimension-table joins shuffle-free.  On local[N]
+the same settings exercise the identical plans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs every query assumes.  Applied both at session
+#: build time and defensively per-query (the verification driver hands us
+#: *its* session, which may carry Spark 4 defaults like ANSI mode).
+PARITY_CONF = {
+    # Reference = Spark 2.1 (pre-ANSI): silent overflow, permissive casts.
+    "spark.sql.ansi.enabled": "false",
+    # Deterministic timestamp semantics vs the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle-partition coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (region/nation/customer/part/supplier at any SF
+    # that fits) should broadcast rather than shuffle.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for every Python<->JVM batch boundary (pandas_udf, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_parity_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable parity confs to an existing session.
+
+    Safe to call per-query: `spark.conf.set` on an already-set value is a
+    no-op driver-side and never touches executors.
+    """
+    for key, value in PARITY_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Some confs may be static in exotic deployments; parity
+            # queries avoid depending on those.
+            pass
+    return spark
+
+
+def get_session(
+    app_name: str = "splitserve-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for this engine.
+
+    On a real cluster, ``master`` comes from spark-submit and
+    ``shuffle_partitions`` should be ~2-3x total executor cores (AQE
+    coalesces down from there).  Locally we default to the CPU count in
+    $SPARK_GRAFT_CPUS.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for key, value in PARITY_CONF.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return ensure_parity_conf(spark)

@@ -1,0 +1,65 @@
+"""Loaders for the driver-generated test tables (TESTDATA.md).
+
+Tables: TPC-H-ish star schema (region nation customer supplier part
+orders lineitem) + events (stream replay) + documents/embeddings
+(LLM-pipeline operators).  At 100 TB these would be partitioned
+warehouse tables; the loader is a thin seam so the same query code can
+point at either.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Dimension tables small enough to broadcast at any realistic SF.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+class Tables:
+    """Lazy per-table loader: ``Tables(spark, sf_dir).lineitem``.
+
+    Parquet scans go through the vectorized reader with predicate
+    pushdown and column pruning (verified in tests/test_plans.py).
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in TABLE_NAMES:
+            raise AttributeError(f"unknown table {name!r}; have {TABLE_NAMES}")
+        if name not in self._cache:
+            self._cache[name] = self._spark.read.parquet(
+                os.path.join(self._sf_dir, f"{name}.parquet")
+            )
+        return self._cache[name]
+
+    def register_temp_views(self) -> None:
+        """Expose every table as a temp view for the SQL entry point."""
+        for name in TABLE_NAMES:
+            getattr(self, name).createOrReplaceTempView(name)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return getattr(Tables(spark, sf_dir), name)
