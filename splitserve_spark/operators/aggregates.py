@@ -1,0 +1,464 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Reference: HashAggregateExec (`execution/aggregate/HashAggregateExec.scala:38`)
+with partial→final planning (`aggregate/AggUtils.scala:80`), grouping
+analytics via Expand (`ExpandExec.scala:36`), Pivot
+(`RelationalGroupedDataset.scala:314`), aggregate function impls in
+`catalyst/expressions/aggregate/` (registry lines
+`FunctionRegistry.scala:237-264`).
+
+All groupBy aggregates here run partial (map-side combine) then final —
+the shuffle carries one row per (partition, group), not the raw data.
+Oracle notes: DuckDB's skewness/kurtosis are *sample*-corrected while
+Spark's are population moments, so those oracles compute the moments
+explicitly; sorted collect_list is used because bare collect order is
+non-deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+
+@register(
+    "agg_basic_stats",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                   AS n_rows,
+           count(DISTINCT l_partkey)  AS n_parts,
+           sum(l_quantity)            AS sum_qty,
+           avg(l_extendedprice)       AS avg_price,
+           min(l_discount)            AS min_disc,
+           max(l_tax)                 AS max_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregate",),
+)
+def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count / count-distinct / sum / avg / min / max in one pass.
+    count(DISTINCT) plans the two-phase distinct expansion
+    (planAggregateWithOneDistinct in the reference)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.min("l_discount").alias("min_disc"),
+            F.max("l_tax").alias("max_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_variance",
+    oracle="""
+    SELECT l_returnflag,
+           stddev_samp(l_extendedprice) AS sd_samp,
+           stddev_pop(l_extendedprice)  AS sd_pop,
+           var_samp(l_extendedprice)    AS v_samp,
+           var_pop(l_extendedprice)     AS v_pop
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Central-moment aggregates (reference CentralMomentAgg.scala:137-215)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.stddev_samp("l_extendedprice").alias("sd_samp"),
+            F.stddev_pop("l_extendedprice").alias("sd_pop"),
+            F.var_samp("l_extendedprice").alias("v_samp"),
+            F.var_pop("l_extendedprice").alias("v_pop"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_skew_kurt",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             avg(l_extendedprice) AS mu,
+             count(*)             AS n
+      FROM lineitem GROUP BY l_returnflag
+    ), mom AS (
+      SELECT l.l_returnflag,
+             sum(pow(l_extendedprice - mu, 2)) / any_value(n) AS m2,
+             sum(pow(l_extendedprice - mu, 3)) / any_value(n) AS m3,
+             sum(pow(l_extendedprice - mu, 4)) / any_value(n) AS m4
+      FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+      GROUP BY l.l_returnflag
+    )
+    SELECT l_returnflag,
+           m3 / pow(m2, 1.5) AS skew,
+           m4 / pow(m2, 2) - 3 AS kurt
+    FROM mom
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skewness/kurtosis — Spark computes population moments (g1, excess
+    g2); DuckDB's built-ins are sample-corrected, so the oracle derives
+    the population moments explicitly."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.skewness("l_extendedprice").alias("skew"),
+            F.kurtosis("l_extendedprice").alias("kurt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           corr(l_quantity, l_extendedprice)       AS correlation,
+           covar_samp(l_quantity, l_extendedprice) AS cov_samp,
+           covar_pop(l_quantity, l_extendedprice)  AS cov_pop
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").alias("correlation"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("cov_samp"),
+            F.covar_pop("l_quantity", "l_extendedprice").alias("cov_pop"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95,
+           median(l_quantity)                   AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (reference Percentile.scala:56);
+    Spark `percentile` and DuckDB `quantile_cont` share the
+    p*(n-1) linear-interpolation definition."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+            F.percentile("l_extendedprice", F.lit(0.50)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+            F.median("l_quantity").alias("med_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("agg_approx", oracle=None, tags=("aggregate", "approx"))
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, reference
+    HyperLogLogPlusPlus.scala:54) and percentile_approx
+    (ApproximatePercentile.scala:69).  Sketch results are
+    engine-specific → no value oracle; tests bound the relative error
+    against exact results.  At 100 TB these are the right default: fixed
+    memory per group vs unbounded exact-distinct state."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(list(n_name))          AS nations,
+           list_sort(list(DISTINCT n_name)) AS nation_set
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    tags=("aggregate", "collect"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set (reference collect.scala:90,113),
+    wrapped in sort_array because bare collect order is partition-order
+    dependent on any engine."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.nation.groupBy("n_regionkey")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.sort_array(F.collect_set("n_name")).alias("nation_set"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+    SELECT o_custkey,
+           min_by(o_orderstatus, o_orderkey) AS first_status,
+           max_by(o_totalprice, o_orderkey)  AS last_price
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    tags=("aggregate",),
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by on a unique ordering key — the deterministic form
+    of the reference's first/last aggregates (First.scala:36, Last.scala:36)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_custkey")
+        .agg(
+            F.min_by("o_orderstatus", "o_orderkey").alias("first_status"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, flag, status
+    """,
+    tags=("aggregate", "grouping-analytics"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP → Expand-based grouping analytics (reference
+    GroupingSets/Expand, basicLogicalOperators.scala:606,637).  Group
+    keys are coalesced to a sentinel so output carries no nulls (null
+    ordering differs between engines)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "g_flag",
+            "g_status",
+            "sum_qty",
+        )
+        .orderBy("g_flag", "g_status", "flag", "status")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, flag, status
+    """,
+    tags=("aggregate", "grouping-analytics"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "g_flag",
+            "g_status",
+            "n",
+        )
+        .orderBy("g_flag", "g_status", "flag", "status")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           sum(o_totalprice)                AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY status, priority
+    """,
+    tags=("aggregate", "grouping-analytics", "sql"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL entry point (grammar SqlBase.g4:378-380
+    in the reference) — exercises temp-view registration + spark.sql."""
+    ensure_parity_conf(spark)
+    Tables(spark, sf_dir).register_temp_views()
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               sum(o_totalprice)                AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           sum(l_quantity) FILTER (WHERE l_returnflag = 'A') AS A,
+           sum(l_quantity) FILTER (WHERE l_returnflag = 'N') AS N,
+           sum(l_quantity) FILTER (WHERE l_returnflag = 'R') AS R
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("aggregate", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (reference PivotFirst.scala:71;
+    RelationalGroupedDataset.scala:314).  Explicit values avoid the
+    extra distinct-values job — mandatory at scale."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    ORDER BY o_custkey
+    """,
+    tags=("aggregate", "having"),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("spend"))
+        .filter(F.col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "agg_bool_and_count_if",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0)   AS all_positive,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           CAST(sum(CASE WHEN l_tax > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxed
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "boolean"),
+)
+def agg_bool_and_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+            F.sum(F.when(F.col("l_tax") > 0.05, 1).otherwise(0)).alias("n_taxed"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_sum_distinct",
+    oracle="""
+    SELECT l_linestatus, sum(DISTINCT l_quantity) AS sum_uniq_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("aggregate", "distinct"),
+)
+def agg_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_linestatus")
+        .agg(F.sum_distinct(F.col("l_quantity")).alias("sum_uniq_qty"))
+        .orderBy("l_linestatus")
+    )

@@ -1,0 +1,384 @@
+"""Join operators — every join shape the reference plans (SURVEY.md §2.3).
+
+Reference physical forms: BroadcastHashJoinExec
+(`execution/joins/BroadcastHashJoinExec.scala:38`), SortMergeJoinExec
+(`joins/SortMergeJoinExec.scala:35`), ShuffledHashJoinExec
+(`joins/ShuffledHashJoinExec.scala:32`), BroadcastNestedLoopJoinExec
+(`joins/BroadcastNestedLoopJoinExec.scala:32`), CartesianProductExec
+(`joins/CartesianProductExec.scala:85`); semi/anti from subquery rewrite
+(`optimizer/subquery.scala:43`).
+
+Scale strategy: dimension tables are explicitly `F.broadcast`-hinted so
+fact-table joins never shuffle the big side; fact-fact joins
+(lineitem⋈orders) are left to Catalyst → sort-merge with AQE skew
+splitting.  tests/test_plans.py asserts the physical operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+      l_orderkey,
+      sum(l_extendedprice * (1 - l_discount)) AS revenue,
+      o_orderdate,
+      o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '2000-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "aggregate", "tpch"),
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective dimension filter → two equi-joins → agg → top-k.
+
+    customer (filtered on mktsegment) broadcasts into orders; the
+    orders⋈lineitem join shuffles on orderkey (sort-merge at scale).
+    Top-k via TakeOrderedAndProject — no global sort."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    cutoff = F.lit("2000-03-15").cast("timestamp")
+    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        t.lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            t.orders.filter(F.col("o_orderdate") < cutoff)
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "aggregate", "tpch"),
+    bench=True,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-table star join. All dimensions broadcast; the only
+    shuffles are lineitem⋈orders (on orderkey) and the final 5-group agg."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    dims = (
+        t.supplier
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        t.lineitem
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(dims),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "join_sort_merge_fact_fact",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_lines,
+           sum(l_quantity) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("join", "aggregate"),
+    bench=True,
+)
+def join_sort_merge_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join: at 100 TB both sides exceed any broadcast
+    threshold → sort-merge on l_orderkey/o_orderkey with AQE handling
+    skew.  No hint given: Catalyst must pick correctly by size."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.select("l_orderkey", "l_quantity")
+        .join(t.orders.select("o_orderkey", "o_orderstatus"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.sum("l_quantity").alias("total_qty"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, count(o_orderkey) AS order_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+    tags=("join", "outer"),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER preserving customers with zero orders (count(col)
+    skips the null-extended rows, matching SQL semantics)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_count"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT o_orderkey, c_name
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey <= 50
+    ORDER BY c_name, o_orderkey
+    """,
+    tags=("join", "outer"),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"), "right")
+        .filter(F.col("c_custkey") <= 50)
+        .select("o_orderkey", "c_name")
+        .orderBy("c_name", "o_orderkey")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey, c.n_cust AS n_cust, s.n_supp AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    ORDER BY nationkey
+    """,
+    tags=("join", "outer"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides (aggregate-then-join
+    keeps the shuffled data minimal — a 100 TB-safe pattern vs
+    join-then-aggregate)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    c = t.customer.groupBy(F.col("c_nationkey").alias("c_nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = t.supplier.groupBy(F.col("s_nationkey").alias("s_nk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        c.join(s, F.col("c_nk") == F.col("s_nk"), "full_outer")
+        .select(
+            F.coalesce(F.col("c_nk"), F.col("s_nk")).alias("nationkey"),
+            "n_cust",
+            "n_supp",
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+    )
+    ORDER BY c_custkey
+    """,
+    tags=("join", "semi"),
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers with ≥1 finished order. Emits each left row
+    at most once — no duplication, no right-side columns."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    f_orders = t.orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        t.customer.join(f_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("join", "anti"),
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers with no orders at all."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            t.orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    ORDER BY r_name, n_name
+    """,
+    tags=("join", "cross"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny dimensions (CartesianProductExec /
+    broadcast NLJ — only sane when one side is tiny, as here)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.region.select("r_name")
+        .crossJoin(t.nation.select("n_name"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "join_non_equi",
+    oracle="""
+    SELECT s_suppkey, count(*) AS n_richer_cust
+    FROM supplier JOIN customer
+      ON c_acctbal > s_acctbal AND c_nationkey = s_nationkey
+    GROUP BY s_suppkey
+    ORDER BY s_suppkey
+    """,
+    tags=("join", "theta"),
+)
+def join_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join (inequality + equality): Catalyst uses the equi part
+    (nationkey) as the hash key and evaluates the inequality as a
+    residual — NOT a full nested loop.  Supplier side broadcast."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            F.broadcast(t.supplier),
+            (F.col("c_acctbal") > F.col("s_acctbal"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_richer_cust"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "join_using_key",
+    oracle="""
+    SELECT custkey, c_name, o_orderkey
+    FROM (SELECT o_custkey AS custkey, o_orderkey FROM orders) o
+    JOIN (SELECT c_custkey AS custkey, c_name FROM customer) c USING (custkey)
+    WHERE custkey <= 20
+    ORDER BY custkey, o_orderkey
+    """,
+    tags=("join", "using"),
+)
+def join_using_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USING-style join (single shared key column in the output,
+    reference ResolveNaturalAndUsingJoin)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    o = t.orders.select(F.col("o_custkey").alias("custkey"), "o_orderkey")
+    c = t.customer.select(F.col("c_custkey").alias("custkey"), "c_name")
+    return (
+        o.join(c, ["custkey"])
+        .filter(F.col("custkey") <= 20)
+        .select("custkey", "c_name", "o_orderkey")
+        .orderBy("custkey", "o_orderkey")
+    )
+
+
+@register(
+    "join_self",
+    oracle="""
+    SELECT a.n_name AS n1, b.n_name AS n2
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    ORDER BY n1, n2
+    """,
+    tags=("join", "self"),
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join producing unordered same-region nation pairs."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    a = t.nation.alias("a")
+    b = t.nation.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(F.col("a.n_name").alias("n1"), F.col("b.n_name").alias("n2"))
+        .orderBy("n1", "n2")
+    )

@@ -1,0 +1,254 @@
+"""Window functions (SURVEY.md §2.5).
+
+Reference: WindowExec (`execution/window/WindowExec.scala:82`) with
+frame processors in `window/WindowFunctionFrame.scala` (offset, sliding,
+unbounded variants); function impls `windowExpressions.scala:392-709`.
+
+Scale notes: a window spec shuffles once on partitionBy keys and sorts
+within partitions; all functions sharing a (partition, order) spec are
+computed in one pass (CollapseWindow).  Partition keys here are
+o_custkey — high-cardinality, no skew concentration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+
+@register(
+    "window_ranking",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number()  OVER w AS rn,
+           rank()        OVER w AS rnk,
+           dense_rank()  OVER w AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, rn
+    """,
+    tags=("window", "ranking"),
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile over one shared window
+    spec (single shuffle+sort, one WindowExec)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t.orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           percent_rank() OVER w AS prk,
+           cume_dist()    OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "ranking"),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        t.orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.percent_rank().over(w).alias("prk"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_lead_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice, 1, 0.0)  OVER w AS prev_price,
+           lead(o_totalprice, 2, -1.0) OVER w AS next2_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "offset"),
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag with offsets and defaults (OffsetWindowFunctionFrame)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t.orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.lag("o_totalprice", 1, 0.0).over(w).alias("prev_price"),
+            F.lead("o_totalprice", 2, -1.0).over(w).alias("next2_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_rows_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)   AS running_spend,
+           avg(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)           AS moving_avg_3,
+           count(*) OVER (PARTITION BY o_custkey)                AS cust_orders
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "frame"),
+)
+def window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over ROWS frames: running total (unbounded-preceding),
+    sliding 3-row average, and whole-partition count."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    ordered = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t.orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum("o_totalprice")
+            .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("running_spend"),
+            F.avg("o_totalprice")
+            .over(ordered.rowsBetween(-2, Window.currentRow))
+            .alias("moving_avg_3"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("o_custkey"))
+            .alias("cust_orders"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_similar_cheaper
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with a value offset (ValuePreceding boundary in the
+    reference's SpecifiedWindowFrame)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(
+        -50000, Window.currentRow
+    )
+    return (
+        t.orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.count(F.lit(1)).over(w).alias("n_similar_cheaper"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window",),
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value; last_value over an explicit
+    unbounded frame (the default frame stops at CURRENT ROW on both
+    engines)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        t.orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(full).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_topn_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+    tags=("window", "topk"),
+    bench=True,
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group — the canonical window+filter pattern.  Modern
+    Spark inserts WindowGroupLimit before the shuffle, so each partition
+    only forwards its local top-3 (scale-critical)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t.orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("o_custkey", F.col("o_totalprice").desc(), "o_orderkey")
+    )

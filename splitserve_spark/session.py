@@ -37,6 +37,9 @@ PARITY_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Arrow for every Python<->JVM batch boundary (pandas_udf, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
+    # read as long and convert in the loader (tables.Tables).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

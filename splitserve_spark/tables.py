@@ -50,9 +50,19 @@ class Tables:
         if name not in TABLE_NAMES:
             raise AttributeError(f"unknown table {name!r}; have {TABLE_NAMES}")
         if name not in self._cache:
-            self._cache[name] = self._spark.read.parquet(
+            from splitserve_spark.session import ensure_parity_conf
+
+            ensure_parity_conf(self._spark)
+            df = self._spark.read.parquet(
                 os.path.join(self._sf_dir, f"{name}.parquet")
             )
+            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+                # TIMESTAMP(NANOS) parquet read as long nanos
+                # (spark.sql.legacy.parquet.nanosAsLong) → truncate to µs.
+                from pyspark.sql import functions as F
+
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            self._cache[name] = df
         return self._cache[name]
 
     def register_temp_views(self) -> None:

@@ -45,8 +45,12 @@ def _normalize(df: pd.DataFrame, float_dp: int = 4) -> pd.DataFrame:
                 ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
             df[col] = ts
         elif s.dtype == object:
+            import numpy as np
+
             df[col] = s.map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple, np.ndarray))
+                else v
             )
         elif pd.api.types.is_integer_dtype(s):
             df[col] = s.astype("int64")

@@ -1,0 +1,51 @@
+from __future__ import annotations
+
+import pytest
+
+from splitserve_spark.registry import REGISTRY, load_all
+from tests.oracle_utils import SF_DIR, check_query, duck_connection
+
+load_all()
+
+AGGS = [
+    "agg_basic_stats",
+    "agg_variance",
+    "agg_skew_kurt",
+    "agg_corr_covar",
+    "agg_percentiles",
+    "agg_collect_sorted",
+    "agg_min_max_by",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_having",
+    "agg_bool_and_count_if",
+    "agg_sum_distinct",
+]
+
+
+@pytest.mark.parametrize("name", AGGS)
+def test_oracle_match(spark, name):
+    check_query(spark, name, SF_DIR)
+
+
+def test_approx_aggregates_within_tolerance(spark):
+    pdf = REGISTRY["agg_approx"].fn(spark, SF_DIR).toPandas().set_index("l_returnflag")
+    con = duck_connection(SF_DIR)
+    try:
+        exact = con.execute(
+            """
+            SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   quantile_cont(l_extendedprice, 0.5) AS p50
+            FROM lineitem GROUP BY l_returnflag
+            """
+        ).df().set_index("l_returnflag")
+    finally:
+        con.close()
+    for flag in exact.index:
+        n, approx_n = exact.loc[flag, "n_parts"], pdf.loc[flag, "approx_parts"]
+        assert abs(approx_n - n) <= 0.10 * n, (flag, n, approx_n)
+        p, approx_p = exact.loc[flag, "p50"], pdf.loc[flag, "approx_p50"]
+        assert abs(approx_p - p) <= 0.05 * abs(p), (flag, p, approx_p)
