@@ -1,0 +1,202 @@
+"""Collection types + generators (SURVEY.md §2.8 collection registry,
+§2.9 generators).
+
+Reference: CreateArray/CreateMap/CreateNamedStruct
+(`complexTypeCreator.scala:39,97,294`), Size/SortArray/ArrayContains
+(`collectionOperations.scala:37,131,225`), GetStructField/GetArrayItem
+(`complexTypeExtractors.scala:106,215`), Explode/PosExplode
+(`generators.scala:242,263`) via GenerateExec (`GenerateExec.scala:52`).
+
+explode on Spark multiplies rows inside a whole-stage-codegen'd
+generator — no shuffle; the oracle uses UNNEST.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+
+@register(
+    "fn_array_basic",
+    oracle="""
+    SELECT n_nationkey,
+           [n_nationkey, n_regionkey, 99]                    AS arr,
+           len([n_nationkey, n_regionkey, 99])               AS arr_len,
+           list_contains([n_nationkey, n_regionkey], 3)      AS has3,
+           [n_nationkey, n_regionkey, 99][1]                 AS first_elem,
+           list_sort([99, n_nationkey, n_regionkey])         AS sorted_arr,
+           list_sort(list_distinct([n_nationkey, n_regionkey, n_regionkey])) AS dedup_arr,
+           generate_series(1, 3)                             AS seq
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("function", "array"),
+)
+def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array / size / array_contains / element_at / sort_array /
+    array_distinct / sequence."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    k, r = F.col("n_nationkey"), F.col("n_regionkey")
+    arr = F.array(k, r, F.lit(99))
+    return (
+        t.nation.select(
+            "n_nationkey",
+            arr.alias("arr"),
+            F.size(arr).cast("bigint").alias("arr_len"),
+            F.array_contains(F.array(k, r), F.lit(3)).alias("has3"),
+            F.element_at(arr, 1).alias("first_elem"),
+            F.sort_array(F.array(F.lit(99), k, r)).alias("sorted_arr"),
+            F.sort_array(F.array_distinct(F.array(k, r, r))).alias("dedup_arr"),
+            F.sequence(F.lit(1), F.lit(3)).alias("seq"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "fn_array_lambda",
+    oracle="""
+    SELECT n_nationkey,
+           list_transform([n_nationkey, n_regionkey], x -> x * 10)  AS times10,
+           list_filter([n_nationkey, n_regionkey, 7], x -> x > 3)   AS gt3,
+           list_reduce([n_nationkey, n_regionkey, 5], (a, b) -> a + b) AS total,
+           CAST(list_position([n_nationkey, n_regionkey, 7], 7) AS BIGINT) AS pos7,
+           list_max([n_nationkey, n_regionkey])                     AS amax
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("function", "array", "lambda"),
+)
+def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform / filter / aggregate /
+    arrays_zip — all JVM lambda expressions, zero Python cost.  (Modern
+    Spark surface; the 2.1 reference predates these but they're required
+    for the vector ops in operators/similarity.py.)"""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    k, r = F.col("n_nationkey"), F.col("n_regionkey")
+    return (
+        t.nation.select(
+            "n_nationkey",
+            F.transform(F.array(k, r), lambda x: x * 10).alias("times10"),
+            F.filter(F.array(k, r, F.lit(7)), lambda x: x > 3).alias("gt3"),
+            F.aggregate(
+                F.array(k, r, F.lit(5)), F.lit(0), lambda acc, x: acc + x
+            ).alias("total"),
+            F.array_position(F.array(k, r, F.lit(7)), F.lit(7)).alias("pos7"),
+            F.array_max(F.array(k, r)).alias("amax"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "fn_explode",
+    oracle="""
+    SELECT n_nationkey, u.word
+    FROM nation, UNNEST(string_split(n_name, ' ')) AS u(word)
+    ORDER BY n_nationkey, word
+    """,
+    tags=("function", "generator"),
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (UDTF) over split tokens — reference Explode
+    generators.scala:242 / LATERAL VIEW."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.nation.select(
+            "n_nationkey", F.explode(F.split("n_name", " ")).alias("word")
+        )
+        .orderBy("n_nationkey", "word")
+    )
+
+
+@register(
+    "fn_posexplode",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(g.i - 1 AS INTEGER) AS pos,
+           string_split(n_name, ' ')[CAST(g.i AS INTEGER)] AS word
+    FROM nation,
+         LATERAL (
+           SELECT unnest(generate_series(1, len(string_split(n_name, ' ')))) AS i
+         ) g
+    ORDER BY n_nationkey, pos
+    """,
+    tags=("function", "generator"),
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — 0-based position (oracle shifts UNNEST's 1-based
+    ordinality)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.nation.select(
+            "n_nationkey",
+            F.posexplode(F.split("n_name", " ")).alias("pos", "word"),
+        )
+        .orderBy("n_nationkey", "pos")
+    )
+
+
+@register(
+    "fn_struct_access",
+    oracle="""
+    SELECT n_nationkey,
+           struct_pack(key := n_nationkey, name := n_name)      AS st,
+           struct_pack(key := n_nationkey, name := n_name).name AS st_name,
+           n_regionkey                                          AS mapped
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("function", "struct", "map"),
+)
+def fn_struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """named_struct creation + field access, map creation + key lookup
+    (reference complexTypeCreator.scala / complexTypeExtractors.scala)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    st = F.struct(F.col("n_nationkey").alias("key"), F.col("n_name").alias("name"))
+    return (
+        t.nation.select(
+            "n_nationkey",
+            st.alias("st"),
+            st.getField("name").alias("st_name"),
+            F.element_at(
+                F.create_map(F.col("n_name"), F.col("n_regionkey")), F.col("n_name")
+            ).alias("mapped"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "fn_stack_inline",
+    oracle="""
+    SELECT r_regionkey, t.k, t.v
+    FROM region,
+         (VALUES (1, 'a'), (2, 'b')) AS t(k, v)
+    ORDER BY r_regionkey, k
+    """,
+    tags=("function", "generator"),
+)
+def fn_stack_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stack generator (reference generators.scala:112) — rows from
+    literal columns, cross-product with the input."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.region.select("r_regionkey")
+        .select(
+            "r_regionkey", F.expr("stack(2, 1, 'a', 2, 'b')").alias("k", "v")
+        )
+        .select("r_regionkey", F.col("k").cast("int").alias("k"), "v")
+        .orderBy("r_regionkey", "k")
+    )

@@ -1,0 +1,201 @@
+"""Math function surface (SURVEY.md §2.8, registry lines :184-235).
+
+Reference impls: `catalyst/expressions/mathExpressions.scala` (39
+classes — Acos:180 Asin:193 Atan:204 Cbrt:213 Ceil:224 Cos:257 Exp:319
+Floor:339 Factorial:403 Log:442 Rint:495 Signum:506 Sqrt:533
+ToDegrees:560 Atan2:760 Pow:780 Hypot:896 Round:1144) and arithmetic
+ops `arithmetic.scala:149-415`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+
+@register(
+    "fn_math_basic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25)              AS centered,
+           ceil(l_extendedprice / 1000)      AS price_k_ceil,
+           floor(l_discount * 100)           AS disc_pct_floor,
+           round(l_tax * 100, 1)             AS tax_pct,
+           sqrt(l_quantity)                  AS root_qty,
+           pow(l_discount, 2)                AS disc_sq,
+           exp(l_discount)                   AS e_disc,
+           ln(l_extendedprice)               AS ln_price,
+           log10(l_extendedprice)            AS log10_price,
+           log2(l_quantity + 1)              AS log2_qty,
+           sign(l_quantity - 25.0)           AS qty_sign,
+           greatest(l_discount, l_tax)       AS max_rate,
+           least(l_discount, l_tax)          AS min_rate
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("function", "math"),
+)
+def fn_math_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_orderkey") <= 200)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_quantity") - 25).alias("centered"),
+            F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+            F.floor(F.col("l_discount") * 100).alias("disc_pct_floor"),
+            F.round(F.col("l_tax") * 100, 1).alias("tax_pct"),
+            F.sqrt("l_quantity").alias("root_qty"),
+            F.pow("l_discount", F.lit(2)).alias("disc_sq"),
+            F.exp("l_discount").alias("e_disc"),
+            F.log("l_extendedprice").alias("ln_price"),
+            F.log10("l_extendedprice").alias("log10_price"),
+            F.log2(F.col("l_quantity") + 1).alias("log2_qty"),
+            F.signum(F.col("l_quantity") - 25.0).alias("qty_sign"),
+            F.greatest("l_discount", "l_tax").alias("max_rate"),
+            F.least("l_discount", "l_tax").alias("min_rate"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "fn_math_trig",
+    oracle="""
+    SELECT n_nationkey,
+           sin(n_nationkey)                    AS s,
+           cos(n_nationkey)                    AS c,
+           tan(n_nationkey)                    AS t,
+           asin(n_nationkey / 25.0)            AS arc_s,
+           acos(n_nationkey / 25.0)            AS arc_c,
+           atan(n_nationkey)                   AS arc_t,
+           atan2(n_nationkey, 10)              AS arc_t2,
+           (exp(n_nationkey / 10.0) - exp(-n_nationkey / 10.0)) / 2 AS sh,
+           (exp(n_nationkey / 10.0) + exp(-n_nationkey / 10.0)) / 2 AS ch,
+           (exp(n_nationkey / 5.0) - 1) / (exp(n_nationkey / 5.0) + 1) AS th,
+           degrees(n_nationkey / 10.0)         AS deg,
+           radians(n_nationkey * 10)           AS rad,
+           pi()                                AS pi_const,
+           sqrt(n_nationkey * n_nationkey + 100.0) AS hyp
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("function", "math", "trig"),
+)
+def fn_math_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trig/hyperbolic family; hypot expressed in the oracle as
+    sqrt(x²+y²) (DuckDB has no hypot)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    k = F.col("n_nationkey")
+    return (
+        t.nation.select(
+            "n_nationkey",
+            F.sin(k).alias("s"),
+            F.cos(k).alias("c"),
+            F.tan(k).alias("t"),
+            F.asin(k / 25.0).alias("arc_s"),
+            F.acos(k / 25.0).alias("arc_c"),
+            F.atan(k).alias("arc_t"),
+            F.atan2(k.cast("double"), F.lit(10.0)).alias("arc_t2"),
+            F.sinh(k / 10.0).alias("sh"),
+            F.cosh(k / 10.0).alias("ch"),
+            F.tanh(k / 10.0).alias("th"),
+            F.degrees(k / 10.0).alias("deg"),
+            F.radians(k * 10).alias("rad"),
+            F.expr("pi()").alias("pi_const"),
+            F.hypot(k.cast("double"), F.lit(10.0)).alias("hyp"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "fn_math_int",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey % 7                                   AS mod7,
+           ((l_orderkey - 3) % 7 + 7) % 7                   AS pmod7,
+           l_orderkey // 16                                 AS div16,
+           CAST(factorial(l_linenumber) AS BIGINT)          AS fact,
+           CAST(l_linenumber & 3 AS INTEGER)                AS band,
+           CAST(l_linenumber | 8 AS INTEGER)                AS bor,
+           CAST(xor(l_linenumber, 5) AS INTEGER)            AS bxor,
+           CAST(l_linenumber << 2 AS INTEGER)               AS shl,
+           CAST(l_orderkey >> 3 AS BIGINT)                  AS shr
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("function", "math", "bitwise"),
+)
+def fn_math_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modulo / pmod / integer division / factorial / bitwise ops
+    (reference arithmetic.scala + bitwiseExpressions.scala:36-130).
+    pmod's always-positive result is spelled ((x%n)+n)%n in the oracle."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    ln = F.col("l_linenumber")
+    return (
+        t.lineitem.filter(F.col("l_orderkey") <= 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_orderkey") % 7).alias("mod7"),
+            F.pmod(F.col("l_orderkey") - 3, F.lit(7)).alias("pmod7"),
+            F.expr("l_orderkey div 16").alias("div16"),
+            F.factorial(ln).alias("fact"),
+            ln.bitwiseAND(F.lit(3)).alias("band"),
+            ln.bitwiseOR(F.lit(8)).alias("bor"),
+            ln.bitwiseXOR(F.lit(5)).alias("bxor"),
+            F.shiftleft(ln, 2).alias("shl"),
+            F.shiftright(F.col("l_orderkey"), 3).alias("shr"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "fn_math_rounding",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice)            AS r0,
+           round(o_totalprice, 1)         AS r1,
+           round(o_totalprice, -2)        AS rneg2,
+           ceil(o_totalprice)             AS c0,
+           floor(o_totalprice)            AS f0,
+           CAST(trunc(o_totalprice) AS INTEGER) AS truncated
+    FROM orders
+    WHERE o_orderkey <= 300
+    ORDER BY o_orderkey
+    """,
+    tags=("function", "math", "rounding"),
+)
+def fn_math_rounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HALF_UP rounding incl. negative scale (reference Round:1144).
+    Both engines round halves away from zero for `round`.  Non-ANSI
+    double→int cast truncates toward zero, matching DuckDB's
+    CAST(TRUNC())-free semantics only via trunc — Spark's cast truncates,
+    DuckDB CAST rounds, so the oracle uses CAST(trunc(...))."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.filter(F.col("o_orderkey") <= 300)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 0).alias("r0"),
+            F.round("o_totalprice", 1).alias("r1"),
+            F.round("o_totalprice", -2).alias("rneg2"),
+            F.ceil("o_totalprice").alias("c0"),
+            F.floor("o_totalprice").alias("f0"),
+            F.col("o_totalprice").cast("int").alias("truncated"),
+        )
+        .orderBy("o_orderkey")
+    )

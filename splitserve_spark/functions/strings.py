@@ -1,0 +1,172 @@
+"""String function surface (SURVEY.md §2.8, registry lines :266-319).
+
+Reference impls: `catalyst/expressions/stringExpressions.scala` (35
+classes, e.g. Concat:50 ConcatWs:94 Upper:270 Lower:290 StringTrim:476
+StringLPad:706 Substring:1124 Length:1168 Levenshtein:1195 Ascii:1245
+Base64:1283 InitCap:1014 StringRepeat:1037 StringReverse:1066),
+`regexpExpressions.scala` (Like:72 RLike:125 StringSplit:184
+RegExpReplace:222 RegExpExtract:328).
+
+All JVM-side built-ins — whole-stage-codegen'd, no Python boundary.
+Oracle dialect notes are inline (e.g. DuckDB regexp_replace needs the
+'g' flag to match Spark's replace-all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+
+@register(
+    "fn_string_basic",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                       AS up,
+           lower(p_brand)                      AS lo,
+           length(p_name)                      AS len,
+           concat(p_brand, ':', p_type)        AS joined,
+           concat_ws('-', p_brand, p_type)     AS ws_joined,
+           substring(p_name, 2, 5)             AS sub,
+           trim('  ' || p_name || ' ')         AS trimmed,
+           lpad(p_brand, 12, '*')              AS padded_l,
+           rpad(p_brand, 12, '#')              AS padded_r,
+           reverse(p_type)                     AS rev,
+           repeat(p_brand, 2)                  AS rep,
+           replace(p_type, 'E', '3')           AS repl,
+           left(p_name, 4)                     AS l4,
+           right(p_name, 4)                    AS r4
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("function", "string"),
+)
+def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.select(
+            "p_partkey",
+            F.upper("p_name").alias("up"),
+            F.lower("p_brand").alias("lo"),
+            F.length("p_name").cast("bigint").alias("len"),
+            F.concat("p_brand", F.lit(":"), "p_type").alias("joined"),
+            F.concat_ws("-", "p_brand", "p_type").alias("ws_joined"),
+            F.substring("p_name", 2, 5).alias("sub"),
+            F.trim(F.concat(F.lit("  "), "p_name", F.lit(" "))).alias("trimmed"),
+            F.lpad("p_brand", 12, "*").alias("padded_l"),
+            F.rpad("p_brand", 12, "#").alias("padded_r"),
+            F.reverse("p_type").alias("rev"),
+            F.repeat("p_brand", 2).alias("rep"),
+            F.replace("p_type", F.lit("E"), F.lit("3")).alias("repl"),
+            F.substring("p_name", 1, 4).alias("l4"),
+            F.expr("right(p_name, 4)").alias("r4"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "fn_string_predicates",
+    oracle="""
+    SELECT p_partkey,
+           starts_with(p_type, 'PRO')       AS sw,
+           p_type LIKE '%ARG%'              AS has_arg,
+           contains(p_name, 'a')            AS has_a,
+           CAST(strpos(p_name, 'e') AS INTEGER) AS pos_e,
+           array_to_string(
+             list_transform(string_split(lower(p_type), ' '),
+                            w -> upper(substr(w, 1, 1)) || substr(w, 2, 999)),
+             ' ')                           AS icap,
+           ascii(p_brand)                   AS first_code,
+           CAST(levenshtein(p_brand, p_type) AS INTEGER) AS lev
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("function", "string"),
+)
+def fn_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.select(
+            "p_partkey",
+            F.startswith("p_type", F.lit("PRO")).alias("sw"),
+            F.col("p_type").like("%ARG%").alias("has_arg"),
+            F.contains("p_name", F.lit("a")).alias("has_a"),
+            F.instr("p_name", "e").cast("int").alias("pos_e"),
+            F.initcap("p_type").alias("icap"),
+            F.ascii("p_brand").alias("first_code"),
+            F.levenshtein("p_brand", "p_type").cast("int").alias("lev"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "fn_string_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_brand, '#(\\d+)', 1)            AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')      AS devowel,
+           regexp_matches(p_type, '^(PRO|ECO)')             AS is_pe,
+           string_split(p_name, ' ')[1]                     AS first_word,
+           CAST(len(string_split(p_name, ' ')) AS INTEGER)  AS n_words,
+           translate(p_type, 'AEO', 'aeo')                  AS translated
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("function", "string", "regex"),
+)
+def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / replace-all / rlike / split / translate.
+    DuckDB regexp_replace replaces the FIRST match unless given the 'g'
+    flag; Spark always replaces all — oracle passes 'g'."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.select(
+            "p_partkey",
+            F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("devowel"),
+            F.col("p_type").rlike("^(PRO|ECO)").alias("is_pe"),
+            F.split("p_name", " ").getItem(0).alias("first_word"),
+            F.size(F.split("p_name", " ")).alias("n_words"),
+            F.translate("p_type", "AEO", "aeo").alias("translated"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "fn_string_codec",
+    oracle="""
+    SELECT n_nationkey,
+           base64(encode(n_name))              AS b64,
+           decode(from_base64(base64(encode(n_name)))) AS roundtrip,
+           format('{}-{:03d}', n_name, n_nationkey)    AS formatted
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("function", "string", "codec"),
+)
+def fn_string_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base64/unbase64 roundtrip + printf-style formatting
+    (reference Base64:1283, UnBase64:1312, FormatString:936)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.nation.select(
+            "n_nationkey",
+            F.base64(F.col("n_name").cast("binary")).alias("b64"),
+            F.unbase64(F.base64(F.col("n_name").cast("binary")))
+            .cast("string")
+            .alias("roundtrip"),
+            F.format_string("%s-%03d", "n_name", "n_nationkey").alias("formatted"),
+        )
+        .orderBy("n_nationkey")
+    )

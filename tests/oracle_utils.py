@@ -47,11 +47,14 @@ def _normalize(df: pd.DataFrame, float_dp: int = 4) -> pd.DataFrame:
         elif s.dtype == object:
             import numpy as np
 
-            df[col] = s.map(
-                lambda v: tuple(v)
-                if isinstance(v, (list, tuple, np.ndarray))
-                else v
-            )
+            def conv(v):
+                if isinstance(v, dict):
+                    return tuple(sorted((k, conv(x)) for k, x in v.items()))
+                if isinstance(v, (list, tuple, np.ndarray)):
+                    return tuple(conv(x) for x in v)
+                return v
+
+            df[col] = s.map(conv)
         elif pd.api.types.is_integer_dtype(s):
             df[col] = s.astype("int64")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
