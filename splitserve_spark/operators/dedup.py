@@ -1,0 +1,325 @@
+"""Deduplication operators for training-data pipelines (beyond-parity).
+
+Four families over the `documents` table:
+  * exact        — hash-groupBy on normalized text
+  * MinHash+LSH  — shingle → 8-perm minhash signature → 4 banded buckets
+                   → candidate join → exact Jaccard confirm
+  * SimHash      — 16-bit sign-sum sketch + Hamming-distance pairing
+  * n-gram Jaccard — exact pairwise on a bounded block (the brute-force
+                   baseline the LSH path approximates)
+
+Scale design: every step is scan → narrow map → groupBy/join on
+bounded keys.  The LSH candidate join is the only quadratic-risk step
+and it is quadratic only within a (band, bucket) group — the standard
+trade-off; band count / row width tune precision vs cost.  Hashes are
+the md5-derived 60-bit family (functions/parity_hash.py) so DuckDB can
+replay the exact computation as the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splitserve_spark.functions.parity_hash import (
+    HASH_P,
+    MINHASH_PERMS,
+    md5_hash60,
+    md5_hash60_sql,
+    perm_hash,
+    perm_hash_sql,
+)
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+_NORM_SQL = "regexp_replace(trim(lower(text)), ' +', ' ', 'g')"
+
+#: Shared oracle CTE: doc_id → distinct 3-word shingles (docs shorter
+#: than 3 words contribute their whole normalized text as one shingle).
+_SHINGLE_CTE = f"""
+    docs AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    toks AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM docs),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) >= 3
+                    THEN list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    ELSE [norm] END) AS shingles
+      FROM toks
+    )
+"""
+
+_SIG_COLS = ", ".join(
+    f"min({perm_hash_sql(md5_hash60_sql('s'), a, b)}) AS m{i}"
+    for i, (a, b) in enumerate(MINHASH_PERMS)
+)
+
+_SIG_CTE = f"""
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM ex GROUP BY doc_id)
+"""
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band, m{2 * j} * {HASH_P} + m{2 * j + 1} AS bucket FROM sig"
+    for j in range(len(MINHASH_PERMS) // 2)
+)
+
+
+def _norm(col):
+    return F.regexp_replace(F.trim(F.lower(col)), " +", " ")
+
+
+def _shingles(spark, sf_dir) -> DataFrame:
+    """doc_id → array of distinct 3-word shingles (Spark side)."""
+    t = Tables(spark, sf_dir)
+    w = F.split(F.col("norm"), " ")
+    shingles = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i),
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+            ),
+        ),
+    ).otherwise(F.array(F.col("norm")))
+    return (
+        t.documents.select("doc_id", _norm(F.col("text")).alias("norm"))
+        .select("doc_id", F.array_distinct(shingles).alias("shingles"))
+    )
+
+
+def _signatures(spark, sf_dir) -> DataFrame:
+    """doc_id → MinHash signature columns m0..m7.
+
+    explode → hash → groupBy(min per permutation): the shuffle carries
+    one row per (doc, shingle) and aggregates map-side first."""
+    ex = _shingles(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    h = md5_hash60(F.col("s"))
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(perm_hash(h, a, b)).alias(f"m{i}")
+            for i, (a, b) in enumerate(MINHASH_PERMS)
+        ]
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT min(doc_id) AS canonical_id,
+           count(*)    AS n_copies,
+           fp
+    FROM (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents)
+    GROUP BY fp
+    ORDER BY canonical_id
+    """,
+    tags=("dedup", "pipeline"),
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint,
+    electing min(doc_id) as canonical.  One shuffle on the 128-bit
+    fingerprint — uniformly distributed, no skew, scales linearly."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select(
+            "doc_id", F.md5(_norm(F.col("text")).cast("binary")).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("canonical_id", "n_copies", "fp")
+        .orderBy("canonical_id")
+    )
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}, {_SIG_CTE}
+    SELECT doc_id, {", ".join(f"m{i}" for i in range(len(MINHASH_PERMS)))}
+    FROM sig
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "pipeline", "minhash"),
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-permutation MinHash signature per document — the building
+    block of LSH dedup, verified value-exact against the oracle."""
+    ensure_parity_conf(spark)
+    return _signatures(spark, sf_dir).orderBy("doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}, {_SIG_CTE},
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / len(list_distinct(sa.shingles || sb.shingles)) >= 0.3
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "pipeline", "minhash", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature → 4 bands of 2 →
+    bucket self-join for candidates → exact Jaccard confirm ≥ 0.3.
+
+    Scale: candidate generation is the banded join (quadratic only
+    within identical buckets); the confirm join re-reads only candidate
+    docs' shingle arrays.  This is the standard web-scale near-dedup
+    layout (cf. MMDS ch.3) expressed as DataFrames."""
+    ensure_parity_conf(spark)
+    sig = _signatures(spark, sf_dir)
+    n_bands = len(MINHASH_PERMS) // 2
+    bands = None
+    for j in range(n_bands):
+        piece = sig.select(
+            "doc_id",
+            F.lit(j).alias("band"),
+            (F.col(f"m{2 * j}") * HASH_P + F.col(f"m{2 * j + 1}")).alias("bucket"),
+        )
+        bands = piece if bands is None else bands.unionAll(piece)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = _shingles(spark, sf_dir)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_N_SIMHASH_BITS = 16
+
+
+def _simhash_bits_sql() -> str:
+    h = md5_hash60_sql("tok")
+    terms = []
+    for j in range(_N_SIMHASH_BITS):
+        terms.append(
+            f"(CASE WHEN 2 * len(list_filter(list_transform(toks, tok -> {h}), "
+            f"hv -> (hv >> {j}) & 1 = 1)) > len(toks) THEN 1::BIGINT << {j} "
+            f"ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
+      FROM documents
+    )
+    SELECT doc_id, {_simhash_bits_sql()} AS simhash
+    FROM base
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "pipeline", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per bit, majority vote of token-hash bits over the
+    document's distinct tokens.  Identical texts → identical sketch;
+    near-identical → small Hamming distance (paired in tests)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    toks = F.array_distinct(F.split(_norm(F.col("text")), " "))
+    hashes = F.transform(toks, lambda tok: md5_hash60(tok))
+    def bit_term(j: int):
+        # NB: the lambda must be unary — PySpark treats a second
+        # parameter as the element-index column.
+        ones = F.size(F.filter(hashes, lambda hv: hv.bitwiseAND(F.lit(1 << j)) != 0))
+        return F.when(2 * ones > F.size(toks), F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    sim = bit_term(0)
+    for j in range(1, _N_SIMHASH_BITS):
+        sim = sim + bit_term(j)
+    return (
+        t.documents.select("doc_id", sim.alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_distinct(string_split(regexp_replace(trim(lower(text)),
+                           ' +', ' ', 'g'), ' ')) AS toks
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(list_distinct(a.toks || b.toks)), 6) AS jaccard
+    FROM w a JOIN w b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / len(list_distinct(a.toks || b.toks)) >= 0.6
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "pipeline", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise token-set Jaccard on a bounded block (doc_id<150)
+    — the brute-force ground truth the LSH pipeline approximates.  The
+    O(n²) join is intentionally fenced to a fixed block; the scale path
+    is dedup_minhash_lsh."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    w = t.documents.filter(F.col("doc_id") < 150).select(
+        "doc_id",
+        F.array_distinct(F.split(_norm(F.col("text")), " ")).alias("toks"),
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("t_a"))
+    b = w.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("t_b"))
+    jac = F.size(F.array_intersect("t_a", "t_b")).cast("double") / F.size(
+        F.array_union("t_a", "t_b")
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

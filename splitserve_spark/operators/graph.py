@@ -1,0 +1,119 @@
+"""Graph workload parity: PageRank (SURVEY.md §2.13).
+
+Reference: GraphX `graphx/.../lib/PageRank.scala:82` — run(graph,
+numIter, resetProb=0.15): rank₀ = 1.0; rankᵢ₊₁(v) = 0.15 + 0.85 ·
+Σ_{u→v} rankᵢ(u)/outdeg(u).  Re-expressed as an iterative DataFrame
+program (the GraphFrames pattern): each iteration is one join + one
+aggregation, shuffling only (node, rank) pairs.
+
+Graph: the bipartite customer→supplier graph induced by orders⋈lineitem
+('c<custkey>' → 's<suppkey>'); suppliers are rank sinks (no out-edges —
+their mass is dropped, exactly as GraphX does with dangling nodes).
+
+Oracle: the same fixed-point unrolled as a DuckDB recursive CTE (the
+weight-0 self-loop keeps in-degree-0 nodes alive through the single
+allowed recursive reference).
+
+Scale notes: ranks are persisted per iteration to truncate lineage; the
+edge table is the static side of every join, so at cluster scale you
+bucket/pre-partition edges by src once and every iteration reuses that
+partitioning (one shuffle of ranks per iteration, edges never move).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+N_ITER = 5
+RESET = 0.15
+DAMP = 0.85
+
+
+def _edges(spark, sf_dir) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.join(
+            t.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    edges_aug AS (
+      SELECT src, dst, 1.0 AS w FROM edges
+      UNION ALL
+      SELECT node, node, 0.0 FROM nodes
+    ),
+    outdeg AS (SELECT src, sum(w) AS deg FROM edges_aug GROUP BY src),
+    pr AS (
+      SELECT 0 AS iter, node, 1.0::DOUBLE AS rank FROM nodes
+      UNION ALL
+      SELECT agg.iter + 1, agg.node, {RESET} + {DAMP} * agg.c
+      FROM (
+        SELECT p.iter AS iter, e.dst AS node,
+               sum(p.rank * e.w / greatest(od.deg, 1)) AS c
+        FROM pr p
+        JOIN edges_aug e ON e.src = p.node
+        JOIN outdeg od ON od.src = p.node
+        GROUP BY p.iter, e.dst
+      ) agg
+      WHERE agg.iter < {N_ITER}
+    )
+    SELECT node, round(rank, 6) AS rank
+    FROM pr WHERE iter = {N_ITER}
+    ORDER BY node
+    """,
+    tags=("graph", "workload", "iterative"),
+    bench=True,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, GraphX semantics, {N_ITER} fixed iterations."""
+    ensure_parity_conf(spark)
+    edges = _edges(spark, sf_dir).persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(N_ITER):
+        contribs = (
+            ranks.join(outdeg, F.col("node") == F.col("src"))
+            .join(edges, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (F.lit(RESET) + F.lit(DAMP) * F.coalesce("c", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .persist()
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")

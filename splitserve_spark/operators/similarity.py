@@ -1,0 +1,272 @@
+"""Vector similarity search over the `embeddings` table (beyond-parity).
+
+Three tiers:
+  * brute-force cosine top-k  — the exactness baseline (oracle-checked)
+  * threshold pair mining     — embedding-cosine near-dup detection
+  * LSH-bucketed ANN          — random-hyperplane signatures; the scale
+                                path (recall-tested against brute force)
+
+Scale design: query vectors are broadcast (they are the small side by
+construction); per-row cosine runs as JVM higher-order functions
+(zip_with + aggregate) — no Python, no UDF.  Top-k per query uses the
+rank-window + filter shape, which Spark executes with WindowGroupLimit
+pushdown (partial top-k before the shuffle).  The LSH variant trades
+the all-pairs scan for an equi-join on 16-bit signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+#: Number of probe vectors (lowest vec_ids double as the query set).
+N_QUERIES = 5
+TOP_K = 5
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, e.v) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rn
+      FROM q CROSS JOIN e
+      WHERE q.query_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+           CAST(rn AS INTEGER) AS rank
+    FROM scored
+    WHERE rn <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "pipeline", "ann"),
+    bench=True,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set against every
+    vector, rank per query.  Exact — the baseline sim_lsh_ann is
+    measured against."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "sim_cosine_pairs",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) > 0.8
+    ORDER BY id_a, id_b
+    """,
+    tags=("similarity", "pipeline", "dedup"),
+)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above 0.8 on a bounded
+    block — the semantic-dedup primitive.  The fenced O(n²) block is the
+    ground-truth twin of the LSH path (same pattern as dedup_ngram_jaccard)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.filter(F.col("vec_id") < 300).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") > 0.8)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+#: LSH layout: L independent tables of B sign-bits each + 1-bit
+#: multiprobe.  Candidate fraction ≈ L·(B+1)/2^B of the corpus; recall
+#: rises with L.  Synthetic random embeddings are ANN's worst case (no
+#: cluster structure) — real corpora see far higher recall at the same
+#: cost.
+N_TABLES = 8
+N_BITS = 10
+
+
+def _hyperplanes(dim: int) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes, shape (L, B, dim)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((N_TABLES, N_BITS, dim)).tolist()
+
+
+@register("sim_lsh_ann", oracle=None, tags=("similarity", "pipeline", "ann", "lsh"))
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: per table, a B-bit sign signature;
+    candidates = vectors sharing any table's (possibly 1-bit-flipped)
+    bucket with the query; exact cosine re-rank inside candidates.
+
+    At 100 TB signatures are computed in the scan projection and
+    candidate generation is an equi-join on (table, bucket) — no
+    all-pairs pass.  Approximate → no SQL oracle; tests measure recall
+    against sim_cosine_topk."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    dim = len(t.embeddings.select("embedding").first()[0])
+    planes = _hyperplanes(dim)
+
+    def table_sig(v, table: int):
+        sig = F.lit(0)
+        for plane in planes[table]:
+            pl = F.array(*[F.lit(float(x)) for x in plane])
+            bit = F.when(_dot(pl, v) >= 0, 1).otherwise(0)
+            sig = sig * 2 + bit
+        return sig
+
+    base = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    # (vec_id, table, bucket) index — one row per vector per table.
+    e = base.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tbl).alias("tbl"),
+                        table_sig(F.col("v"), tbl).alias("bucket"),
+                    )
+                    for tbl in range(N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # Probes: per table, exact bucket + all 1-bit flips.
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tbl).alias("tbl"),
+                        table_sig(F.col("qv"), tbl).alias("qb"),
+                    )
+                    for tbl in range(N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        "query_id",
+        "qv",
+        F.col("tb.tbl").alias("tbl"),
+        F.explode(
+            F.array(
+                F.col("tb.qb"),
+                *[F.col("tb.qb").bitwiseXOR(F.lit(1 << j)) for j in range(N_BITS)],
+            )
+        ).alias("bucket"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        e.join(F.broadcast(probes), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+        .distinct()
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "sim_norms",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+             AS l2_norm,
+           round(list_aggregate(embedding::DOUBLE[], 'sum'), 6) AS comp_sum,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           label
+    FROM embeddings
+    WHERE vec_id < 200
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "pipeline"),
+)
+def sim_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector norms/sums/dims — the sanity projection for embedding
+    columns (array<float> treated as first-class typed data)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    v = _as_double(F.col("embedding"))
+    return (
+        t.embeddings.filter(F.col("vec_id") < 200)
+        .select(
+            "vec_id",
+            F.round(F.sqrt(_dot(v, v)), 6).alias("l2_norm"),
+            F.round(
+                F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 6
+            ).alias("comp_sum"),
+            F.size("embedding").alias("dim"),
+            "label",
+        )
+        .orderBy("vec_id")
+    )

@@ -20,14 +20,25 @@ import os
 
 from pyspark.sql import SparkSession
 
-#: Runtime-settable confs every query assumes.  Applied both at session
-#: build time and defensively per-query (the verification driver hands us
-#: *its* session, which may carry Spark 4 defaults like ANSI mode).
+#: Semantic confs every query assumes.  Applied at session build time
+#: and defensively per-query (the verification driver hands us *its*
+#: session, which may carry Spark 4 defaults like ANSI mode).  Only
+#: correctness-semantics belong here — never tuning knobs, which users
+#: and tests must be able to override per-session.
 PARITY_CONF = {
     # Reference = Spark 2.1 (pre-ANSI): silent overflow, permissive casts.
     "spark.sql.ansi.enabled": "false",
     # Deterministic timestamp semantics vs the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
+    # Arrow for every Python<->JVM batch boundary (pandas_udf, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
+    # read as long and convert in the loader (tables.Tables).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+#: Performance defaults for sessions this engine builds itself.
+TUNING_CONF = {
     # AQE: runtime shuffle-partition coalescing + skew-join splitting.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -35,11 +46,6 @@ PARITY_CONF = {
     # Dimension tables (region/nation/customer/part/supplier at any SF
     # that fits) should broadcast rather than shuffle.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    # Arrow for every Python<->JVM batch boundary (pandas_udf, toPandas).
-    "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
-    # read as long and convert in the loader (tables.Tables).
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
@@ -85,7 +91,7 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
-    for key, value in PARITY_CONF.items():
+    for key, value in {**PARITY_CONF, **TUNING_CONF}.items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     return ensure_parity_conf(spark)

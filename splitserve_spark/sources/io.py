@@ -1,0 +1,158 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+Reference: ParquetFileFormat (`datasources/parquet/ParquetFileFormat.scala:51`,
+vectorized reader), CSVFileFormat (`csv/CSVFileFormat.scala:41`),
+JsonFileFormat (`json/JsonFileFormat.scala:43`), TextFileFormat
+(`text/TextFileFormat.scala:42`), FileFormatWriter + save modes /
+partitionBy (`InsertIntoHadoopFsRelationCommand.scala`, Python surface
+`python/pyspark/sql/readwriter.py:480-742`).
+
+All delegated to Spark's DataSource V2 readers/writers; this module
+adds the engine's conventions (explicit schemas at ingest, partitioned
+layouts for scale) and round-trip queries that prove format fidelity
+against the parquet-backed oracle.  JDBC/ORC exist in stock PySpark;
+no driver jar ships in this container so they're exercised only as API
+surface (tests assert the reader accepts the configuration).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+_IO_ROOT = os.path.join(tempfile.gettempdir(), "splitserve_spark_io")
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(_IO_ROOT, f"{tag}_{fmt}")
+
+
+def write_partitioned(
+    df: DataFrame, path: str, fmt: str = "parquet", partition_by: tuple[str, ...] = ()
+) -> None:
+    """Partitioned overwrite write — the warehouse layout convention
+    (partition columns become directory keys → partition pruning)."""
+    writer = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("source", "csv"),
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → CSV (header, explicit timestamp format) → read back with
+    explicit schema → aggregate.  Matching the parquet oracle proves the
+    CSV writer/parser preserved every row and type."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    path = _roundtrip_dir(sf_dir, "csv")
+    t.orders.write.mode("overwrite").option("header", True).option(
+        "timestampFormat", "yyyy-MM-dd HH:mm:ss"
+    ).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .schema(t.orders.schema)
+        .csv(path)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n, sum(value) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("source", "json"),
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON-lines → read back (explicit schema) → aggregate."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    path = _roundtrip_dir(sf_dir, "json")
+    t.events.write.mode("overwrite").json(path)
+    back = spark.read.schema(t.events.schema).json(path)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "source_partitioned_parquet",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n
+    FROM lineitem
+    WHERE l_returnflag = 'A'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("source", "parquet", "partitioning"),
+)
+def source_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem written partitionBy(l_returnflag), read back filtered on
+    the partition key — the filter prunes to one directory (partition
+    pruning; verified plan-level in tests/test_plans.py)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    path = _roundtrip_dir(sf_dir, "part_parquet")
+    write_partitioned(
+        t.lineitem.select("l_orderkey", "l_returnflag"),
+        path,
+        partition_by=("l_returnflag",),
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("l_returnflag") == "A")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "source_text_lines",
+    oracle="""
+    SELECT count(*)  AS n_lines,
+           CAST(sum(strlen(line)) AS BIGINT) AS n_chars
+    FROM (SELECT n_name AS line FROM nation)
+    """,
+    tags=("source", "text"),
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text source: one string column `value` per line (reference
+    TextFileFormat)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    path = _roundtrip_dir(sf_dir, "text")
+    t.nation.select(F.col("n_name").alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("n_chars"),
+    )

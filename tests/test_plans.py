@@ -1,0 +1,113 @@
+"""Physical-plan assertions: the 100 TB scale-discipline gate.
+
+A query that passes its oracle but loses pushdown/broadcast/top-k
+pushdown would still be 100× slower at scale — these tests pin the
+plans (SURVEY.md §4; reference SparkStrategies.scala selection rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from splitserve_spark.plans.inspect import (
+    assert_in_plan,
+    count_exchanges,
+    physical_plan,
+    pushed_filters,
+)
+from splitserve_spark.registry import REGISTRY, load_all
+from tests.oracle_utils import SF_DIR
+
+load_all()
+
+
+def q(name, spark):
+    return REGISTRY[name].fn(spark, SF_DIR)
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    df = q("q1_pricing_summary", spark)
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf, pf
+    plan = physical_plan(df)
+    assert "ReadSchema" in plan
+    # Column pruning: only 9 of 11 lineitem columns are read.
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema
+
+
+def test_project_filter_both_predicates_pushed(spark):
+    pf = pushed_filters(q("project_filter", spark))
+    assert "l_quantity" in pf and "l_discount" in pf, pf
+
+
+def test_q3_broadcasts_dimension(spark):
+    assert_in_plan(q("q3_shipping_priority", spark), "BroadcastHashJoin")
+
+
+def test_q5_broadcasts_all_dims(spark):
+    plan = physical_plan(q("q5_region_revenue", spark))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_fact_fact_join_is_sort_merge_without_broadcast(spark):
+    """With broadcast disabled (the 100 TB case: both sides huge), the
+    planner must choose sort-merge, not nested-loop/cartesian."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        from splitserve_spark.tables import Tables
+
+        t = Tables(spark, SF_DIR)
+        j = t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).groupBy("o_orderstatus").count()
+        plan = physical_plan(j)
+        # Either shuffle-based equi-join is scale-safe; what must NOT
+        # appear is a broadcast or nested-loop form.
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+        assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_topk_plans_take_ordered(spark):
+    assert_in_plan(q("topk_orders", spark), "TakeOrderedAndProject")
+
+
+def test_topn_per_group_has_window_group_limit(spark):
+    assert_in_plan(q("window_topn_per_group", spark), "WindowGroupLimit")
+
+
+def test_semi_anti_plan_shapes(spark):
+    assert_in_plan(q("join_left_semi", spark), "LeftSemi")
+    assert_in_plan(q("join_left_anti", spark), "LeftAnti")
+
+
+def test_partition_pruning_on_partitioned_layout(spark):
+    df = q("source_partitioned_parquet", spark)
+    plan = physical_plan(df)
+    # The partition-key filter must prune at metadata level, not scan-level.
+    assert "PartitionFilters" in plan, plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "l_returnflag" in pf_line, pf_line
+
+
+def test_q1_two_shuffles_max(spark):
+    """Q1 needs only the aggregation exchange + the final-sort range
+    exchange (6 rows) — anything more means a lost partial aggregate."""
+    assert count_exchanges(q("q1_pricing_summary", spark)) <= 2
+
+
+def test_wholestage_codegen_active(spark):
+    plan = physical_plan(q("q1_pricing_summary", spark), mode="codegen")
+    assert "WholeStageCodegen subtrees" in plan
+    assert "Found 0" not in plan.splitlines()[1]
+
+
+def test_agg_is_partial_then_final(spark):
+    """Map-side combine: HashAggregate appears before and after the
+    exchange."""
+    plan = physical_plan(q("agg_basic_stats", spark), mode="simple")
+    assert plan.count("HashAggregate") >= 2, plan

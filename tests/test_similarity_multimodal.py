@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import pytest
+
+from splitserve_spark.registry import REGISTRY, load_all
+from tests.oracle_utils import SF_DIR, check_query
+
+load_all()
+
+ORACLED = ["sim_cosine_topk", "sim_cosine_pairs", "sim_norms", "mm_binary_meta"]
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_match(spark, name):
+    check_query(spark, name, SF_DIR)
+
+
+def test_lsh_ann_recall(spark):
+    """LSH ANN must recover most of the brute-force top-k."""
+    exact = REGISTRY["sim_cosine_topk"].fn(spark, SF_DIR).toPandas()
+    approx = REGISTRY["sim_lsh_ann"].fn(spark, SF_DIR).toPandas()
+    exact_set = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_set = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # Random synthetic embeddings are ANN's worst case (neighbors are
+    # barely closer than random); require clearly-better-than-random.
+    assert recall >= 0.25, f"recall {recall:.2f}"
+    # Approx cosines, where returned, must be the exact values.
+    merged = exact.merge(approx, on=["query_id", "neighbor_id"], suffixes=("_e", "_a"))
+    assert (abs(merged["cosine_e"] - merged["cosine_a"]) < 1e-6).all()
+
+
+def test_decode_features_schema_and_determinism(spark):
+    fn = REGISTRY["mm_decode_features"].fn
+    a = fn(spark, SF_DIR).toPandas()
+    b = fn(spark, SF_DIR).toPandas()
+    assert list(a.columns) == [
+        "doc_id", "byte_len", "width", "height", "n_frames", "feature"
+    ]
+    assert len(a) > 0 and a["doc_id"].is_unique
+    assert a.drop(columns="feature").equals(b.drop(columns="feature"))
+    assert (a["byte_len"] > 0).all()
+    assert a["feature"].map(len).eq(4).all()
+
+
+def test_frame_sample_fanout(spark):
+    pdf = REGISTRY["mm_frame_sample"].fn(spark, SF_DIR).toPandas()
+    per_doc = pdf.groupby("doc_id")["frame_idx"].agg(["count", "min", "max"])
+    assert (per_doc["min"] == 0).all()
+    assert (per_doc["max"] == per_doc["count"] - 1).all()
+    assert per_doc["count"].between(1, 8).all()
+
+
+def test_decode_media_is_explicit_stub():
+    from splitserve_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00")

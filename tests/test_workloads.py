@@ -1,0 +1,56 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from splitserve_spark.registry import REGISTRY, load_all
+from tests.oracle_utils import SF_DIR, check_query
+
+load_all()
+
+
+@pytest.mark.parametrize("name", ["graph_pagerank", "workload_pi"])
+def test_oracle_match(spark, name):
+    check_query(spark, name, SF_DIR)
+
+
+def test_pi_close_to_pi(spark):
+    val = REGISTRY["workload_pi"].fn(spark, SF_DIR).first()["pi_estimate"]
+    assert abs(val - np.pi) < 0.02
+
+
+def test_kmeans_ml(spark):
+    pdf = REGISTRY["ml_kmeans"].fn(spark, SF_DIR).toPandas()
+    from splitserve_spark.operators.ml import K
+    from splitserve_spark.tables import Tables
+
+    assert len(pdf) <= K
+    assert pdf["n"].sum() == Tables(spark, SF_DIR).embeddings.count()
+
+
+def test_kmeans_lloyd_matches_numpy(spark):
+    """DataFrame Lloyd iterations must equal a numpy reference exactly
+    (same init, same iteration count)."""
+    from splitserve_spark.operators.ml import K, LLOYD_ITER
+    from splitserve_spark.tables import Tables
+
+    pdf = REGISTRY["ml_kmeans_lloyd"].fn(spark, SF_DIR).toPandas()
+    emb = (
+        Tables(spark, SF_DIR)
+        .embeddings.orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    X = np.array([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    cents = X[:K].copy()
+    for _ in range(LLOYD_ITER):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for k in range(K):
+            if (assign == k).any():
+                cents[k] = X[assign == k].mean(axis=0)
+    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    expected = d.argmin(axis=1)
+    got = pdf.sort_values("vec_id")["cluster"].to_numpy()
+    agree = (got == expected).mean()
+    assert agree > 0.99, f"assignment agreement {agree:.3f}"
