@@ -63,6 +63,7 @@ _MODULES = (
     "splitserve_spark.operators.windows",
     "splitserve_spark.operators.setops",
     "splitserve_spark.operators.subqueries",
+    "splitserve_spark.operators.tpch",
     "splitserve_spark.operators.dedup",
     "splitserve_spark.operators.similarity",
     "splitserve_spark.operators.text",
