@@ -1,0 +1,180 @@
+"""Catalog & DDL surface: temp views, SQL entry point, SHOW/DESCRIBE.
+
+Reference (SURVEY.md §2.12): SessionCatalog
+(`catalyst/catalog/SessionCatalog.scala`), CreateViewCommand
+(`command/views.scala:86`), ShowTablesCommand
+(`command/tables.scala:596`), DescribeTableCommand (`:405`), and the
+SQL lifecycle of §3.1 (SparkSqlParser → Analyzer resolution against
+the catalog).  All stock `spark.sql(...)` / `spark.catalog` — the
+queries prove the engine's SQL entry point resolves relations through
+the session catalog exactly like the DataFrame path.
+
+View names are suffixed per scale-factor dir so concurrent runs against
+different SFs in one session never collide.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+
+def _tag(sf_dir: str) -> str:
+    return re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(os.path.normpath(sf_dir)))
+
+
+@register(
+    "ddl_temp_view_sql",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, avg(o_totalprice) AS avg_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("ddl", "catalog", "sql"),
+)
+def ddl_temp_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE OR REPLACE TEMPORARY VIEW + spark.sql over it — the full
+    §3.1 lifecycle: parse → resolve against SessionCatalog → optimize →
+    execute. The view is a logical alias; filters still push to the
+    parquet scan underneath."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    view = f"orders_v_{_tag(sf_dir)}"
+    t.orders.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, count(*) AS n, avg(o_totalprice) AS avg_price
+        FROM {view}
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "ddl_global_temp_view",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+    """,
+    tags=("ddl", "catalog"),
+)
+def ddl_global_temp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global temp view (global_temp database) — cross-session-visible
+    catalog entry, reference `catalog/GlobalTempViewManager`."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    view = f"region_gv_{_tag(sf_dir)}"
+    t.region.createOrReplaceGlobalTempView(view)
+    return spark.sql(
+        f"SELECT r_regionkey, r_name FROM global_temp.{view} ORDER BY r_regionkey"
+    )
+
+
+@register(
+    "ddl_show_tables",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('show_a_t1', true),
+      ('show_a_t2', true)
+    ) AS t(tableName, isTemporary)
+    ORDER BY tableName
+    """,
+    tags=("ddl", "catalog", "show"),
+)
+def ddl_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW TABLES (ShowTablesCommand) filtered by LIKE pattern;
+    projected to the stable (tableName, isTemporary) pair."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    t.nation.createOrReplaceTempView("show_a_t1")
+    t.region.createOrReplaceTempView("show_a_t2")
+    return (
+        spark.sql("SHOW TABLES LIKE 'show_a_t*'")
+        .select("tableName", "isTemporary")
+        .orderBy("tableName")
+    )
+
+
+@register(
+    "ddl_describe_table",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('n_name',      'string'),
+      ('n_nationkey', 'int'),
+      ('n_regionkey', 'int')
+    ) AS t(col_name, data_type)
+    ORDER BY col_name
+    """,
+    tags=("ddl", "catalog", "describe"),
+)
+def ddl_describe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE TABLE (DescribeTableCommand) on a temp view — schema
+    surfaced through the catalog, names/types pinned by the oracle."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    view = f"nation_desc_{_tag(sf_dir)}"
+    t.nation.createOrReplaceTempView(view)
+    return (
+        spark.sql(f"DESCRIBE TABLE {view}")
+        .select("col_name", "data_type")
+        .orderBy("col_name")
+    )
+
+
+@register(
+    "ddl_catalog_list",
+    oracle="""
+    SELECT * FROM (VALUES ('cat_list_v1', true)) AS t(name, isTemporary)
+    """,
+    tags=("ddl", "catalog"),
+)
+def ddl_catalog_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.catalog.listTables — programmatic catalog API
+    (reference `internal/CatalogImpl.scala`)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    t.part.createOrReplaceTempView("cat_list_v1")
+    tables = spark.catalog.listTables()
+    rows = [(tb.name, tb.isTemporary) for tb in tables if tb.name == "cat_list_v1"]
+    return spark.createDataFrame(rows, "name string, isTemporary boolean")
+
+
+@register(
+    "ddl_cache_table",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("ddl", "cache"),
+)
+def ddl_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CACHE TABLE → InMemoryRelation (compressed columnar cache,
+    reference `execution/columnar/InMemoryRelation.scala:55`,
+    CacheManager substitution in §3.1 step 3). The cached view is
+    uncached afterwards so repeated driver runs stay idempotent."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    view = f"lineitem_cache_{_tag(sf_dir)}"
+    t.lineitem.createOrReplaceTempView(view)
+    spark.sql(f"CACHE TABLE {view}")
+    out = spark.sql(
+        f"""
+        SELECT l_returnflag, count(*) AS n FROM {view}
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+    result = out.localCheckpoint(eager=True)  # materialize before uncache
+    spark.sql(f"UNCACHE TABLE {view}")
+    return result

@@ -1,0 +1,140 @@
+"""DataFrame statistics surface: df.stat.* and describe/summary.
+
+Reference (SURVEY.md §2.12): DataFrameStatFunctions — approxQuantile
+(Greenwald-Khanna, `execution/stat/StatFunctions.scala:58`), corr
+Pearson (`:96`), cov (`:166`), crosstab (`:172`), freqItems
+(`stat/FrequentItems.scala:27`), sampleBy (stratified,
+`python/pyspark/sql/dataframe.py:612`), describe (`dataframe.py:861`).
+
+All of these are single-pass distributed aggregations in stock Spark;
+the queries here pin their semantics against the oracle where the
+algorithm is deterministic (crosstab, corr/cov, describe) and against
+property checks in tests where it is sketch-based (freqItems,
+approxQuantile) or RNG-based (sampleBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+
+@register(
+    "stat_crosstab",
+    oracle="""
+    SELECT l_returnflag AS l_returnflag_l_linestatus,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("stat", "crosstab"),
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.stat.crosstab — contingency table (pair-count aggregate +
+    driver-side pivot of the *distinct value set*, which must be small;
+    row count is |distinct(a)|·|distinct(b)|, here 3×2)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    ct = t.lineitem.stat.crosstab("l_returnflag", "l_linestatus")
+    return ct.orderBy("l_returnflag_l_linestatus")
+
+
+@register(
+    "stat_corr_cov",
+    oracle="""
+    SELECT corr(l_quantity, l_extendedprice)      AS corr_qty_price,
+           covar_samp(l_quantity, l_extendedprice) AS cov_qty_price,
+           covar_pop(l_quantity, l_extendedprice)  AS covp_qty_price
+    FROM lineitem
+    """,
+    tags=("stat", "corr"),
+)
+def stat_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.stat.corr / cov semantics (Pearson, sample covariance) as a
+    DataFrame result — single-pass co-moment aggregation."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return t.lineitem.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("cov_qty_price"),
+        F.covar_pop("l_quantity", "l_extendedprice").alias("covp_qty_price"),
+    )
+
+
+@register(
+    "stat_describe",
+    oracle="""
+    SELECT 'count'  AS summary, CAST(count(o_totalprice) AS DOUBLE) AS o_totalprice,
+           CAST(count(o_orderkey) AS DOUBLE) AS o_orderkey
+    FROM orders
+    UNION ALL
+    SELECT 'max', max(o_totalprice), CAST(max(o_orderkey) AS DOUBLE) FROM orders
+    UNION ALL
+    SELECT 'mean', avg(o_totalprice), CAST(avg(o_orderkey) AS DOUBLE) FROM orders
+    UNION ALL
+    SELECT 'min', min(o_totalprice), CAST(min(o_orderkey) AS DOUBLE) FROM orders
+    UNION ALL
+    SELECT 'stddev', stddev_samp(o_totalprice),
+           stddev_samp(CAST(o_orderkey AS DOUBLE)) FROM orders
+    ORDER BY summary
+    """,
+    tags=("stat", "describe"),
+)
+def stat_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.describe() — count/mean/stddev/min/max per numeric column.
+    describe() itself returns strings (display contract); this re-casts
+    to double so values hash-match the oracle."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    desc = t.orders.select("o_totalprice", "o_orderkey").describe()
+    return (
+        desc.select(
+            "summary",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("o_orderkey").cast("double").alias("o_orderkey"),
+        )
+        .orderBy("summary")
+    )
+
+
+@register("stat_freq_items", oracle=None, tags=("stat", "sketch"))
+def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.stat.freqItems — misra-gries style frequent-item sketch.
+    Output is a superset of true heavy hitters (sketch guarantee), so
+    no value oracle; tests assert the superset property."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return t.orders.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.2)
+
+
+@register("stat_approx_quantile", oracle=None, tags=("stat", "sketch"))
+def stat_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.stat.approxQuantile (Greenwald-Khanna). The API returns a
+    driver-side list by contract (reference StatFunctions.scala:58);
+    re-wrapped as a 1-row DataFrame. Tests bound the rank error."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    q25, q50, q75 = t.orders.stat.approxQuantile(
+        "o_totalprice", [0.25, 0.5, 0.75], 0.01
+    )
+    return spark.createDataFrame(
+        [(float(q25), float(q50), float(q75))], ["q25", "q50", "q75"]
+    )
+
+
+@register("stat_sample_by", oracle=None, tags=("stat", "sample"))
+def stat_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.sampleBy — stratified sampling with per-stratum fractions
+    (seeded Bernoulli per row; engine-specific RNG → no value oracle,
+    tests check per-stratum rates)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return t.orders.sampleBy(
+        "o_orderstatus", fractions={"F": 0.2, "O": 0.1, "P": 1.0}, seed=42
+    ).select("o_orderkey", "o_orderstatus")

@@ -1,0 +1,271 @@
+"""User-defined function surface: pandas UDFs, applyInPandas, mapInPandas.
+
+Reference surface (SURVEY.md §2.9): PythonUDF / BatchEvalPythonExec
+(`execution/python/BatchEvalPythonExec.scala:63`, worker loop
+`python/pyspark/worker.py:112`), UDAF (`sql/core/.../expressions/
+udaf.scala:32`), typed map/flatMap/mapGroups/cogroup operators
+(`execution/objects.scala:174,198,312,421`).
+
+Spark-first stance: the 2.1 reference serializes one row at a time
+through pickled Python workers; this engine uses Arrow-vectorized
+pandas UDFs for every Python boundary (10-100× fewer
+serialization round-trips) and keeps one row-at-a-time UDF only as a
+documented slow-path parity demo.  Each query here computes something
+a built-in could also compute — intentionally, so the DuckDB oracle
+can verify the UDF plumbing end-to-end (schema mapping, Arrow batch
+transfer, grouped state).
+
+Scale notes: pandas UDF batches are bounded by
+`spark.sql.execution.arrow.maxRecordsPerBatch` (default 10k rows), so
+executor memory stays flat as input grows. applyInPandas groups must
+individually fit in memory — groups here are per-customer/per-flag
+(bounded); never key grouped UDFs on a column with unbounded groups.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_extendedprice * (1 - l_discount) >= 50000 THEN 'high'
+                WHEN l_extendedprice * (1 - l_discount) >= 20000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           round(l_extendedprice * (1 - l_discount), 2) AS net_price
+    FROM lineitem
+    WHERE l_quantity >= 49
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("udf", "pandas-udf"),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow-batched, SCALAR eval type): vectorized
+    banding over a computed column. One Arrow batch per ~10k rows
+    instead of one pickle round-trip per row."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+
+    @F.pandas_udf(StringType())
+    def band(net: pd.Series) -> pd.Series:
+        out = pd.Series("low", index=net.index)
+        out[net >= 20000] = "mid"
+        out[net >= 50000] = "high"
+        return out
+
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem
+        .filter(F.col("l_quantity") >= 49)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            band(net).alias("price_band"),
+            F.round(net, 2).alias("net_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           sum(l_discount * l_quantity) / sum(l_quantity) AS wavg_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("udf", "udaf", "pandas-udf"),
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the modern UDAF
+    (reference: UserDefinedAggregateFunction, udaf.scala:32).
+    Weighted average discount; whole group arrives as pandas Series."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+
+    @F.pandas_udf(DoubleType())
+    def wavg(disc: pd.Series, qty: pd.Series) -> float:
+        return float((disc * qty).sum() / qty.sum())
+
+    return (
+        t.lineitem
+        .groupBy("l_returnflag")
+        .agg(wavg(F.col("l_discount"), F.col("l_quantity")).alias("wavg_discount"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "udf_apply_in_pandas",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           (c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+             / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment)
+             AS acctbal_z
+    FROM customer
+    ORDER BY c_mktsegment, c_custkey
+    """,
+    tags=("udf", "grouped-map", "pandas-udf"),
+)
+def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInPandas (reference: MapGroupsExec,
+    execution/objects.scala:312): per-segment z-score normalization —
+    each group becomes one pandas DataFrame in a Python worker.
+    Groups are market segments (5 of them, each bounded); a real
+    pipeline keys on similarly bounded dimensions."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["c_acctbal"].mean()
+        sd = pdf["c_acctbal"].std(ddof=1)
+        pdf = pdf.copy()
+        pdf["acctbal_z"] = (pdf["c_acctbal"] - mu) / sd
+        return pdf[["c_mktsegment", "c_custkey", "c_acctbal", "acctbal_z"]]
+
+    return (
+        t.customer
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInPandas(
+            zscore,
+            schema="c_mktsegment string, c_custkey bigint, "
+                   "c_acctbal double, acctbal_z double",
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+@register(
+    "udf_map_in_pandas",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice * 1.1 AS gross_price,
+           upper(o_orderpriority) AS priority
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 300000
+    ORDER BY o_orderkey
+    """,
+    tags=("udf", "map-partitions", "pandas-udf"),
+)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas (reference: MapPartitionsExec, objects.scala:174):
+    iterator-of-batches transform — streams Arrow batches through
+    Python without materializing a partition, so partition size never
+    bounds memory."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+
+    def transform(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "o_orderkey": pdf["o_orderkey"],
+                    "gross_price": pdf["o_totalprice"] * 1.1,
+                    "priority": pdf["o_orderpriority"].str.upper(),
+                }
+            )
+            yield out
+
+    return (
+        t.orders
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 300000))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .mapInPandas(
+            transform,
+            schema="o_orderkey bigint, gross_price double, priority string",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "udf_cogroup_in_pandas",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS custkey, count(*) AS n_orders,
+             sum(o_totalprice) AS total_spend
+      FROM orders GROUP BY o_custkey),
+    c AS (
+      SELECT c_custkey AS custkey, c_acctbal FROM customer)
+    SELECT c.custkey,
+           coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(o.total_spend, 0.0) AS total_spend,
+           c.c_acctbal
+    FROM c LEFT OUTER JOIN o ON c.custkey = o.custkey
+    ORDER BY c.custkey
+    """,
+    tags=("udf", "cogroup", "pandas-udf"),
+)
+def udf_cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup().applyInPandas (reference: CoGroupExec,
+    objects.scala:421): both sides shuffle on the key, then each
+    key's two pandas frames meet in one Python call."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+
+    def merge(cust: pd.DataFrame, ords: pd.DataFrame) -> pd.DataFrame:
+        if cust.empty:
+            return pd.DataFrame(
+                columns=["custkey", "n_orders", "total_spend", "c_acctbal"]
+            )
+        return pd.DataFrame(
+            {
+                "custkey": cust["c_custkey"].iloc[:1],
+                "n_orders": [int(len(ords))],
+                "total_spend": [float(ords["o_totalprice"].sum()) if len(ords) else 0.0],
+                "c_acctbal": cust["c_acctbal"].iloc[:1],
+            }
+        )
+
+    grouped_c = t.customer.select("c_custkey", "c_acctbal").groupBy("c_custkey")
+    grouped_o = t.orders.select("o_custkey", "o_totalprice").groupBy("o_custkey")
+    return (
+        grouped_c.cogroup(grouped_o)
+        .applyInPandas(
+            merge,
+            schema="custkey bigint, n_orders bigint, "
+                   "total_spend double, c_acctbal double",
+        )
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "udf_python_row",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           concat(n_name, '#', CAST(n_regionkey AS VARCHAR)) AS tagged
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("udf", "slow-path"),
+)
+def udf_python_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — the reference's only Python UDF form
+    (BatchEvalPythonExec). Kept as a parity demo on a 25-row dimension;
+    NEVER use this on a fact table (each row round-trips through a
+    pickled Python worker)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+
+    @F.udf(StringType(), useArrow=False)
+    def tag(name, regionkey):
+        return f"{name}#{regionkey}"
+
+    return (
+        t.nation
+        .select("n_nationkey", "n_name", tag("n_name", "n_regionkey").alias("tagged"))
+        .orderBy("n_nationkey")
+    )

@@ -64,6 +64,9 @@ _MODULES = (
     "splitserve_spark.operators.setops",
     "splitserve_spark.operators.subqueries",
     "splitserve_spark.operators.tpch",
+    "splitserve_spark.operators.udf_surface",
+    "splitserve_spark.operators.stats",
+    "splitserve_spark.operators.catalog_ddl",
     "splitserve_spark.operators.dedup",
     "splitserve_spark.operators.similarity",
     "splitserve_spark.operators.text",

@@ -1,0 +1,77 @@
+from __future__ import annotations
+
+import pytest
+
+from splitserve_spark.registry import REGISTRY, load_all
+from tests.oracle_utils import SF_DIR, check_query
+
+load_all()
+
+ORACLE_CHECKED = [
+    "udf_pandas_scalar",
+    "udf_pandas_grouped_agg",
+    "udf_apply_in_pandas",
+    "udf_map_in_pandas",
+    "udf_cogroup_in_pandas",
+    "udf_python_row",
+    "stat_crosstab",
+    "stat_corr_cov",
+    "stat_describe",
+    "ddl_temp_view_sql",
+    "ddl_global_temp_view",
+    "ddl_show_tables",
+    "ddl_describe_table",
+    "ddl_catalog_list",
+    "ddl_cache_table",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_oracle_match(spark, name):
+    check_query(spark, name, SF_DIR)
+
+
+def test_freq_items_superset(spark):
+    """freqItems must return a superset of true items above support."""
+    out = REGISTRY["stat_freq_items"].fn(spark, SF_DIR).collect()[0]
+    freq_prio = set(out["o_orderpriority_freqItems"])
+    from splitserve_spark.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    total = t.orders.count()
+    truth = {
+        r["o_orderpriority"]
+        for r in t.orders.groupBy("o_orderpriority").count().collect()
+        if r["count"] / total >= 0.2
+    }
+    assert truth <= freq_prio
+
+
+def test_approx_quantile_rank_error(spark):
+    """GK sketch: each returned value's true rank within ±1% of target."""
+    row = REGISTRY["stat_approx_quantile"].fn(spark, SF_DIR).collect()[0]
+    from splitserve_spark.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    vals = [r["o_totalprice"] for r in t.orders.select("o_totalprice").collect()]
+    vals.sort()
+    n = len(vals)
+    for q, v in (("q25", 0.25), ("q50", 0.5), ("q75", 0.75)):
+        import bisect
+
+        rank = bisect.bisect_right(vals, row[q]) / n
+        assert abs(rank - v) <= 0.02, (q, row[q], rank)
+
+
+def test_sample_by_rates(spark):
+    """Stratified sample rates near requested fractions; P=1.0 exact."""
+    out = REGISTRY["stat_sample_by"].fn(spark, SF_DIR)
+    got = {r["o_orderstatus"]: r["count"] for r in out.groupBy("o_orderstatus").count().collect()}
+    from splitserve_spark.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    tot = {r["o_orderstatus"]: r["count"] for r in t.orders.groupBy("o_orderstatus").count().collect()}
+    assert got["P"] == tot["P"]
+    for k, frac in (("F", 0.2), ("O", 0.1)):
+        rate = got.get(k, 0) / tot[k]
+        assert abs(rate - frac) < 0.1, (k, rate)
