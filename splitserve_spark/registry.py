@@ -82,6 +82,7 @@ _MODULES = (
     "splitserve_spark.functions.collections",
     "splitserve_spark.functions.hashes",
     "splitserve_spark.streaming.windows",
+    "splitserve_spark.streaming.stateful",
 )
 
 

@@ -1,0 +1,243 @@
+"""Stateful streaming & sessionization operators.
+
+Reference (SURVEY.md §2.10): the 2.1 reference ships windowed
+aggregation with watermarks (StateStoreSave/Restore,
+`streaming/StatefulAggregate.scala:60,98`); session windows and
+streaming dedup are post-2.1 — implemented here as beyond-parity
+extras, flagged as such.
+
+Three forms of sessionization, all shuffle-on-user_id once:
+  * `sessionize_lag_cumsum` — batch composition: lag → gap flag →
+    running sum (the classic windows-function sessionization; this is
+    the "custom operator as a composition of existing DataFrame ops"
+    path).
+  * `stream_session_window` — Spark's native `F.session_window`
+    (merging-window state operator in streaming; identical semantics
+    in batch, which is what the oracle checks).
+  * true streaming runs in tests via the file source.
+
+`stream_file_source_agg` actually executes through the micro-batch
+engine (readStream → watermark → window agg → memory sink) and returns
+the sink table, so the driver's oracle validates a real
+IncrementalExecution result, not just window-expression semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+#: Raw on-disk schema of events.parquet: ts is TIMESTAMP(NANOS), which
+#: Spark reads as long under spark.sql.legacy.parquet.nanosAsLong (see
+#: session.PARITY_CONF); streams convert to µs timestamps first thing.
+_EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .parquet(f"{sf_dir}/events.*")  # glob: file source needs a dir base path
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+#: Session gap for sessionization operators.
+GAP = "30 minutes"
+
+_SESSION_ORACLE = """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           sum(value) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+"""
+
+
+@register(
+    "sessionize_lag_cumsum",
+    oracle=_SESSION_ORACLE,
+    tags=("streaming", "session", "window"),
+)
+def sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization by lag→gap-flag→cumsum: one shuffle on user_id,
+    then two window passes over the same partitioning (Catalyst
+    collapses them into a single sort+window stage)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev_ts = F.lag("ts").over(by_user)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60)
+    ).cast("int")
+    return (
+        t.events
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "session", "window"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (`F.session_window(ts, gap)`) — Spark's
+    merging-window stateful operator; in streaming this maintains
+    per-key open sessions in the state store. Window end = last event
+    + gap, which the oracle mirrors."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.events
+        .groupBy(F.session_window("ts", GAP), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "stream_file_source_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS wstart,
+           event_type,
+           count(*)   AS n_events,
+           sum(value) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY wstart, event_type
+    """,
+    tags=("streaming", "micro-batch", "file-source"),
+)
+def stream_file_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True micro-batch execution: parquet file stream source →
+    watermark → tumbling window agg → memory sink (availableNow,
+    complete mode). The returned table is IncrementalExecution output —
+    the oracle proves stream == batch semantics end to end."""
+    ensure_parity_conf(spark)
+    name = "sfsa_" + "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("wstart"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("wstart", "event_type")
+
+
+@register(
+    "stream_dedup_ids",
+    oracle="""
+    SELECT count(DISTINCT event_id) AS n_unique, count(*) AS n_total
+    FROM (SELECT event_id FROM events)
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates (beyond-2.1 extra): exact dedup on
+    event_id through the micro-batch engine with watermark-bounded
+    state, counted after dedup. events has unique ids, so n_unique ==
+    n_total — the interesting assertion is that dedup state did not
+    drop or duplicate anything across micro-batches."""
+    ensure_parity_conf(spark)
+    name = "sdid_" + "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    deduped = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,161 @@
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from splitserve_spark.registry import load_all
+from tests.oracle_utils import SF_DIR, check_query
+
+load_all()
+
+EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "sessionize_lag_cumsum",
+        "stream_session_window",
+        "stream_file_source_agg",
+        "stream_dedup_ids",
+    ],
+)
+def test_oracle_match(spark, name):
+    check_query(spark, name, SF_DIR)
+
+
+def _write_batch(d, i, rows):
+    with open(f"{d}/batch{i}.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture()
+def staged_dir():
+    d = tempfile.mkdtemp(prefix="ss_late_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_batches(spark, src, output_mode, batches, watermark="10 minutes"):
+    """Drive a watermarked window-count stream one file per micro-batch
+    (restart per staged file, shared checkpoint) so the watermark
+    advances BETWEEN batches — late rows in batch N+1 are judged
+    against batch N's max event time. Emitted rows are collected via
+    foreachBatch (the memory sink cannot recover from a checkpoint)."""
+    chk = tempfile.mkdtemp(prefix="ss_chk_")
+    emitted = []
+
+    def collect(batch_df, _batch_id):
+        emitted.extend(batch_df.collect())
+
+    for i, rows in enumerate(batches):
+        _write_batch(src, i, rows)
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "10 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("wstart"), "n")
+        )
+        q = (
+            stream.writeStream.foreachBatch(collect)
+            .outputMode(output_mode)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(chk, ignore_errors=True)
+    return emitted
+
+
+def test_watermark_drops_late_rows(spark, staged_dir):
+    """A row older than (max event time - watermark) arriving in a later
+    micro-batch is dropped from a finalized window (append mode)."""
+    b0 = [
+        {"event_id": 1, "ts": "2024-01-01T00:05:00Z", "user_id": 1, "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T01:00:00Z", "user_id": 1, "value": 1.0},
+    ]
+    # watermark after b0 = 01:00 - 10min = 00:50 → window [00:00,00:10) final
+    b1 = [
+        {"event_id": 3, "ts": "2024-01-01T00:06:00Z", "user_id": 1, "value": 1.0},  # late
+        {"event_id": 4, "ts": "2024-01-01T02:00:00Z", "user_id": 1, "value": 1.0},
+    ]
+    emitted = _run_batches(spark, staged_dir, "append", [b0, b1])
+    got = {r["wstart"].isoformat(): r["n"] for r in emitted}
+    # the [00:00,00:10) window was emitted with ONLY the on-time row
+    assert got.get("2024-01-01T00:00:00") == 1, got
+
+
+def test_update_mode_emits_changed_windows(spark, staged_dir):
+    """Update mode re-emits a window's row when a new event updates it."""
+    b0 = [{"event_id": 1, "ts": "2024-01-01T00:01:00Z", "user_id": 1, "value": 1.0}]
+    b1 = [{"event_id": 2, "ts": "2024-01-01T00:02:00Z", "user_id": 1, "value": 1.0}]
+    emitted = _run_batches(spark, staged_dir, "update", [b0, b1])
+    rows = [(r["wstart"].isoformat(), r["n"]) for r in emitted]
+    # same window emitted twice: n=1 after b0, n=2 after b1
+    assert ("2024-01-01T00:00:00", 1) in rows
+    assert ("2024-01-01T00:00:00", 2) in rows
+
+
+def test_foreach_batch_sink(spark, staged_dir):
+    """foreachBatch — arbitrary batch-DataFrame sink callback."""
+    _write_batch(
+        staged_dir,
+        0,
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:01:00Z", "user_id": 1, "value": 2.0},
+            {"event_id": 2, "ts": "2024-01-01T00:02:00Z", "user_id": 2, "value": 3.0},
+        ],
+    )
+    seen = []
+
+    def handle(batch_df, batch_id):
+        seen.append((batch_id, batch_df.agg(F.sum("value")).collect()[0][0]))
+
+    q = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .json(staged_dir)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert seen and abs(seen[0][1] - 5.0) < 1e-9
+
+
+def test_file_sink_with_checkpoint_resume(spark, staged_dir):
+    """File sink + checkpoint: restarting the query after new data must
+    append only the new rows (exactly-once via the offset WAL)."""
+    out = tempfile.mkdtemp(prefix="ss_out_")
+    chk = tempfile.mkdtemp(prefix="ss_chk2_")
+    for i, rows in enumerate(
+        (
+            [{"event_id": 1, "ts": "2024-01-01T00:01:00Z", "user_id": 1, "value": 1.0}],
+            [{"event_id": 2, "ts": "2024-01-01T00:02:00Z", "user_id": 2, "value": 2.0}],
+        )
+    ):
+        _write_batch(staged_dir, i, rows)
+        q = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .json(staged_dir)
+            .select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2]  # no duplicates, nothing lost across restart
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
