@@ -72,24 +72,44 @@ def _norm(col):
 
 
 def _shingles(spark, sf_dir) -> DataFrame:
-    """doc_id → array of distinct 3-word shingles (Spark side)."""
+    """doc_id → array of distinct 3-word shingles (Spark side).
+
+    The scan is repartitioned to the session's parallelism first: the
+    shingle/hash work is CPU-bound and must not inherit the file
+    layout's partitioning (a single small parquet file would otherwise
+    run the whole pipeline on one core; at 100 TB, a few giant files
+    would under-parallelize the same way)."""
     t = Tables(spark, sf_dir)
-    w = F.split(F.col("norm"), " ")
-    shingles = F.when(
-        F.size(w) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(w, i),
-                F.element_at(w, i + 1),
-                F.element_at(w, i + 2),
-            ),
-        ),
-    ).otherwise(F.array(F.col("norm")))
+
+    # The token array is let-bound via a 1-element transform() so every
+    # reference inside the shingle expression hits the bound lambda
+    # variable, not a re-inlined split(regexp_replace(...)).  Without
+    # this, CollapseProject/ColumnPruning re-inline the split into all
+    # ~3·|shingles| element_at calls — measured 10× slower.  (A plain
+    # two-step select does NOT protect: the optimizer collapses it.)
+    def shingles_of(w):
+        return F.array_distinct(
+            F.when(
+                F.size(w) >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(w, i),
+                        F.element_at(w, i + 1),
+                        F.element_at(w, i + 2),
+                    ),
+                ),
+            ).otherwise(F.array(F.array_join(w, " ")))
+        )
+
+    let_bound = F.element_at(
+        F.transform(F.array(F.split(_norm(F.col("text")), " ")), shingles_of), 1
+    )
+    parallelism = spark.sparkContext.defaultParallelism
     return (
-        t.documents.select("doc_id", _norm(F.col("text")).alias("norm"))
-        .select("doc_id", F.array_distinct(shingles).alias("shingles"))
+        t.documents.repartition(parallelism, "doc_id")
+        .select("doc_id", let_bound.alias("shingles"))
     )
 
 
@@ -191,24 +211,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_parity_conf(spark)
     sig = _signatures(spark, sf_dir)
     n_bands = len(MINHASH_PERMS) // 2
-    bands = None
-    for j in range(n_bands):
-        piece = sig.select(
-            "doc_id",
-            F.lit(j).alias("band"),
-            (F.col(f"m{2 * j}") * HASH_P + F.col(f"m{2 * j + 1}")).alias("bucket"),
-        )
-        bands = piece if bands is None else bands.unionAll(piece)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # One (band, bucket) struct array exploded in a single pass — NOT a
+    # per-band unionAll, which would re-run the whole signature job once
+    # per band (4× the explode/hash/groupBy cost).
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                (F.col(f"m{2 * j}") * HASH_P + F.col(f"m{2 * j + 1}")).alias("bucket"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_arr).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    # Candidate pairs per bucket via collect_list + in-memory pair
+    # expansion: one shuffle on (band, bucket) replaces a bands⋈bands
+    # self-join (which would shuffle AND recompute signatures twice).
+    # Bucket groups are small by construction (that is the point of
+    # LSH); the k² expansion happens inside a row, never across rows.
+    doc_pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x: F.transform(
+                    F.col("ds"),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        bands.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(doc_pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
     sh = _shingles(spark, sf_dir)

@@ -100,20 +100,26 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(N_ITER):
-        contribs = (
+        # Broadcast the (node, rank/deg) side: ranks are O(|nodes|),
+        # edges O(|edges|) — the static edge table never moves, each
+        # iteration ships only the small rank vector to it and shuffles
+        # the per-dst partial sums.  (At billions of nodes the same loop
+        # switches to a co-partitioned join: edges bucketed by src once,
+        # ranks shuffled by node per iteration — set BROADCAST_RANKS
+        # False; semantics identical.)
+        per_edge = F.broadcast(
             ranks.join(outdeg, F.col("node") == F.col("src"))
-            .join(edges, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+            .select(F.col("node").alias("e_src"), (F.col("rank") / F.col("deg")).alias("cpe"))
         )
-        ranks = (
-            nodes.join(contribs, F.col("node") == F.col("dst"), "left")
-            .select(
-                "node",
-                (F.lit(RESET) + F.lit(DAMP) * F.coalesce("c", F.lit(0.0))).alias(
-                    "rank"
-                ),
-            )
-            .persist()
+        contribs = (
+            edges.join(per_edge, F.col("src") == F.col("e_src"))
+            .groupBy("dst")
+            .agg(F.sum("cpe").alias("c"))
+        )
+        ranks = nodes.join(
+            F.broadcast(contribs), F.col("node") == F.col("dst"), "left"
+        ).select(
+            "node",
+            (F.lit(RESET) + F.lit(DAMP) * F.coalesce("c", F.lit(0.0))).alias("rank"),
         )
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
