@@ -1,0 +1,173 @@
+"""RDD-level operator surface (SURVEY.md §2.11).
+
+Reference: `python/pyspark/rdd.py` (2,473 LoC) — map/flatMap/filter,
+reduceByKey/combineByKey/aggregateByKey, joins, sortByKey, zipWithIndex,
+sample/histogram/stats, etc.; Scala impls under
+`core/src/main/scala/org/apache/spark/rdd/` (PairRDDFunctions.scala,
+ShuffledRDD.scala, CoGroupedRDD.scala).
+
+Engine stance (SURVEY.md §2.11): the RDD API ships unchanged with
+PySpark — the build cost is zero — but it is the *escape hatch*, not
+the execution model: every RDD row crosses the JVM↔Python pickle
+boundary, so the same logic as a DataFrame runs 10-100× faster under
+codegen.  These queries exist to prove the surface works end-to-end
+(driver contract included), with each one's DataFrame-equivalent
+result as the oracle.  `createDataFrame` at the end brings results
+back into the relational plane.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+
+@register(
+    "rdd_wordcount",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    HAVING count(*) >= 200
+    ORDER BY word
+    """,
+    tags=("rdd", "map-reduce"),
+)
+def rdd_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatMap → map → reduceByKey — the canonical RDD program
+    (map-side combine happens in reduceByKey, same as a partial
+    aggregate). Threshold filter keeps the result bounded."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    rdd = (
+        t.documents.select("text").rdd
+        .flatMap(lambda row: row["text"].lower().strip().split(" "))
+        .filter(lambda w: w != "")
+        .map(lambda w: (w, 1))
+        .reduceByKey(lambda a, b: a + b)
+        .filter(lambda kv: kv[1] >= 200)
+    )
+    return spark.createDataFrame(rdd, "word string, n bigint").orderBy("word")
+
+
+@register(
+    "rdd_aggregate_by_key",
+    oracle="""
+    SELECT l_suppkey, count(*) AS n, sum(l_quantity) AS total_qty,
+           max(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+    tags=("rdd", "pair-ops"),
+)
+def rdd_aggregate_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregateByKey with a (count, sum, max) accumulator — the
+    combineByKey family (PairRDDFunctions). seqOp runs map-side,
+    combOp merges per key after the shuffle."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    rdd = (
+        t.lineitem.select("l_suppkey", "l_quantity", "l_extendedprice").rdd
+        .map(lambda r: (r["l_suppkey"], (r["l_quantity"], r["l_extendedprice"])))
+        .aggregateByKey(
+            (0, 0.0, float("-inf")),
+            lambda acc, v: (acc[0] + 1, acc[1] + v[0], max(acc[2], v[1])),
+            lambda x, y: (x[0] + y[0], x[1] + y[1], max(x[2], y[2])),
+        )
+        .map(lambda kv: (kv[0], kv[1][0], kv[1][1], kv[1][2]))
+    )
+    return spark.createDataFrame(
+        rdd, "l_suppkey bigint, n bigint, total_qty double, max_price double"
+    ).orderBy("l_suppkey")
+
+
+@register(
+    "rdd_join_cogroup",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    ORDER BY n_nationkey
+    """,
+    tags=("rdd", "pair-ops", "join"),
+)
+def rdd_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDD pair join (CoGroupedRDD underneath) on the dimension tables."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    nations = t.nation.rdd.map(lambda r: (r["n_regionkey"], (r["n_nationkey"], r["n_name"])))
+    regions = t.region.rdd.map(lambda r: (r["r_regionkey"], r["r_name"]))
+    joined = nations.join(regions).map(
+        lambda kv: (kv[1][0][0], kv[1][0][1], kv[1][1])
+    )
+    return spark.createDataFrame(
+        joined, "n_nationkey int, n_name string, r_name string"
+    ).orderBy("n_nationkey")
+
+
+@register(
+    "rdd_sort_zip_index",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) - 1 AS BIGINT)
+             AS rank_idx,
+           s_suppkey, s_acctbal
+    FROM supplier
+    ORDER BY rank_idx
+    LIMIT 10
+    """,
+    tags=("rdd", "sort"),
+)
+def rdd_sort_zip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortBy + zipWithIndex (range-partitioned sort, then per-partition
+    offset assignment — one extra job to count partition sizes)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    rdd = (
+        t.supplier.select("s_suppkey", "s_acctbal").rdd
+        .sortBy(lambda r: (-r["s_acctbal"], r["s_suppkey"]))
+        .zipWithIndex()
+        .filter(lambda ri: ri[1] < 10)
+        .map(lambda ri: (ri[1], ri[0]["s_suppkey"], ri[0]["s_acctbal"]))
+    )
+    return spark.createDataFrame(
+        rdd, "rank_idx bigint, s_suppkey bigint, s_acctbal double"
+    ).orderBy("rank_idx")
+
+
+@register(
+    "workload_pi_rdd",
+    oracle=None,
+    tags=("rdd", "workload"),
+)
+def workload_pi_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SparkPi as the reference runs it (examples/src/main/python/pi.py):
+    parallelize → map → reduce, RDD form.  Seeded per-partition RNG →
+    deterministic estimate; tests assert |π̂ - π| < 0.05 (the DataFrame
+    twin `workload_pi` is the engine's preferred form)."""
+    ensure_parity_conf(spark)
+    import random
+
+    n = 100_000
+    parts = 8
+
+    def sample(split):
+        rng = random.Random(42 + split)
+        hits = 0
+        for _ in range(n // parts):
+            x, y = rng.random(), rng.random()
+            if x * x + y * y <= 1.0:
+                hits += 1
+        yield hits
+
+    hits = (
+        spark.sparkContext.parallelize(range(parts), parts)
+        .mapPartitionsWithIndex(lambda i, _: sample(i))
+        .reduce(lambda a, b: a + b)
+    )
+    return spark.createDataFrame([(4.0 * hits / n,)], "pi_estimate double")

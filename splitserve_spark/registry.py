@@ -67,6 +67,7 @@ _MODULES = (
     "splitserve_spark.operators.udf_surface",
     "splitserve_spark.operators.stats",
     "splitserve_spark.operators.catalog_ddl",
+    "splitserve_spark.operators.rdd_surface",
     "splitserve_spark.operators.dedup",
     "splitserve_spark.operators.similarity",
     "splitserve_spark.operators.text",
