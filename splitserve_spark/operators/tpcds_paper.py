@@ -1,0 +1,262 @@
+"""The reference paper's evaluated SQL set: TPC-DS Q5, Q16, Q94, Q95.
+
+SplitServe's evaluation (SURVEY.md §0/§6; Paper/SplitServe.pdf §5.2)
+runs four I/O-intensive TPC-DS queries at SF 8.  This module carries
+their *plan shapes* onto the driver schema (no store/catalog/web
+channel tables here), because the shapes — not the retail column names
+— are what exercise the engine:
+
+  Q5  : per-channel sales⊎returns UNION ALL → ROLLUP report
+  Q16 : EXISTS (second site) + NOT EXISTS (return) + count(DISTINCT)
+  Q94 : same skeleton on a second "channel" slice with date-range scan
+  Q95 : both membership tests against a pre-aggregated multi-supplier
+        order view referenced twice (exchange reuse)
+
+Channel mapping: lineitem rows are "sales"; returnflag='R' rows double
+as the returns flow.  Site/warehouse mapping: l_suppkey (an order
+"shipped from two warehouses" = lines from ≥2 suppliers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp")
+
+
+@register(
+    "qds5_channel_rollup",
+    oracle="""
+    WITH flows AS (
+      SELECT 'order channel' AS channel,
+             'status_' || o_orderstatus AS id,
+             l_extendedprice * (1 - l_discount) AS sales,
+             CASE WHEN l_returnflag = 'R'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS returns
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-07-01'
+      UNION ALL
+      SELECT 'priority channel' AS channel,
+             'prio_' || substr(o_orderpriority, 1, 1) AS id,
+             o_totalprice AS sales,
+             0 AS returns
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+    )
+    SELECT channel, id,
+           sum(sales)   AS total_sales,
+           sum(returns) AS total_returns,
+           sum(sales - returns) AS profit
+    FROM flows
+    GROUP BY ROLLUP (channel, id)
+    ORDER BY channel NULLS FIRST, id NULLS FIRST
+    """,
+    tags=("tpcds", "paper", "rollup", "union"),
+    bench=True,
+)
+def qds5_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q5 shape: two channel flows unioned, then a ROLLUP report
+    (Expand operator doubles rows per grouping set — the I/O-heavy
+    pattern the paper picked).  Union branches stay independent until
+    the single aggregation shuffle."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    flow1 = (
+        t.lineitem
+        .filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1996-07-01"))
+        )
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.lit("order channel").alias("channel"),
+            F.concat(F.lit("status_"), F.col("o_orderstatus")).alias("id"),
+            rev.alias("sales"),
+            F.when(F.col("l_returnflag") == "R", rev).otherwise(0.0).alias("returns"),
+        )
+    )
+    flow2 = (
+        t.orders
+        .filter(
+            (F.col("o_orderdate") >= _ts("1996-01-01"))
+            & (F.col("o_orderdate") < _ts("1996-07-01"))
+        )
+        .select(
+            F.lit("priority channel").alias("channel"),
+            F.concat(F.lit("prio_"), F.substring("o_orderpriority", 1, 1)).alias("id"),
+            F.col("o_totalprice").alias("sales"),
+            F.lit(0.0).alias("returns"),
+        )
+    )
+    return (
+        flow1.unionAll(flow2)
+        .rollup("channel", "id")
+        .agg(
+            F.sum("sales").alias("total_sales"),
+            F.sum("returns").alias("total_returns"),
+            F.sum(F.col("sales") - F.col("returns")).alias("profit"),
+        )
+        .orderBy(F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
+    )
+
+
+_Q16_94_ORACLE = """
+    SELECT count(DISTINCT o_orderkey) AS order_count,
+           sum(o_totalprice)          AS total_price
+    FROM (
+      SELECT DISTINCT o_orderkey, o_totalprice
+      FROM orders, lineitem l1
+      WHERE o_orderkey = l1.l_orderkey
+        AND o_orderdate >= TIMESTAMP '{d0}'
+        AND o_orderdate < TIMESTAMP '{d1}'
+        AND o_orderpriority {prio_cond}
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = o_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = o_orderkey AND l3.l_returnflag = 'R')
+    )
+"""
+
+
+def _q16_94_impl(
+    spark: SparkSession, sf_dir: str, d0: str, d1: str, prios: tuple[str, ...],
+    negate_prio: bool,
+) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    prio = F.col("o_orderpriority").isin(*prios)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= _ts(d0))
+        & (F.col("o_orderdate") < _ts(d1))
+        & (~prio if negate_prio else prio)
+    )
+    li = t.lineitem.select("l_orderkey", "l_suppkey", "l_returnflag")
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    returned = (
+        li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    )
+    return (
+        orders
+        .join(multi_supp, F.col("o_orderkey") == multi_supp["l_orderkey"], "left_semi")
+        .join(returned, F.col("o_orderkey") == returned["l_orderkey"], "left_anti")
+        .agg(
+            F.countDistinct("o_orderkey").alias("order_count"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "qds16_multi_site_no_returns",
+    oracle=_Q16_94_ORACLE.format(
+        d0="1996-01-01", d1="1996-04-01", prio_cond="IN ('1-URGENT', '2-HIGH')"
+    ),
+    tags=("tpcds", "paper", "subquery", "semi-join", "anti-join"),
+)
+def qds16_multi_site_no_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q16 shape: orders shipped from ≥2 sites (EXISTS another
+    supplier's line) with no returns (NOT EXISTS), count-distinct +
+    sum.  EXISTS/NOT EXISTS decorrelate to one aggregate per membership
+    set + semi/anti joins — each lineitem pass shuffles on l_orderkey
+    once. (Oracle's l1 join has duplicate orders per line; DISTINCT
+    before the final aggregate mirrors Q16's count(DISTINCT).)"""
+    ensure_parity_conf(spark)
+    return _q16_94_impl(
+        spark, sf_dir, "1996-01-01", "1996-04-01",
+        ("1-URGENT", "2-HIGH"), negate_prio=False,
+    )
+
+
+@register(
+    "qds94_web_no_returns",
+    oracle=_Q16_94_ORACLE.format(
+        d0="1997-01-01", d1="1997-03-01", prio_cond="NOT IN ('5-LOW')"
+    ),
+    tags=("tpcds", "paper", "subquery", "semi-join", "anti-join"),
+)
+def qds94_web_no_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q94 shape: identical membership skeleton to Q16 on the
+    second "channel" slice (different date window + priority class) —
+    the paper runs both to stress the same I/O pattern twice."""
+    ensure_parity_conf(spark)
+    return _q16_94_impl(
+        spark, sf_dir, "1997-01-01", "1997-03-01", ("5-LOW",), negate_prio=True,
+    )
+
+
+@register(
+    "qds95_both_sites_view",
+    oracle="""
+    WITH ws_wh AS (
+      SELECT l1.l_orderkey AS okey
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+      GROUP BY l1.l_orderkey
+    )
+    SELECT count(DISTINCT o_orderkey) AS order_count,
+           sum(o_totalprice)          AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-06-01'
+      AND o_orderdate < TIMESTAMP '1996-09-01'
+      AND o_orderkey IN (SELECT okey FROM ws_wh)
+      AND o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        WHERE l_returnflag = 'R'
+          AND l_orderkey IN (SELECT okey FROM ws_wh))
+    """,
+    tags=("tpcds", "paper", "subquery", "cte", "self-join"),
+)
+def qds95_both_sites_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q95 shape: the multi-site order set defined once as a
+    self-join view (ws_wh) and referenced by BOTH membership tests —
+    Catalyst's ReuseExchange computes it once.  Unlike Q94, the return
+    test requires the returning line itself to be in a multi-site
+    order."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_suppkey", "l_returnflag")
+    ws_wh = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select(F.col("l_orderkey").alias("okey"))
+    )
+    returned_multi = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(ws_wh, F.col("l_orderkey") == F.col("okey"), "left_semi")
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        t.orders
+        .filter(
+            (F.col("o_orderdate") >= _ts("1996-06-01"))
+            & (F.col("o_orderdate") < _ts("1996-09-01"))
+        )
+        .join(ws_wh, F.col("o_orderkey") == F.col("okey"), "left_semi")
+        .join(
+            returned_multi,
+            F.col("o_orderkey") == returned_multi["l_orderkey"],
+            "left_semi",
+        )
+        .agg(
+            F.countDistinct("o_orderkey").alias("order_count"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+    )

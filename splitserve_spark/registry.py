@@ -64,6 +64,7 @@ _MODULES = (
     "splitserve_spark.operators.setops",
     "splitserve_spark.operators.subqueries",
     "splitserve_spark.operators.tpch",
+    "splitserve_spark.operators.tpcds_paper",
     "splitserve_spark.operators.udf_surface",
     "splitserve_spark.operators.stats",
     "splitserve_spark.operators.catalog_ddl",
