@@ -236,6 +236,99 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF layout: C coarse cells, queries probe the P nearest centroids.
+N_CELLS = 16
+N_PROBE = 4
+
+
+@register("sim_ivf_ann", oracle=None, tags=("similarity", "pipeline", "ann", "ivf"))
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse k-means quantizer partitions
+    vectors into C cells; each query probes its P nearest centroids and
+    exact-reranks only those cells' vectors (~P/C of the corpus).
+
+    The quantizer is one deterministic Lloyd step from a fixed seed
+    (init = the C lowest vec_ids), entirely in DataFrames: assignment
+    is a broadcast argmin over centroids, the update re-averages per
+    component via posexplode → groupBy(cell, pos).  At 100 TB the cell
+    index is a partitioned table keyed by cell_id, so a probe reads
+    P/C of the data — the classic FAISS-style layout as a Spark join.
+    Approximate → recall-tested against sim_cosine_topk in tests."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    base = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+
+    def _l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    # --- one Lloyd step from deterministic init ---------------------
+    init = base.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+    assign0 = (
+        base.join(F.broadcast(init))
+        .withColumn("dist", _l2sq(F.col("v"), F.col("cv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy("dist", "cid")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    centroids = (
+        assign0.select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.transform("pm", lambda s: s["m"]).alias("cv"))
+    )
+    # --- final assignment + inverted lists --------------------------
+    cells = (
+        base.join(F.broadcast(centroids))
+        .withColumn("dist", _l2sq(F.col("v"), F.col("cv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy("dist", "cid")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    # --- query probes: P nearest centroids per query ----------------
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn("dist", _l2sq(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("query_id").orderBy("dist", "cid")),
+        )
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qv", "cid")
+    )
+    # --- exact rerank inside probed cells ---------------------------
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        cells.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 @register(
     "sim_norms",
     oracle="""

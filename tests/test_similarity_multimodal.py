@@ -56,3 +56,18 @@ def test_decode_media_is_explicit_stub():
 
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00")
+
+
+def test_ivf_ann_recall(spark):
+    """IVF ANN: probing 4/16 cells must beat random-subset recall and
+    return exact cosines for every pair it reports."""
+    exact = REGISTRY["sim_cosine_topk"].fn(spark, SF_DIR).toPandas()
+    approx = REGISTRY["sim_ivf_ann"].fn(spark, SF_DIR).toPandas()
+    exact_set = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_set = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.25, f"recall {recall:.2f}"
+    merged = exact.merge(approx, on=["query_id", "neighbor_id"], suffixes=("_e", "_a"))
+    assert (abs(merged["cosine_e"] - merged["cosine_a"]) < 1e-6).all()
+    # every query answered with a full top-k
+    assert (approx.groupby("query_id").size() == 5).all()
