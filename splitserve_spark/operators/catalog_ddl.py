@@ -150,6 +150,33 @@ def ddl_catalog_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ddl_analyze_stats",
+    oracle="""
+    SELECT CAST(count(*) AS VARCHAR) AS n_rows FROM orders
+    """,
+    tags=("ddl", "stats", "cbo"),
+)
+def ddl_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE … COMPUTE STATISTICS (reference
+    AnalyzeTableCommand): collected row counts feed the cost-based
+    optimizer's join reordering.  Verified by reading the rowCount back
+    out of DESCRIBE EXTENDED."""
+    ensure_parity_conf(spark)
+    from splitserve_spark.operators.scale_patterns import _bucketed_tables
+
+    t_orders, _ = _bucketed_tables(spark, sf_dir)
+    spark.sql(f"ANALYZE TABLE {t_orders} COMPUTE STATISTICS")
+    stats = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {t_orders}")
+        .filter(F.col("col_name") == "Statistics")
+        .select(
+            F.regexp_extract("data_type", r"(\d+) rows", 1).alias("n_rows")
+        )
+    )
+    return stats
+
+
+@register(
     "ddl_cache_table",
     oracle="""
     SELECT l_returnflag, count(*) AS n

@@ -41,3 +41,45 @@ def test_jdbc_orc_api_surface(spark, tmp_path):
         .option("numPartitions", 4)
     )
     assert reader is not None
+
+
+def test_json_corrupt_record_column(spark, tmp_path):
+    """PERMISSIVE mode routes malformed JSON lines into the
+    corrupt-record column instead of failing the scan (reference
+    JsonFileFormat corrupt-record handling, SURVEY.md §2.1)."""
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"a": 1, "b": "ok"}\n'
+        "{not json at all}\n"
+        '{"a": 2, "b": "fine"}\n'
+    )
+    df = spark.read.schema("a long, b string, _corrupt_record string").json(str(p))
+    rows = df.collect()
+    assert len(rows) == 3
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["a"] for r in good} == {1, 2}
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+    # FAILFAST mode must raise instead.
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.schema("a long, b string").option("mode", "FAILFAST").json(
+            str(p)
+        ).collect()
+
+
+def test_csv_malformed_and_null_options(spark, tmp_path):
+    """CSV option surface: custom delimiter, quotes, nullValue, header."""
+    p = tmp_path / "opts.csv"
+    p.write_text('k|v\n1|"x|y"\n2|NULLTOKEN\n')
+    df = (
+        spark.read.option("header", True)
+        .option("delimiter", "|")
+        .option("quote", '"')
+        .option("nullValue", "NULLTOKEN")
+        .option("inferSchema", True)
+        .csv(str(p))
+    )
+    rows = {r["k"]: r["v"] for r in df.collect()}
+    assert rows == {1: "x|y", 2: None}

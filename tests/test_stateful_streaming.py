@@ -159,3 +159,60 @@ def test_file_sink_with_checkpoint_resume(spark, staged_dir):
     assert ids == [1, 2]  # no duplicates, nothing lost across restart
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_stream_stream_join(spark, staged_dir):
+    """Stream-stream inner join with watermarks on both sides (a
+    beyond-2.1 extra; SURVEY.md §2.10 lists it out of parity scope).
+    Clicks join impressions within the event-time constraint."""
+    import tempfile as _tf
+
+    imp_dir = _tf.mkdtemp(prefix="ss_imp_")
+    _write_batch(
+        imp_dir,
+        0,
+        [
+            {"event_id": 10, "ts": "2024-01-01T00:00:30Z", "user_id": 1, "value": 0.0},
+            {"event_id": 11, "ts": "2024-01-01T00:01:00Z", "user_id": 2, "value": 0.0},
+        ],
+    )
+    _write_batch(
+        staged_dir,
+        0,
+        [
+            {"event_id": 20, "ts": "2024-01-01T00:01:30Z", "user_id": 1, "value": 1.0},
+            {"event_id": 21, "ts": "2024-01-01T00:50:00Z", "user_id": 2, "value": 1.0},
+        ],
+    )
+    imps = (
+        spark.readStream.schema(EVENT_SCHEMA).json(imp_dir)
+        .withWatermark("ts", "10 minutes")
+        .selectExpr("user_id", "ts AS imp_ts", "event_id AS imp_id")
+    )
+    clicks = (
+        spark.readStream.schema(EVENT_SCHEMA).json(staged_dir)
+        .withWatermark("ts", "10 minutes")
+        .selectExpr("user_id", "ts AS click_ts", "event_id AS click_id")
+    )
+    from pyspark.sql import functions as F2
+
+    joined = imps.join(
+        clicks,
+        (imps["user_id"] == clicks["user_id"])
+        & (F2.col("click_ts") >= F2.col("imp_ts"))
+        & (F2.col("click_ts") <= F2.col("imp_ts") + F2.expr("INTERVAL 5 MINUTES")),
+    ).select(imps["user_id"], "imp_id", "click_id")
+    got = []
+
+    def collect(batch_df, _):
+        got.extend((r["user_id"], r["imp_id"], r["click_id"]) for r in batch_df.collect())
+
+    q = joined.writeStream.foreachBatch(collect).trigger(availableNow=True).start()
+    q.awaitTermination()
+    # user 1 clicked 60s after impression (within 5 min) → joined;
+    # user 2 clicked 49 min later → outside the constraint.
+    assert got == [(1, 10, 20)], got
+
+    import shutil as _sh
+
+    _sh.rmtree(imp_dir, ignore_errors=True)

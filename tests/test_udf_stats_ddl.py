@@ -23,6 +23,7 @@ ORACLE_CHECKED = [
     "ddl_describe_table",
     "ddl_catalog_list",
     "ddl_cache_table",
+    "ddl_analyze_stats",
 ]
 
 
