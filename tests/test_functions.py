@@ -23,3 +23,38 @@ def test_hash_partitioning_deterministic(spark):
     b = fn(spark, SF_DIR).drop("pid").toPandas()
     assert a.equals(b)
     assert a["murmur3"].nunique() > 20  # 25 nations, hashes spread
+
+
+def test_explode_outer_keeps_empty_rows(spark):
+    """explode_outer / posexplode_outer emit a NULL row for empty arrays
+    (reference GenerateExec outer flag, SQL LATERAL VIEW OUTER)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [10, 20]), (2, []), (3, None)], "id int, xs array<int>"
+    )
+    outer = df.select("id", F.explode_outer("xs").alias("x")).collect()
+    assert [(r["id"], r["x"]) for r in outer] == [(1, 10), (1, 20), (2, None), (3, None)]
+    inner = df.select("id", F.explode("xs").alias("x")).collect()
+    assert [(r["id"], r["x"]) for r in inner] == [(1, 10), (1, 20)]
+    pos = df.select("id", F.posexplode_outer("xs")).collect()
+    assert len(pos) == 4
+
+
+def test_sql_table_valued_function(spark):
+    """range(...) in SQL FROM position (ResolveTableValuedFunctions)."""
+    rows = spark.sql(
+        "SELECT id, id * id AS sq FROM range(5, 8) ORDER BY id"
+    ).collect()
+    assert [(r["id"], r["sq"]) for r in rows] == [(5, 25), (6, 36), (7, 49)]
+
+
+def test_lateral_view_sql(spark):
+    """LATERAL VIEW [OUTER] explode in SQL (SqlBase.g4:389 surface)."""
+    spark.createDataFrame(
+        [(1, [10, 20]), (2, [])], "id int, xs array<int>"
+    ).createOrReplaceTempView("lv_t")
+    rows = spark.sql(
+        "SELECT id, x FROM lv_t LATERAL VIEW OUTER explode(xs) t AS x ORDER BY id, x"
+    ).collect()
+    assert [(r["id"], r["x"]) for r in rows] == [(1, 10), (1, 20), (2, None)]
