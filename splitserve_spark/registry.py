@@ -86,6 +86,7 @@ _MODULES = (
     "splitserve_spark.functions.hashes",
     "splitserve_spark.streaming.windows",
     "splitserve_spark.streaming.stateful",
+    "splitserve_spark.streaming.custom_state",
 )
 
 
