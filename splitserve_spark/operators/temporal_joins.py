@@ -1,0 +1,227 @@
+"""Temporal join operators the engine adds beyond stock Spark: as-of
+join and range (interval) join.
+
+The reference has neither (SURVEY.md §2.3: non-equi conditions fall to
+nested-loop/cartesian); Spark's built-ins don't either.  Per the
+engine's custom-operator policy these are built as (a) compositions of
+existing DataFrame ops where semantics allow, else (b) Arrow-batched
+applyInPandas — never a driver-side loop.
+
+* **As-of join** (`asof_join_events_orders`): for each event, the most
+  recent order of the same customer at-or-before the event time.  Two
+  interchangeable implementations, both O(n log n) per key:
+    - union+window: append order rows to event rows, sort per key by
+      time, carry the last-seen order forward with `last(ignorenulls)`
+      — one shuffle on the key, pure JVM.
+    - merge_asof: cogroup(events, orders).applyInPandas with
+      pandas.merge_asof per key — the escape-hatch form.
+  The registry entry uses the union+window form (JVM-side); the
+  merge_asof twin is equivalence-tested against it.
+
+* **Range join** (`range_join_price_bands`): value-interval equi-join
+  accelerated by bucketing the range domain: each band explodes into
+  the coarse bins it overlaps, probes join on their bin, a residual
+  filter exacts the bounds — turning O(n·m) nested-loop into an
+  equi-shuffle join (the same trick Databricks' range-join hint
+  applies).  Oracle: the plain theta join.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+
+def _events_sample(t: Tables) -> DataFrame:
+    return t.events.filter(F.col("event_id") <= 2000).select(
+        "event_id", F.col("user_id").alias("custkey"), "ts", "value"
+    )
+
+
+@register(
+    "asof_join_events_orders",
+    oracle="""
+    SELECT e.event_id, e.custkey, e.ts,
+           o.o_orderkey AS asof_orderkey,
+           o.o_orderdate AS asof_orderdate
+    FROM (SELECT event_id, user_id AS custkey, ts, value
+          FROM events WHERE event_id <= 2000) e
+    ASOF LEFT JOIN (
+          SELECT o_custkey, o_orderdate,
+                 -- deterministic pick among same-timestamp orders:
+                 max(o_orderkey) AS o_orderkey
+          FROM orders GROUP BY o_custkey, o_orderdate) o
+      ON e.custkey = o.o_custkey AND e.ts >= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+    tags=("join", "asof", "custom-operator"),
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, union+window form: order rows and event rows merge
+    into one keyed timeline; a last(ignorenulls) window carries the
+    most recent order forward onto each event.  One shuffle on the key;
+    no nested loop, no per-row subquery.  Ties on (custkey, orderdate)
+    resolve to max(o_orderkey) — mirrored in the oracle's pre-aggregate
+    (DuckDB's native ASOF JOIN picks an arbitrary row otherwise)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    events = _events_sample(t)
+    orders = (
+        t.orders.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("otime"),
+        )
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    timeline = events.select(
+        "custkey",
+        F.col("ts").alias("time"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    ).unionByName(
+        orders.select(
+            "custkey",
+            F.col("otime").alias("time"),
+            F.lit(0).alias("is_event"),
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            "o_orderkey",
+            F.col("otime").alias("o_orderdate"),
+        )
+    )
+    # Order rows sort before event rows at equal time (is_event ASC) so
+    # an order dated exactly at the event time IS visible to it (>=).
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("time", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        timeline
+        .withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("asof_orderdate", F.last("o_orderdate", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .select("event_id", "custkey", "ts", "asof_orderkey", "asof_orderdate")
+        .orderBy("event_id")
+    )
+
+
+def asof_join_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandas twin: cogroup events/orders per customer and
+    run pandas.merge_asof inside each group.  Used when the carried
+    payload is wide (merge_asof copies one row, the window form carries
+    every column as a separate last() expression)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    events = _events_sample(t)
+    orders = (
+        t.orders.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("o_orderdate"),
+        )
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+
+    def merge(evs: pd.DataFrame, ords: pd.DataFrame) -> pd.DataFrame:
+        if evs.empty:
+            return pd.DataFrame(
+                columns=["event_id", "custkey", "ts", "asof_orderkey", "asof_orderdate"]
+            )
+        evs = evs.sort_values("ts")
+        ords = ords.sort_values("o_orderdate")
+        merged = pd.merge_asof(
+            evs,
+            ords.rename(
+                columns={"o_orderkey": "asof_orderkey", "o_orderdate": "asof_orderdate"}
+            )[["asof_orderdate", "asof_orderkey"]],
+            left_on="ts",
+            right_on="asof_orderdate",
+            direction="backward",
+        )
+        return merged[["event_id", "custkey", "ts", "asof_orderkey", "asof_orderdate"]]
+
+    return (
+        events.groupBy("custkey")
+        .cogroup(orders.groupBy("custkey"))
+        .applyInPandas(
+            merge,
+            schema="event_id bigint, custkey bigint, ts timestamp, "
+                   "asof_orderkey bigint, asof_orderdate timestamp",
+        )
+        .orderBy("event_id")
+    )
+
+
+#: Coarse bin width for the range-join acceleration (price units).
+BIN = 50_000.0
+
+_BANDS_SQL = """
+      SELECT 0 AS band_id, 0.0 AS lo, 100000.0 AS hi
+      UNION ALL SELECT 1, 100000.0, 250000.0
+      UNION ALL SELECT 2, 250000.0, 400000.0
+      UNION ALL SELECT 3, 400000.0, 600000.0
+"""
+
+
+@register(
+    "range_join_price_bands",
+    oracle=f"""
+    WITH bands AS ({_BANDS_SQL})
+    SELECT b.band_id, count(*) AS n_orders, sum(o.o_totalprice) AS total
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band_id
+    ORDER BY b.band_id
+    """,
+    tags=("join", "range", "custom-operator"),
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bin-bucketing: bands explode into the coarse bins
+    they overlap; orders compute their bin; the join is an EQUI join on
+    bin with a residual bounds filter.  At 100 TB this shuffles on a
+    uniform bin key instead of nested-looping orders × bands.  (Here the
+    band side is tiny so Catalyst broadcasts it anyway — the bin
+    structure is what survives when BOTH sides are large.)"""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [
+            (0, 0.0, 100_000.0),
+            (1, 100_000.0, 250_000.0),
+            (2, 250_000.0, 400_000.0),
+            (3, 400_000.0, 600_000.0),
+        ],
+        "band_id int, lo double, hi double",
+    )
+    binned_bands = bands.select(
+        "band_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / BIN).cast("int"),
+                F.ceil(F.col("hi") / BIN).cast("int"),
+            )
+        ).alias("bin"),
+    )
+    orders = t.orders.withColumn("bin", F.floor(F.col("o_totalprice") / BIN).cast("int"))
+    return (
+        orders.join(F.broadcast(binned_bands), "bin")
+        .filter(
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi"))
+        )
+        .groupBy("band_id")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total"))
+        .orderBy("band_id")
+    )
