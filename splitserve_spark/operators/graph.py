@@ -123,3 +123,80 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(RESET) + F.lit(DAMP) * F.coalesce("c", F.lit(0.0))).alias("rank"),
         )
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+CC_ITER = 6
+
+
+@register(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderkey % 20 = 0
+    ),
+    sym AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION SELECT dst, src FROM edges
+      UNION SELECT src, src FROM edges
+      UNION SELECT dst, dst FROM edges
+    ),
+    lab AS (
+      SELECT 0 AS iter, a AS node, min(b) AS label
+      FROM (SELECT a, a AS b FROM sym UNION SELECT a, b FROM sym) GROUP BY a
+      UNION ALL
+      SELECT l.iter + 1, s.a AS node, min(l.label) AS label
+      FROM lab l JOIN sym s ON s.b = l.node
+      WHERE l.iter < {CC_ITER}
+      GROUP BY l.iter + 1, s.a
+    )
+    SELECT node, label AS component
+    FROM lab WHERE iter = {CC_ITER}
+    ORDER BY node
+    """,
+    tags=("graph", "workload", "iterative"),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by min-label propagation, {CC_ITER} fixed
+    iterations (GraphX lib breadth beyond the paper's PageRank;
+    reference `graphx/.../lib/ConnectedComponents`).  Each iteration:
+    every node takes the min label over itself and its neighbors — one
+    join + one aggregation on the symmetrized edge list, same shuffle
+    shape as PageRank.  The edge sample (o_orderkey % 20 = 0) keeps
+    multiple components alive; the fixed iteration count makes the
+    Spark loop and the recursive-CTE oracle bitwise comparable."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    edges = (
+        t.orders.filter(F.col("o_orderkey") % 20 == 0)
+        .join(
+            t.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .union(edges.select(F.col("src").alias("a"), F.col("src").alias("b")))
+        .union(edges.select(F.col("dst").alias("a"), F.col("dst").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.groupBy("a").agg(F.min("b").alias("label")).withColumnRenamed("a", "node")
+    for _ in range(CC_ITER):
+        labels = (
+            sym.join(
+                F.broadcast(labels), F.col("b") == F.col("node")
+            )
+            .groupBy("a")
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("a", "node")
+        )
+    return labels.select("node", F.col("label").alias("component")).orderBy("node")

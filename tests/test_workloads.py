@@ -54,3 +54,17 @@ def test_kmeans_lloyd_matches_numpy(spark):
     got = pdf.sort_values("vec_id")["cluster"].to_numpy()
     agree = (got == expected).mean()
     assert agree > 0.99, f"assignment agreement {agree:.3f}"
+
+
+def test_connected_components_oracle(spark):
+    check_query(spark, "graph_connected_components", SF_DIR)
+
+
+def test_connected_components_invariants(spark):
+    """Every node's component label must be a member of the same
+    component (label propagation fixpoint sanity)."""
+    out = REGISTRY["graph_connected_components"].fn(spark, SF_DIR).toPandas()
+    comp_of = dict(zip(out["node"], out["component"]))
+    # a component's label is itself labelled with the same component
+    for label in set(out["component"]):
+        assert comp_of[label] == label
