@@ -462,3 +462,62 @@ def agg_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum_distinct(F.col("l_quantity")).alias("sum_uniq_qty"))
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "agg_median_mode_listagg",
+    oracle="""
+    WITH f AS (SELECT * FROM orders WHERE o_orderkey <= 2000),
+    counts AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS c
+      FROM f GROUP BY o_orderstatus, o_orderpriority),
+    top AS (
+      SELECT o_orderstatus, min(o_orderpriority) AS top_prio
+      FROM counts t1
+      WHERE c = (SELECT max(c) FROM counts t2
+                 WHERE t2.o_orderstatus = t1.o_orderstatus)
+      GROUP BY o_orderstatus)
+    SELECT f.o_orderstatus,
+           median(f.o_totalprice) AS med_price,
+           top.top_prio           AS top_prio,
+           string_agg(DISTINCT f.o_orderpriority, ',' ORDER BY f.o_orderpriority)
+                                  AS prios
+    FROM f JOIN top ON f.o_orderstatus = top.o_orderstatus
+    GROUP BY f.o_orderstatus, top.top_prio
+    ORDER BY f.o_orderstatus
+    """,
+    tags=("aggregate", "modern"),
+)
+def agg_median_mode_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate additions: exact median, deterministic mode
+    (most frequent value, ties broken by smallest — raw mode() breaks
+    ties engine-specifically), and ordered distinct string aggregation
+    (listagg's order is engine-dependent, so the deterministic form is
+    array_sort(collect_set) + array_join)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    f = t.orders.filter(F.col("o_orderkey") <= 2000)
+    counts = f.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = (
+        counts.groupBy("o_orderstatus")
+        .agg(
+            F.min_by(
+                F.col("o_orderpriority"),
+                F.struct((-F.col("c")).alias("neg"), F.col("o_orderpriority")),
+            ).alias("top_prio")
+        )
+    )
+    return (
+        f.join(F.broadcast(top), "o_orderstatus")
+        .groupBy("o_orderstatus", "top_prio")
+        .agg(
+            F.median("o_totalprice").alias("med_price"),
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("prios"),
+        )
+        .select("o_orderstatus", "med_price", "top_prio", "prios")
+        .orderBy("o_orderstatus")
+    )

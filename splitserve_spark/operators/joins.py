@@ -382,3 +382,41 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.n_name").alias("n1"), F.col("b.n_name").alias("n2"))
         .orderBy("n1", "n2")
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN NULL
+                  ELSE o_orderpriority END AS k
+      FROM orders WHERE o_orderkey <= 400),
+    b AS (
+      SELECT DISTINCT CASE WHEN o_orderstatus = 'P' THEN NULL
+                           ELSE o_orderpriority END AS k
+      FROM orders WHERE o_orderkey <= 400)
+    SELECT a.o_orderkey, a.k
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY a.o_orderkey
+    """,
+    tags=("join", "null-safe"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=>, reference predicates.scala:446
+    EqualNullSafe): NULL keys match NULL keys — unlike `=`, which drops
+    them. Catalyst still plans a hash join because <=> is an equi-key."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    k = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    a = t.orders.filter(F.col("o_orderkey") <= 400).select(
+        "o_orderkey", k.alias("k")
+    )
+    b = a.select("k").distinct().withColumnRenamed("k", "bk")
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("bk")))
+        .select("o_orderkey", "k")
+        .orderBy("o_orderkey")
+    )

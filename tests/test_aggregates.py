@@ -19,6 +19,7 @@ AGGS = [
     "agg_cube",
     "agg_grouping_sets",
     "agg_pivot",
+    "agg_median_mode_listagg",
     "agg_having",
     "agg_bool_and_count_if",
     "agg_sum_distinct",

@@ -20,6 +20,7 @@ JOINS = [
     "join_non_equi",
     "join_using_key",
     "join_self",
+    "join_null_safe",
 ]
 
 
