@@ -58,3 +58,19 @@ def test_lateral_view_sql(spark):
         "SELECT id, x FROM lv_t LATERAL VIEW OUTER explode(xs) t AS x ORDER BY id, x"
     ).collect()
     assert [(r["id"], r["x"]) for r in rows] == [(1, 10), (1, 20), (2, None)]
+
+
+def test_na_replace(spark):
+    """df.na.replace (DataFrameNaFunctions.replace, SURVEY.md §2.2)."""
+    df = spark.createDataFrame(
+        [("UNKNOWN", 1.0), ("ok", -999.0), ("fine", 2.0)], "s string, x double"
+    )
+    out = df.na.replace({"UNKNOWN": None}, subset=["s"]).na.replace(
+        [-999.0], [float("nan")], subset=["x"]
+    )
+    rows = out.collect()
+    assert rows[0]["s"] is None
+    import math
+
+    assert math.isnan(rows[1]["x"])
+    assert rows[2] == ("fine", 2.0)

@@ -83,3 +83,25 @@ def test_csv_malformed_and_null_options(spark, tmp_path):
     )
     rows = {r["k"]: r["v"] for r in df.collect()}
     assert rows == {1: "x|y", 2: None}
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """partitionOverwriteMode=dynamic must replace only the partitions
+    present in the written frame (reference InsertIntoHadoopFsRelation
+    overwrite semantics)."""
+    path = str(tmp_path / "dyn")
+    base = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 10)], "part string, v int"
+    )
+    base.write.partitionBy("part").mode("overwrite").parquet(path)
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.createDataFrame([("B", 99)], "part string, v int").write.partitionBy(
+            "part"
+        ).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    got = sorted((r["part"], r["v"]) for r in spark.read.parquet(path).collect())
+    # partition A untouched, partition B replaced
+    assert got == [("A", 1), ("A", 2), ("B", 99)], got
