@@ -200,3 +200,81 @@ def fn_stack_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r_regionkey", F.col("k").cast("int").alias("k"), "v")
         .orderBy("r_regionkey", "k")
     )
+
+
+@register(
+    "fn_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, val FROM (
+      SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val
+      FROM orders WHERE o_orderkey <= 200
+      UNION ALL
+      SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE)
+      FROM orders WHERE o_orderkey <= 200
+    )
+    ORDER BY o_orderkey, metric
+    """,
+    tags=("collection", "unpivot"),
+)
+def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.unpivot (melt) — wide→long reshape, the inverse of pivot
+    (§2.4).  Runs as an Expand node: one input row fans out to one row
+    per value column, no shuffle."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.filter(F.col("o_orderkey") <= 200)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+        .unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "val")
+        .orderBy("o_orderkey", "metric")
+    )
+
+
+@register(
+    "fn_map_functions",
+    oracle="""
+    WITH src AS (
+      SELECT p_brand,
+             list_sort(list_distinct(list(p_size))) AS sizes,
+             count(*) AS n
+      FROM part WHERE p_size <= 10
+      GROUP BY p_brand
+    )
+    SELECT p_brand,
+           len(sizes)                                        AS n_keys,
+           list_sort(list_transform(sizes, s -> s * 10))     AS sizes_x10,
+           list_sort(list_filter(sizes, s -> s % 2 = 0))     AS even_sizes,
+           list_aggregate(sizes, 'sum')                      AS size_sum
+    FROM src
+    ORDER BY p_brand
+    """,
+    tags=("collection", "map", "higher-order"),
+)
+def fn_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns + map higher-order functions: build a
+    size→size·10 map per brand with map_from_arrays/transform_values,
+    prune it with map_filter, read it back with map_keys/map_values.
+    The oracle computes identical outputs from plain lists (DuckDB's
+    MAP surface differs; the *values* are what parity pins)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    sizes = F.array_sort(F.array_distinct(F.collect_list("p_size")))
+    base = (
+        t.part.filter(F.col("p_size") <= 10)
+        .groupBy("p_brand")
+        .agg(sizes.alias("sizes"), F.count(F.lit(1)).alias("n"))
+    )
+    m = F.map_from_arrays("sizes", F.transform("sizes", lambda s: s * 10))
+    return base.select(
+        "p_brand",
+        F.size(m).alias("n_keys"),
+        F.array_sort(F.map_values(m)).alias("sizes_x10"),
+        F.array_sort(
+            F.map_keys(F.map_filter(m, lambda k, v: k % 2 == 0))
+        ).alias("even_sizes"),
+        F.aggregate("sizes", F.lit(0), lambda acc, s: acc + s).alias("size_sum"),
+    ).orderBy("p_brand")
