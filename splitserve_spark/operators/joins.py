@@ -8,10 +8,13 @@ Reference physical forms: BroadcastHashJoinExec
 (`joins/CartesianProductExec.scala:85`); semi/anti from subquery rewrite
 (`optimizer/subquery.scala:43`).
 
-Scale strategy: dimension tables are explicitly `F.broadcast`-hinted so
-fact-table joins never shuffle the big side; fact-fact joins
-(lineitem⋈orders) are left to Catalyst → sort-merge with AQE skew
-splitting.  tests/test_plans.py asserts the physical operators.
+Scale strategy: explicit `F.broadcast` hints only on fixed-size
+tables (region/nation) and on physical-form demo queries; customer/
+part/supplier scale with SF, so their joins rely on
+autoBroadcastJoinThreshold + AQE to broadcast exactly when the
+filtered side is small.  Fact-fact joins (lineitem⋈orders) are left
+to Catalyst → sort-merge with AQE skew splitting.  tests/
+test_plans.py asserts the physical operators.
 """
 
 from __future__ import annotations
@@ -59,7 +62,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.filter(F.col("l_shipdate") > cutoff)
         .join(
             t.orders.filter(F.col("o_orderdate") < cutoff)
-            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
             .select("o_orderkey", "o_orderdate", "o_orderpriority"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -93,8 +96,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: 6-table star join. All dimensions broadcast; the only
-    shuffles are lineitem⋈orders (on orderkey) and the final 5-group agg."""
+    """TPC-H Q5: 6-table star join.  nation/region broadcast by hint;
+    customer and the supplier-side dims broadcast by planner size check
+    at test SF (at 100 TB they would shuffle — correctly)."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     dims = (
@@ -111,10 +115,10 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+        .join(t.customer.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(dims),
+            dims,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

@@ -16,8 +16,12 @@ columns (country codes from `c_nationkey`, cost proxy from
 *plan shape* — that is what exercises the engine.
 
 Scale design notes (100 TB discipline):
-- Dimension joins (region, nation, supplier, part at test SF) are
-  explicitly `F.broadcast()` — no shuffle of the fact side.
+- Explicit `F.broadcast()` hints appear ONLY on fixed-cardinality
+  tables (region, nation) and single-row/threshold aggregates.
+  customer/part/supplier grow with scale factor, so their joins are
+  left to the planner: under `autoBroadcastJoinThreshold` + AQE they
+  broadcast when (and only when) the filtered side is actually small —
+  a hard-coded hint would force an OOM broadcast at 100 TB.
 - Fact–fact joins (lineitem ⋈ orders) shuffle on the join key once;
   downstream groupBys reuse the key where possible.
 - Correlated subqueries are written decorrelated (aggregate → join),
@@ -93,7 +97,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     candidates = (
         _part_supp(t)
-        .join(F.broadcast(eu_suppliers), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(eu_suppliers, F.col("ps_suppkey") == F.col("s_suppkey"))
     )
     best = candidates.groupBy("ps_partkey").agg(F.max("s_acctbal").alias("max_bal"))
     parts = t.part.filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
@@ -101,7 +105,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates
         .join(best, "ps_partkey")
         .filter(F.col("s_acctbal") == F.col("max_bal"))
-        .join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(parts, F.col("ps_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
     )
@@ -217,8 +221,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(t.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(pair)
@@ -291,12 +295,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem
         .join(
-            F.broadcast(t.part.filter(F.col("p_type") == "ECONOMY")),
+            t.part.filter(F.col("p_type") == "ECONOMY"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nation, F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
@@ -348,11 +352,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem
         .join(
-            F.broadcast(t.part.filter(F.col("p_name").like("%red%"))),
+            t.part.filter(F.col("p_name").like("%red%")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             "nation",
             F.year("o_orderdate").cast("long").alias("o_year"),
@@ -397,7 +401,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.filter(F.col("l_returnflag") == "R")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -441,7 +445,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     li = t.lineitem.join(
-        F.broadcast(nation5_supp), F.col("l_suppkey") == F.col("s_suppkey")
+        nation5_supp, F.col("l_suppkey") == F.col("s_suppkey")
     ).select("l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("v"))
     per_part = li.groupBy("l_partkey").agg(F.sum("v").alias("value"))
     threshold = li.agg((F.sum("v") * 0.001).alias("threshold"))
@@ -554,7 +558,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= _ts("1996-09-01"))
             & (F.col("l_shipdate") < _ts("1996-10-01"))
         )
-        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t.part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 100.0
@@ -601,7 +605,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(t.supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(t.supplier, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -637,8 +641,8 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _part_supp(t)
-        .join(F.broadcast(bad_supp), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(parts), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(bad_supp, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(parts, F.col("p_partkey") == F.col("ps_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -669,7 +673,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = t.part.filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10))
     return (
         t.lineitem
-        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(parts, F.col("p_partkey") == F.col("l_partkey"))
         .join(per_part_avg, F.col("ap_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
@@ -710,7 +714,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inner",
         )
         .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
@@ -750,7 +754,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t.lineitem
-        .join(F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t.part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
@@ -786,7 +790,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= _ts("1996-01-01"))
             & (F.col("l_shipdate") < _ts("1997-01-01"))
         )
-        .join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(promo_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("tq"))
         .filter(F.col("tq") > 50)
@@ -869,7 +873,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["l_orderkey", "l_suppkey"])
         .join(per_order, "l_orderkey")
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(nation4_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation4_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

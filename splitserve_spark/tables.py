@@ -28,8 +28,9 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: Dimension tables small enough to broadcast at any realistic SF.
-BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+#: Tables with FIXED cardinality (safe to broadcast-hint at any SF).
+#: customer/part/supplier grow with scale factor — never hint those.
+BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
 class Tables:
