@@ -191,10 +191,12 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = sym.groupBy("a").agg(F.min("b").alias("label")).withColumnRenamed("a", "node")
     for _ in range(CC_ITER):
+        # labels is O(|nodes|) — unlike PageRank's rank/deg vector demo,
+        # no broadcast hint: the planner broadcasts at test SF (small)
+        # and shuffle-joins at cluster scale, where the co-partitioned
+        # form (sym bucketed by b) is the right layout.
         labels = (
-            sym.join(
-                F.broadcast(labels), F.col("b") == F.col("node")
-            )
+            sym.join(labels, F.col("b") == F.col("node"))
             .groupBy("a")
             .agg(F.min("label").alias("label"))
             .withColumnRenamed("a", "node")

@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+import pytest
+
+from splitserve_spark import sql_entry
+from splitserve_spark.registry import REGISTRY, load_all
+from tests.oracle_utils import SF_DIR, duck_connection
+
+load_all()
+
+#: Verbatim reference-style SQL — each runs through spark.sql AND the
+#: DuckDB oracle; both see identical table names.
+SQL_QUERIES = {
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               avg(l_extendedprice) AS avg_price,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "join_subquery": """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "cte_window": """
+        WITH ranked AS (
+          SELECT c_custkey, c_acctbal, c_mktsegment,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer)
+        SELECT c_mktsegment, c_custkey, c_acctbal
+        FROM ranked WHERE rn <= 3
+        ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
+    """,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SQL_QUERIES))
+def test_sql_entry_matches_oracle(spark, name):
+    from tests.oracle_utils import compare_frames
+
+    q = SQL_QUERIES[name]
+    got = sql_entry.sql(spark, q, SF_DIR).toPandas()
+    con = duck_connection(SF_DIR)
+    try:
+        want = con.execute(q).df()
+    finally:
+        con.close()
+    compare_frames(got, want, name)
+
+
+def test_sql_entry_matches_dataframe_path(spark):
+    """The SQL lifecycle and the DataFrame lifecycle must produce the
+    same result for the flagship query (§3.1 vs §3.2)."""
+    sql_q1 = sql_entry.sql(
+        spark,
+        REGISTRY["q1_pricing_summary"].oracle,
+        SF_DIR,
+    ).toPandas()
+    df_q1 = REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR).toPandas()
+    from tests.oracle_utils import compare_frames
+
+    compare_frames(df_q1, sql_q1, "q1 sql-vs-dataframe")
