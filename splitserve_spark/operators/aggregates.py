@@ -521,3 +521,36 @@ def agg_median_mode_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderstatus", "med_price", "top_prio", "prios")
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_orderpriority) AS n_prio,
+           count(DISTINCT o_custkey)       AS n_cust,
+           sum(o_totalprice)               AS total,
+           count(*)                        AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("aggregate", "distinct"),
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates over different columns in one
+    GROUP BY — triggers RewriteDistinctAggregates (Expand: one replica
+    of each row per distinct group + grouping-id routing; reference
+    `catalyst/optimizer/RewriteDistinctAggregates.scala`)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_orderpriority").alias("n_prio"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.sum("o_totalprice").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )

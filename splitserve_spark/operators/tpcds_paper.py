@@ -167,6 +167,7 @@ def _q16_94_impl(
     oracle=_Q16_94_ORACLE.format(
         d0="1996-01-01", d1="1996-04-01", prio_cond="IN ('1-URGENT', '2-HIGH')"
     ),
+    bench=True,
     tags=("tpcds", "paper", "subquery", "semi-join", "anti-join"),
 )
 def qds16_multi_site_no_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,6 +189,7 @@ def qds16_multi_site_no_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_Q16_94_ORACLE.format(
         d0="1997-01-01", d1="1997-03-01", prio_cond="NOT IN ('5-LOW')"
     ),
+    bench=True,
     tags=("tpcds", "paper", "subquery", "semi-join", "anti-join"),
 )
 def qds94_web_no_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,6 +222,7 @@ def qds94_web_no_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_returnflag = 'R'
           AND l_orderkey IN (SELECT okey FROM ws_wh))
     """,
+    bench=True,
     tags=("tpcds", "paper", "subquery", "cte", "self-join"),
 )
 def qds95_both_sites_view(spark: SparkSession, sf_dir: str) -> DataFrame:

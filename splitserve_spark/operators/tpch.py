@@ -79,6 +79,7 @@ _PART_SUPP_SQL = """
           AND r_name = 'EUROPE')
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
     """,
+    bench=True,
     tags=("tpch", "join", "subquery"),
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,6 +126,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
     """,
+    bench=True,
     tags=("tpch", "subquery", "semi-join"),
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,6 +201,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
     """,
+    bench=True,
     tags=("tpch", "join", "aggregate"),
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,6 +263,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_year
     ORDER BY o_year
     """,
+    bench=True,
     tags=("tpch", "join", "aggregate"),
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,6 +337,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY nation, o_year
     ORDER BY nation, o_year DESC
     """,
+    bench=True,
     tags=("tpch", "join", "aggregate"),
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,6 +434,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND n_name = 'NATION_5')
     ORDER BY value DESC, ps_partkey
     """,
+    bench=True,
     tags=("tpch", "subquery", "aggregate"),
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,6 +479,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_linestatus
     ORDER BY l_linestatus
     """,
+    bench=True,
     tags=("tpch", "join", "aggregate"),
 )
 def q12_shipping_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,6 +517,7 @@ def q12_shipping_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_count
     ORDER BY custdist DESC, c_count DESC
     """,
+    bench=True,
     tags=("tpch", "outer-join", "aggregate"),
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,6 +553,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_shipdate >= TIMESTAMP '1996-09-01'
       AND l_shipdate < TIMESTAMP '1996-10-01'
     """,
+    bench=True,
     tags=("tpch", "join", "aggregate"),
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,6 +594,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND total_revenue = (SELECT max(total_revenue) FROM revenue)
     ORDER BY s_suppkey
     """,
+    bench=True,
     tags=("tpch", "subquery", "cte"),
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,6 +636,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p_brand, p_type, p_size
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,
+    bench=True,
     tags=("tpch", "subquery", "anti-join", "aggregate"),
 )
 def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,6 +670,7 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 0.5 * avg(l_quantity) FROM lineitem l2
         WHERE l2.l_partkey = p_partkey)
     """,
+    bench=True,
     tags=("tpch", "subquery", "aggregate"),
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,6 +706,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 100
     """,
+    bench=True,
     tags=("tpch", "subquery", "semi-join", "topk"),
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -735,6 +748,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
       OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
           AND l_quantity BETWEEN 20 AND 30))
     """,
+    bench=True,
     tags=("tpch", "join", "aggregate"),
 )
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,6 +790,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING sum(l_quantity) > 50)
     ORDER BY s_suppkey
     """,
+    bench=True,
     tags=("tpch", "subquery", "semi-join"),
 )
 def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,6 +847,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY numwait DESC, s_name
     LIMIT 100
     """,
+    bench=True,
     tags=("tpch", "subquery", "anti-join", "self-join"),
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -900,6 +916,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY cntrycode
     ORDER BY cntrycode
     """,
+    bench=True,
     tags=("tpch", "subquery", "anti-join", "aggregate"),
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:

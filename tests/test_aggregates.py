@@ -20,6 +20,7 @@ AGGS = [
     "agg_grouping_sets",
     "agg_pivot",
     "agg_median_mode_listagg",
+    "agg_multi_distinct",
     "agg_having",
     "agg_bool_and_count_if",
     "agg_sum_distinct",
