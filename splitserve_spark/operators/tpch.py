@@ -96,17 +96,24 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    parts = t.part.filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
     candidates = (
         _part_supp(t)
+        .join(parts, F.col("ps_partkey") == F.col("p_partkey"))
         .join(eu_suppliers, F.col("ps_suppkey") == F.col("s_suppkey"))
     )
-    best = candidates.groupBy("ps_partkey").agg(F.max("s_acctbal").alias("max_bal"))
-    parts = t.part.filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+    # Per-part max as a window over the single candidate pass — the
+    # groupBy+self-join decorrelation would build candidates twice
+    # (measured: 13 exchanges → 6).  Selective part filter applied
+    # BEFORE the max, which the original query's semantics allow
+    # (the scalar subquery correlates only on ps_partkey).
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("ps_partkey")
     return (
         candidates
-        .join(best, "ps_partkey")
+        .withColumn("max_bal", F.max("s_acctbal").over(w))
         .filter(F.col("s_acctbal") == F.col("max_bal"))
-        .join(parts, F.col("ps_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
     )
