@@ -67,3 +67,24 @@ def test_sql_entry_matches_dataframe_path(spark):
     from tests.oracle_utils import compare_frames
 
     compare_frames(df_q1, sql_q1, "q1 sql-vs-dataframe")
+
+
+def test_sql_join_hints(spark):
+    """SQL join-strategy hints resolve and steer the planner
+    (BROADCAST / MERGE hint surface)."""
+    from splitserve_spark.plans.inspect import physical_plan
+
+    b = sql_entry.sql(
+        spark,
+        "SELECT /*+ BROADCAST(nation) */ n_name, r_name "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey",
+        SF_DIR,
+    )
+    assert "BroadcastHashJoin" in physical_plan(b, mode="simple")
+    m = sql_entry.sql(
+        spark,
+        "SELECT /*+ MERGE(orders) */ o_orderkey, c_name "
+        "FROM orders JOIN customer ON o_custkey = c_custkey",
+        SF_DIR,
+    )
+    assert "SortMergeJoin" in physical_plan(m, mode="simple")
