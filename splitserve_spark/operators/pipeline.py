@@ -1,0 +1,119 @@
+"""End-to-end training-data pipeline: the beyond-parity operators
+composed the way a 100 TB corpus-preparation job runs them.
+
+Stages (all one DataFrame program — Catalyst sees the whole plan):
+  1. quality gate   — length + word-count floors (text ops)
+  2. exact dedup    — keep min(doc_id) per normalized-text fingerprint
+  3. near-dup prune — MinHash-LSH candidate pairs with Jaccard ≥ 0.3;
+                      drop the higher doc_id of each confirmed pair
+  4. output stats   — surviving docs with token counts, ordered
+
+Every stage is shuffle-bounded (fingerprint groupBy, banded LSH join,
+one anti join) and the oracle replays the identical computation in
+DuckDB, so the whole pipeline — not just its operators — is
+value-verified.  This is the composition contract: operators built in
+dedup.py / text.py chain without materialization barriers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splitserve_spark.operators.dedup import (
+    _BANDS_SQL,
+    _NORM_SQL,
+    _SHINGLE_CTE,
+    _SIG_CTE,
+    _norm,
+    dedup_minhash_lsh,
+)
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+MIN_CHARS = 120
+MIN_WORDS = 15
+JACCARD = 0.3
+
+
+@register(
+    "pipeline_training_data",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}, {_SIG_CTE},
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    neardup_losers AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM cand
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b
+      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / len(list_distinct(sa.shingles || sb.shingles)) >= {JACCARD}
+    ),
+    quality AS (
+      SELECT doc_id, text
+      FROM documents
+      WHERE length(text) >= {MIN_CHARS}
+        AND len(string_split_regex(trim(text), ' +')) >= {MIN_WORDS}
+    ),
+    exact_canon AS (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM quality
+            -- md5 over the same normalized text the Spark side hashes
+           ) q
+      GROUP BY fp
+    )
+    SELECT q.doc_id,
+           length(q.text) AS n_chars_obs,
+           CAST(len(string_split_regex(trim(q.text), ' +')) AS INTEGER) AS n_words
+    FROM quality q
+    JOIN exact_canon c ON q.doc_id = c.doc_id
+    WHERE q.doc_id NOT IN (SELECT doc_id FROM neardup_losers)
+    ORDER BY q.doc_id
+    """,
+    tags=("pipeline", "dedup", "text", "composition"),
+    bench=True,
+)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-prep pipeline (quality → exact dedup →
+    LSH near-dup prune → stats).  Near-dup losers come from the SAME
+    dedup_minhash_lsh operator users run standalone — composition, not
+    re-implementation."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), " +")
+    quality = t.documents.filter(
+        (F.length("text") >= MIN_CHARS) & (F.size(words) >= MIN_WORDS)
+    ).select("doc_id", "text")
+
+    fp = F.md5(_norm(F.col("text")).cast("binary"))
+    exact_canon = (
+        quality.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+    losers = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD)
+        .select(F.col("doc_b").alias("loser_id"))
+        .distinct()
+    )
+
+    return (
+        quality
+        .join(exact_canon, "doc_id", "left_semi")
+        .join(losers, F.col("doc_id") == F.col("loser_id"), "left_anti")
+        .select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_chars_obs"),
+            F.size(words).alias("n_words"),
+        )
+        .orderBy("doc_id")
+    )

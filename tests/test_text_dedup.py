@@ -35,3 +35,21 @@ def test_simhash_identical_texts_collide(spark):
 
     sim = REGISTRY["dedup_simhash"].fn(spark, SF_DIR)
     assert sim.filter((F.col("simhash") < 0) | (F.col("simhash") >= 1 << 16)).count() == 0
+
+
+def test_pipeline_training_data_oracle(spark):
+    check_query(spark, "pipeline_training_data", SF_DIR)
+
+
+def test_pipeline_stages_monotone(spark):
+    """Each pipeline stage can only shrink the corpus, and survivors
+    satisfy the quality gate."""
+    from splitserve_spark.operators.pipeline import MIN_CHARS, MIN_WORDS
+    from splitserve_spark.tables import Tables
+
+    out = REGISTRY["pipeline_training_data"].fn(spark, SF_DIR).toPandas()
+    total = Tables(spark, SF_DIR).documents.count()
+    assert 0 < len(out) <= total
+    assert (out["n_chars_obs"] >= MIN_CHARS).all()
+    assert (out["n_words"] >= MIN_WORDS).all()
+    assert out["doc_id"].is_unique
