@@ -88,3 +88,79 @@ def test_sql_join_hints(spark):
         SF_DIR,
     )
     assert "SortMergeJoin" in physical_plan(m, mode="simple")
+
+
+def test_distribute_cluster_sort_by(spark):
+    """DISTRIBUTE BY / SORT BY / CLUSTER BY — partition-local sort
+    surface (§2.6 sortWithinPartitions)."""
+    df = sql_entry.sql(
+        spark,
+        "SELECT o_orderkey, o_custkey FROM orders "
+        "DISTRIBUTE BY o_custkey SORT BY o_orderkey",
+        SF_DIR,
+    )
+    # partition-local sort: within every partition, orderkeys ascend
+    def check_sorted(it):
+        prev = None
+        for row in it:
+            assert prev is None or row.o_orderkey >= prev
+            prev = row.o_orderkey
+        return iter(())
+
+    df.rdd.mapPartitions(check_sorted).count()
+    # API twin
+    api = (
+        sql_entry.sql(spark, "SELECT o_orderkey, o_custkey FROM orders", SF_DIR)
+        .repartition(4, "o_custkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    api.rdd.mapPartitions(check_sorted).count()
+    sql_entry.sql(
+        spark,
+        "SELECT o_orderkey FROM orders CLUSTER BY o_orderkey",
+        SF_DIR,
+    ).count()
+
+
+def test_sql_tablesample(spark):
+    """TABLESAMPLE grammar (SqlBase.g4:422 surface)."""
+    n = sql_entry.sql(
+        spark,
+        "SELECT count(*) AS n FROM (SELECT * FROM lineitem TABLESAMPLE (10 PERCENT))",
+        SF_DIR,
+    ).collect()[0]["n"]
+    total = sql_entry.sql(
+        spark, "SELECT count(*) AS n FROM lineitem", SF_DIR
+    ).collect()[0]["n"]
+    assert 0 < n < total
+    exact = sql_entry.sql(
+        spark,
+        "SELECT count(*) AS n FROM (SELECT * FROM orders TABLESAMPLE (50 ROWS))",
+        SF_DIR,
+    ).collect()[0]["n"]
+    assert exact == 50
+
+
+def test_input_file_name_and_misc(spark):
+    row = sql_entry.sql(
+        spark,
+        "SELECT input_file_name() AS f, spark_partition_id() AS p, "
+        "monotonically_increasing_id() AS m FROM lineitem LIMIT 1",
+        SF_DIR,
+    ).collect()[0]
+    assert row["f"].endswith("lineitem.parquet")
+    assert row["p"] >= 0 and row["m"] >= 0
+
+
+def test_assert_true_and_raise_error(spark):
+    assert (
+        sql_entry.sql(spark, "SELECT assert_true(1 < 2) AS v", SF_DIR)
+        .collect()[0]["v"]
+        is None
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        sql_entry.sql(spark, "SELECT assert_true(1 > 2) AS v", SF_DIR).collect()
+    with _pytest.raises(Exception):
+        sql_entry.sql(spark, "SELECT raise_error('boom') AS v", SF_DIR).collect()
