@@ -216,3 +216,29 @@ def test_stream_stream_join(spark, staged_dir):
     import shutil as _sh
 
     _sh.rmtree(imp_dir, ignore_errors=True)
+
+
+def test_processing_time_trigger(spark, staged_dir):
+    """ProcessingTime trigger (§2.10 TriggerExecutor): continuous
+    micro-batch loop; stop after the data is processed."""
+    _write_batch(
+        staged_dir, 0,
+        [{"event_id": 1, "ts": "2024-01-01T00:00:01Z", "user_id": 1, "value": 1.0}],
+    )
+    got = []
+
+    def collect(batch_df, _):
+        got.extend(batch_df.collect())
+
+    q = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .json(staged_dir)
+        .writeStream.foreachBatch(collect)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(got) == 1 and got[0]["event_id"] == 1
