@@ -199,3 +199,46 @@ def fn_math_rounding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice + l_quantity                         AS t_add,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE l_extendedprice / l_discount END           AS t_div,
+           TRY_CAST(l_returnflag AS INTEGER)                    AS t_cast_bad,
+           TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER)   AS t_cast_ok,
+           NULL                                                 AS t_overflow
+    FROM lineitem
+    WHERE l_orderkey <= 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("math", "try-functions"),
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_* family (modern safe arithmetic): NULL instead of error on
+    overflow / bad cast / zero division — the ANSI-mode-compatible
+    spelling of the engine's pre-ANSI semantics.  The oracle replicates
+    with CASE/TRY_CAST; bigint overflow is pinned to NULL."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    big = F.lit(9223372036854775807).cast("long")
+    return (
+        t.lineitem.filter(F.col("l_orderkey") <= 300)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.try_add("l_extendedprice", "l_quantity").alias("t_add"),
+            F.when(
+                F.col("l_discount") == 0, F.lit(None).cast("double")
+            ).otherwise(
+                F.try_divide("l_extendedprice", "l_discount")
+            ).alias("t_div"),
+            F.try_to_number("l_returnflag", F.lit("999")).cast("int").alias("t_cast_bad"),
+            F.col("l_linenumber").cast("string").cast("int").alias("t_cast_ok"),
+            F.try_add(big, F.lit(1).cast("long")).alias("t_overflow"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
