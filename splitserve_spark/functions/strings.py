@@ -170,3 +170,39 @@ def fn_string_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+@register(
+    "fn_string_modern",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_name, ' ', 1)        AS first_word,
+           split_part(p_name, ' ', -1)       AS last_word,
+           left(p_name, 3)                   AS l3,
+           right(p_name, 3)                  AS r3,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER) AS n_vowels,
+           'XX' || substr(p_brand, 6)                       AS masked
+    FROM part
+    WHERE p_partkey <= 400
+    ORDER BY p_partkey
+    """,
+    tags=("string", "modern"),
+)
+def fn_string_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern string additions: split_part (±index), left/right,
+    regexp_count, overlay — all JVM-side, same names in DuckDB."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.filter(F.col("p_partkey") <= 400)
+        .select(
+            "p_partkey",
+            F.split_part("p_name", F.lit(" "), F.lit(1)).alias("first_word"),
+            F.split_part("p_name", F.lit(" "), F.lit(-1)).alias("last_word"),
+            F.expr("left(p_name, 3)").alias("l3"),
+            F.expr("right(p_name, 3)").alias("r3"),
+            F.regexp_count("p_name", F.lit("[aeiou]")).alias("n_vowels"),
+            F.overlay("p_brand", F.lit("XX"), 1, 5).alias("masked"),
+        )
+        .orderBy("p_partkey")
+    )
