@@ -278,3 +278,54 @@ def fn_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("even_sizes"),
         F.aggregate("sizes", F.lit(0), lambda acc, s: acc + s).alias("size_sum"),
     ).orderBy("p_brand")
+
+
+@register(
+    "fn_array_modern",
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey,
+             list_sort(list(l_linenumber)) AS lines,
+             list_sort(list(l_quantity))   AS qtys
+      FROM lineitem
+      WHERE l_orderkey <= 300
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           lines[1:3]                                   AS first3,
+           list_reverse(lines)                          AS rev,
+           CAST(len(lines) AS INTEGER)                  AS n,
+           list_contains(lines, 2)                      AS has2,
+           CAST(list_position(lines, 2) AS INTEGER)     AS pos2,
+           list_transform(list_zip(lines, qtys),
+                          p -> CAST(p[1] AS DOUBLE) * p[2]) AS weighted
+    FROM src
+    ORDER BY l_orderkey
+    """,
+    tags=("collection", "array", "modern"),
+)
+def fn_array_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface beyond 2.1: slice, reverse, position, zip_with —
+    all JVM-side on per-order collected line arrays.  Both engines
+    return 0 (not NULL) from array_position/list_position when absent."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    base = (
+        t.lineitem.filter(F.col("l_orderkey") <= 300)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_list("l_linenumber")).alias("lines"),
+            F.array_sort(F.collect_list("l_quantity")).alias("qtys"),
+        )
+    )
+    return base.select(
+        "l_orderkey",
+        F.slice("lines", 1, 3).alias("first3"),
+        F.reverse("lines").alias("rev"),
+        F.size("lines").alias("n"),
+        F.array_contains("lines", 2).alias("has2"),
+        F.array_position("lines", 2).cast("int").alias("pos2"),
+        F.zip_with(
+            "lines", "qtys", lambda a, b: a.cast("double") * b
+        ).alias("weighted"),
+    ).orderBy("l_orderkey")
