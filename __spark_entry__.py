@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)   — flagship query (TPC-H Q1 style) on sf0.001.
-queries()      — every registered operator query from SURVEY.md §2,
-                 built in splitserve_spark/operators|functions|streaming.
-oracle_sql()   — matching DuckDB SQL per query (None-oracle queries are
-                 omitted → driver records a rows-only check).
+queries()      — every registered operator query from SURVEY.md §2 plus
+                 the beyond-parity pipeline operators (~177 entries:
+                 TPC-H Q1-Q22, the paper's TPC-DS Q5/Q16/Q94/Q95 shapes,
+                 joins/aggregates/windows/setops/subqueries, scalar
+                 functions, UDF surface, stats, DDL, RDD ops, streaming,
+                 dedup/similarity/text/multimodal, graph/ML workloads).
+oracle_sql()   — matching DuckDB SQL per query (~165 entries; None-oracle
+                 queries omitted → driver records a rows-only check).
 """
 
 from __future__ import annotations
