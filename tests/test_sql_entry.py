@@ -164,3 +164,20 @@ def test_assert_true_and_raise_error(spark):
         sql_entry.sql(spark, "SELECT assert_true(1 > 2) AS v", SF_DIR).collect()
     with _pytest.raises(Exception):
         sql_entry.sql(spark, "SELECT raise_error('boom') AS v", SF_DIR).collect()
+
+
+def test_group_by_all_order_by_all(spark):
+    """GROUP BY ALL / ORDER BY ALL sugar — supported by both engines."""
+    q = (
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n "
+        "FROM orders GROUP BY ALL ORDER BY ALL"
+    )
+    got = sql_entry.sql(spark, q, SF_DIR).toPandas()
+    con = duck_connection(SF_DIR)
+    try:
+        want = con.execute(q).df()
+    finally:
+        con.close()
+    from tests.oracle_utils import compare_frames
+
+    compare_frames(got, want, "group_by_all")

@@ -242,3 +242,31 @@ def test_processing_time_trigger(spark, staged_dir):
     finally:
         q.stop()
     assert len(got) == 1 and got[0]["event_id"] == 1
+
+
+def test_rate_source(spark):
+    """Built-in rate source (§2.1 streaming sources) — generates
+    (timestamp, value) rows; smoke one micro-batch."""
+    got = []
+
+    def collect(batch_df, _):
+        got.extend(batch_df.collect())
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .load()
+        .writeStream.foreachBatch(collect)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 15
+        while not got and time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    assert got, "rate source produced no rows in 15s"
+    assert {"timestamp", "value"} <= set(got[0].asDict())
