@@ -82,41 +82,38 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUCKET_DB_READY: set[str] = set()
-
-
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write orders+lineitem bucketed by the join key (once per sf_dir
-    per warehouse) and return the table names.  Bucketed layout =
+    per session catalog) and return the table names.  Bucketed layout =
     persisted hash-partitioning: any number of later joins/aggs on the
-    key run shuffle-free."""
+    key run shuffle-free.  Existence is checked against the session
+    catalog each call (NOT a process-global flag: the catalog is
+    session-scoped, so a new session in the same process must rebuild)."""
     import shutil
 
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
     t_orders, t_lineitem = f"orders_b_{tag}", f"lineitem_b_{tag}"
-    if tag not in _BUCKET_DB_READY:
-        t = Tables(spark, sf_dir)
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        warehouse = warehouse.removeprefix("file:")
-        for name, src, key, cols in (
-            (t_orders, t.orders, "o_orderkey",
-             ("o_orderkey", "o_custkey", "o_totalprice")),
-            (t_lineitem, t.lineitem, "l_orderkey",
-             ("l_orderkey", "l_quantity", "l_extendedprice")),
-        ):
-            if not spark.catalog.tableExists(name):
-                # A managed-table location can outlive the in-memory
-                # catalog (fresh session, stale warehouse dir) — clear it.
-                spark.sql(f"DROP TABLE IF EXISTS {name}")
-                shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
-                (
-                    src.select(*cols)
-                    .write.mode("overwrite")
-                    .bucketBy(8, key)
-                    .sortBy(key)
-                    .saveAsTable(name)
-                )
-        _BUCKET_DB_READY.add(tag)
+    t = Tables(spark, sf_dir)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = warehouse.removeprefix("file:")
+    for name, src, key, cols in (
+        (t_orders, t.orders, "o_orderkey",
+         ("o_orderkey", "o_custkey", "o_totalprice")),
+        (t_lineitem, t.lineitem, "l_orderkey",
+         ("l_orderkey", "l_quantity", "l_extendedprice")),
+    ):
+        if not spark.catalog.tableExists(name):
+            # A managed-table location can outlive the in-memory
+            # catalog (fresh session, stale warehouse dir) — clear it.
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+            (
+                src.select(*cols)
+                .write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
     return t_orders, t_lineitem
 
 

@@ -891,9 +891,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name")
     )
+    # Count every late LINE (the oracle's l1 is a lineitem row, so a
+    # supplier with 2 late lines in one order contributes 2) — a
+    # per-(order, supplier) dedup here undercounts at SFs where such
+    # duplicates exist (they first appear at sf0.1).
     return (
         li.filter(F.col("is_late"))
-        .dropDuplicates(["l_orderkey", "l_suppkey"])
         .join(per_order, "l_orderkey")
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .join(nation4_supp, F.col("l_suppkey") == F.col("s_suppkey"))

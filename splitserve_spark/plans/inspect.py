@@ -47,10 +47,17 @@ def pushed_filters(df: DataFrame) -> str:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges — the scale-cost headline of a plan.
+    """Number of SHUFFLE exchanges — the scale-cost headline of a plan.
     Counted on the `simple` plan (the formatted mode repeats each node
-    in its detail section)."""
+    in its detail section).  BroadcastExchange and ReusedExchange are
+    deliberately excluded: the word-boundary regex does not match
+    either (no boundary after 't'/'d'), only standalone `Exchange
+    hashpartitioning/rangepartitioning/...` nodes."""
+    import re
+
     plan = physical_plan(df, mode="simple")
     return sum(
-        1 for line in plan.splitlines() if "Exchange" in line and "Reused" not in line
+        1
+        for line in plan.splitlines()
+        if re.search(r"(?<![A-Za-z])Exchange\b", line)
     )

@@ -14,17 +14,17 @@ from pyspark.sql import DataFrame, SparkSession
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import TABLE_NAMES, Tables
 
-_REGISTERED: set[tuple[int, str]] = set()
-
-
 def sql(spark: SparkSession, query: str, sf_dir: str) -> DataFrame:
     """Execute `query` with the sf_dir tables visible under their
-    canonical names (region, nation, …, embeddings)."""
+    canonical names (region, nation, …, embeddings).
+
+    Views are (re-)registered on every call: the names are
+    session-global, so a skip-if-seen cache would leave them pointing
+    at a previously used sf_dir (and id(spark) keys are reusable after
+    GC).  createOrReplaceTempView is a catalog-only operation — a few
+    ms, no data movement."""
     ensure_parity_conf(spark)
-    key = (id(spark), sf_dir)
-    if key not in _REGISTERED:
-        Tables(spark, sf_dir).register_temp_views()
-        _REGISTERED.add(key)
+    Tables(spark, sf_dir).register_temp_views()
     return spark.sql(query)
 
 

@@ -103,16 +103,10 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch aggregate — which is exactly what the oracle checks.
     Multi-batch state carry-over is covered in tests/test_custom_state.py."""
     ensure_parity_conf(spark)
+    from splitserve_spark.streaming.stateful import _events_stream
+
     name = "ssp_" + "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, "
-            "event_type string, value double, props string"
-        )
-        .parquet(f"{sf_dir}/events.*")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .select("user_id", "ts", "value")
-    )
+    raw = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
     q = (
         running_user_profile(spark, raw)
         .writeStream.format("memory")
