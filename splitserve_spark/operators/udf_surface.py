@@ -41,7 +41,7 @@ from splitserve_spark.tables import Tables
            CASE WHEN l_extendedprice * (1 - l_discount) >= 50000 THEN 'high'
                 WHEN l_extendedprice * (1 - l_discount) >= 20000 THEN 'mid'
                 ELSE 'low' END AS price_band,
-           round(l_extendedprice * (1 - l_discount), 2) AS net_price
+           l_extendedprice * (1 - l_discount) AS net_price
     FROM lineitem
     WHERE l_quantity >= 49
     ORDER BY l_orderkey, l_linenumber
@@ -70,7 +70,8 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             band(net).alias("price_band"),
-            F.round(net, 2).alias("net_price"),
+            net.alias("net_price"),  # unrounded: round() tie-breaking
+            # differs across engines (HALF_UP vs HALF_EVEN) at .xx5
         )
         .orderBy("l_orderkey", "l_linenumber")
     )

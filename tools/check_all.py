@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Run every registered query against its DuckDB oracle at a given SF.
+
+    python tools/check_all.py [/root/testdata/sf0.1]
+
+The driver's t2 gate runs at sf0.01; some divergences only materialize
+at larger SFs (e.g. duplicate late lines in TPC-H Q21 first appear at
+sf0.1), so run this at the bench SF after touching any operator.
+Queries without oracles get a rows-only check.  Exits non-zero on any
+failure.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from splitserve_spark.registry import load_all
+    from splitserve_spark.session import get_session
+    from tests.oracle_utils import check_query
+
+    spark = get_session("check-all", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+    ok, failed = 0, []
+    for name in sorted(registry):
+        try:
+            if registry[name].oracle is not None:
+                check_query(spark, name, sf_dir)
+            else:
+                registry[name].fn(spark, sf_dir).count()
+            ok += 1
+        except Exception as ex:
+            failed.append(name)
+            print(f"FAIL {name}: {str(ex)[:300]}", file=sys.stderr)
+    print(f"{ok}/{len(registry)} queries pass at {sf_dir}"
+          + (f"; FAILED: {failed}" if failed else ""))
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
