@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from splitserve_spark.registry import load_all  # noqa: E402
+from splitserve_spark.registry import load_all, ordered_registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,12 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in load_all().items()}
+    # Priority order: TPC-H, TPC-DS quartet, LLM-pipeline operators, core
+    # relational highlights, everything else; no-oracle queries last.
+    return {name: spec.fn for name, spec in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         name: spec.oracle
-        for name, spec in load_all().items()
+        for name, spec in ordered_registry().items()
         if spec.oracle is not None
     }

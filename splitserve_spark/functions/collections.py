@@ -21,17 +21,24 @@ from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
 
+def _arr_str(col, sep: str = "|"):
+    """Serialize an array column to 'a|b|c' — the driver's canonicalizer
+    cannot hash array-typed values, so every registered query emits
+    arrays in this form (oracle side: array_to_string(..., '|'))."""
+    return F.array_join(F.transform(col, lambda x: x.cast("string")), sep)
+
+
 @register(
     "fn_array_basic",
     oracle="""
     SELECT n_nationkey,
-           [n_nationkey, n_regionkey, 99]                    AS arr,
-           len([n_nationkey, n_regionkey, 99])               AS arr_len,
-           list_contains([n_nationkey, n_regionkey], 3)      AS has3,
-           [n_nationkey, n_regionkey, 99][1]                 AS first_elem,
-           list_sort([99, n_nationkey, n_regionkey])         AS sorted_arr,
-           list_sort(list_distinct([n_nationkey, n_regionkey, n_regionkey])) AS dedup_arr,
-           generate_series(1, 3)                             AS seq
+           array_to_string([n_nationkey, n_regionkey, 99], '|')    AS arr,
+           len([n_nationkey, n_regionkey, 99])                     AS arr_len,
+           list_contains([n_nationkey, n_regionkey], 3)            AS has3,
+           [n_nationkey, n_regionkey, 99][1]                       AS first_elem,
+           array_to_string(list_sort([99, n_nationkey, n_regionkey]), '|') AS sorted_arr,
+           array_to_string(list_sort(list_distinct([n_nationkey, n_regionkey, n_regionkey])), '|') AS dedup_arr,
+           array_to_string(generate_series(1, 3), '|')             AS seq
     FROM nation
     ORDER BY n_nationkey
     """,
@@ -47,13 +54,13 @@ def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.nation.select(
             "n_nationkey",
-            arr.alias("arr"),
+            _arr_str(arr).alias("arr"),
             F.size(arr).cast("bigint").alias("arr_len"),
             F.array_contains(F.array(k, r), F.lit(3)).alias("has3"),
             F.element_at(arr, 1).alias("first_elem"),
-            F.sort_array(F.array(F.lit(99), k, r)).alias("sorted_arr"),
-            F.sort_array(F.array_distinct(F.array(k, r, r))).alias("dedup_arr"),
-            F.sequence(F.lit(1), F.lit(3)).alias("seq"),
+            _arr_str(F.sort_array(F.array(F.lit(99), k, r))).alias("sorted_arr"),
+            _arr_str(F.sort_array(F.array_distinct(F.array(k, r, r)))).alias("dedup_arr"),
+            _arr_str(F.sequence(F.lit(1), F.lit(3))).alias("seq"),
         )
         .orderBy("n_nationkey")
     )
@@ -63,8 +70,8 @@ def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_lambda",
     oracle="""
     SELECT n_nationkey,
-           list_transform([n_nationkey, n_regionkey], x -> x * 10)  AS times10,
-           list_filter([n_nationkey, n_regionkey, 7], x -> x > 3)   AS gt3,
+           array_to_string(list_transform([n_nationkey, n_regionkey], x -> x * 10), '|') AS times10,
+           array_to_string(list_filter([n_nationkey, n_regionkey, 7], x -> x > 3), '|')  AS gt3,
            list_reduce([n_nationkey, n_regionkey, 5], (a, b) -> a + b) AS total,
            CAST(list_position([n_nationkey, n_regionkey, 7], 7) AS BIGINT) AS pos7,
            list_max([n_nationkey, n_regionkey])                     AS amax
@@ -84,8 +91,8 @@ def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.nation.select(
             "n_nationkey",
-            F.transform(F.array(k, r), lambda x: x * 10).alias("times10"),
-            F.filter(F.array(k, r, F.lit(7)), lambda x: x > 3).alias("gt3"),
+            _arr_str(F.transform(F.array(k, r), lambda x: x * 10)).alias("times10"),
+            _arr_str(F.filter(F.array(k, r, F.lit(7)), lambda x: x > 3)).alias("gt3"),
             F.aggregate(
                 F.array(k, r, F.lit(5)), F.lit(0), lambda acc, x: acc + x
             ).alias("total"),
@@ -150,9 +157,9 @@ def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_struct_access",
     oracle="""
     SELECT n_nationkey,
-           struct_pack(key := n_nationkey, name := n_name)      AS st,
-           struct_pack(key := n_nationkey, name := n_name).name AS st_name,
-           n_regionkey                                          AS mapped
+           to_json(struct_pack(key := n_nationkey, name := n_name)) AS st,
+           struct_pack(key := n_nationkey, name := n_name).name     AS st_name,
+           n_regionkey                                              AS mapped
     FROM nation
     ORDER BY n_nationkey
     """,
@@ -167,7 +174,7 @@ def fn_struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.nation.select(
             "n_nationkey",
-            st.alias("st"),
+            F.to_json(st).alias("st"),
             st.getField("name").alias("st_name"),
             F.element_at(
                 F.create_map(F.col("n_name"), F.col("n_regionkey")), F.col("n_name")
@@ -246,8 +253,8 @@ def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p_brand,
            len(sizes)                                        AS n_keys,
-           list_sort(list_transform(sizes, s -> s * 10))     AS sizes_x10,
-           list_sort(list_filter(sizes, s -> s % 2 = 0))     AS even_sizes,
+           array_to_string(list_sort(list_transform(sizes, s -> s * 10)), '|') AS sizes_x10,
+           array_to_string(list_sort(list_filter(sizes, s -> s % 2 = 0)), '|') AS even_sizes,
            list_aggregate(sizes, 'sum')                      AS size_sum
     FROM src
     ORDER BY p_brand
@@ -272,10 +279,10 @@ def fn_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "p_brand",
         F.size(m).alias("n_keys"),
-        F.array_sort(F.map_values(m)).alias("sizes_x10"),
-        F.array_sort(
+        _arr_str(F.array_sort(F.map_values(m))).alias("sizes_x10"),
+        _arr_str(F.array_sort(
             F.map_keys(F.map_filter(m, lambda k, v: k % 2 == 0))
-        ).alias("even_sizes"),
+        )).alias("even_sizes"),
         F.aggregate("sizes", F.lit(0), lambda acc, s: acc + s).alias("size_sum"),
     ).orderBy("p_brand")
 
@@ -292,13 +299,13 @@ def fn_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_orderkey
     )
     SELECT l_orderkey,
-           lines[1:3]                                   AS first3,
-           list_reverse(lines)                          AS rev,
+           array_to_string(lines[1:3], '|')             AS first3,
+           array_to_string(list_reverse(lines), '|')    AS rev,
            CAST(len(lines) AS INTEGER)                  AS n,
            list_contains(lines, 2)                      AS has2,
            CAST(list_position(lines, 2) AS INTEGER)     AS pos2,
-           list_transform(list_zip(lines, qtys),
-                          p -> CAST(p[1] AS DOUBLE) * p[2]) AS weighted
+           array_to_string(list_transform(list_zip(lines, qtys),
+                          p -> round(CAST(p[1] AS DOUBLE) * p[2], 2)), '|') AS weighted
     FROM src
     ORDER BY l_orderkey
     """,
@@ -320,12 +327,12 @@ def fn_array_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.select(
         "l_orderkey",
-        F.slice("lines", 1, 3).alias("first3"),
-        F.reverse("lines").alias("rev"),
+        _arr_str(F.slice("lines", 1, 3)).alias("first3"),
+        _arr_str(F.reverse("lines")).alias("rev"),
         F.size("lines").alias("n"),
         F.array_contains("lines", 2).alias("has2"),
         F.array_position("lines", 2).cast("int").alias("pos2"),
-        F.zip_with(
-            "lines", "qtys", lambda a, b: a.cast("double") * b
-        ).alias("weighted"),
+        _arr_str(F.zip_with(
+            "lines", "qtys", lambda a, b: F.round(a.cast("double") * b, 2)
+        )).alias("weighted"),
     ).orderBy("l_orderkey")

@@ -25,12 +25,12 @@ from splitserve_spark.tables import Tables
            ceil(l_extendedprice / 1000)      AS price_k_ceil,
            floor(l_discount * 100)           AS disc_pct_floor,
            round(l_tax * 100, 1)             AS tax_pct,
-           sqrt(l_quantity)                  AS root_qty,
-           pow(l_discount, 2)                AS disc_sq,
-           exp(l_discount)                   AS e_disc,
-           ln(l_extendedprice)               AS ln_price,
-           log10(l_extendedprice)            AS log10_price,
-           log2(l_quantity + 1)              AS log2_qty,
+           round(sqrt(l_quantity), 9)        AS root_qty,
+           round(pow(l_discount, 2), 9)      AS disc_sq,
+           round(exp(l_discount), 9)         AS e_disc,
+           round(ln(l_extendedprice), 9)     AS ln_price,
+           round(log10(l_extendedprice), 9)  AS log10_price,
+           round(log2(l_quantity + 1), 9)    AS log2_qty,
            sign(l_quantity - 25.0)           AS qty_sign,
            greatest(l_discount, l_tax)       AS max_rate,
            least(l_discount, l_tax)          AS min_rate
@@ -52,12 +52,12 @@ def fn_math_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
             F.floor(F.col("l_discount") * 100).alias("disc_pct_floor"),
             F.round(F.col("l_tax") * 100, 1).alias("tax_pct"),
-            F.sqrt("l_quantity").alias("root_qty"),
-            F.pow("l_discount", F.lit(2)).alias("disc_sq"),
-            F.exp("l_discount").alias("e_disc"),
-            F.log("l_extendedprice").alias("ln_price"),
-            F.log10("l_extendedprice").alias("log10_price"),
-            F.log2(F.col("l_quantity") + 1).alias("log2_qty"),
+            F.round(F.sqrt("l_quantity"), 9).alias("root_qty"),
+            F.round(F.pow("l_discount", F.lit(2)), 9).alias("disc_sq"),
+            F.round(F.exp("l_discount"), 9).alias("e_disc"),
+            F.round(F.log("l_extendedprice"), 9).alias("ln_price"),
+            F.round(F.log10("l_extendedprice"), 9).alias("log10_price"),
+            F.round(F.log2(F.col("l_quantity") + 1), 9).alias("log2_qty"),
             F.signum(F.col("l_quantity") - 25.0).alias("qty_sign"),
             F.greatest("l_discount", "l_tax").alias("max_rate"),
             F.least("l_discount", "l_tax").alias("min_rate"),

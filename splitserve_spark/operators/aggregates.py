@@ -32,7 +32,7 @@ from splitserve_spark.tables import Tables
            count(*)                   AS n_rows,
            count(DISTINCT l_partkey)  AS n_parts,
            sum(l_quantity)            AS sum_qty,
-           avg(l_extendedprice)       AS avg_price,
+           round(avg(l_extendedprice), 4) AS avg_price,
            min(l_discount)            AS min_disc,
            max(l_tax)                 AS max_tax
     FROM lineitem
@@ -53,7 +53,7 @@ def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("l_partkey").alias("n_parts"),
             F.sum("l_quantity").alias("sum_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.min("l_discount").alias("min_disc"),
             F.max("l_tax").alias("max_tax"),
         )
@@ -65,10 +65,10 @@ def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_variance",
     oracle="""
     SELECT l_returnflag,
-           stddev_samp(l_extendedprice) AS sd_samp,
-           stddev_pop(l_extendedprice)  AS sd_pop,
-           var_samp(l_extendedprice)    AS v_samp,
-           var_pop(l_extendedprice)     AS v_pop
+           round(stddev_samp(l_extendedprice), 4) AS sd_samp,
+           round(stddev_pop(l_extendedprice), 4)  AS sd_pop,
+           round(var_samp(l_extendedprice), 4)    AS v_samp,
+           round(var_pop(l_extendedprice), 4)     AS v_pop
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -76,16 +76,20 @@ def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregate", "stats"),
 )
 def agg_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Central-moment aggregates (reference CentralMomentAgg.scala:137-215)."""
+    """Central-moment aggregates (reference CentralMomentAgg.scala:137-215).
+
+    Both engines round to 4dp: summation order differs across engines,
+    so raw doubles diverge at the ~1e-7 level (measured) and would break
+    an exact value hash."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     return (
         t.lineitem.groupBy("l_returnflag")
         .agg(
-            F.stddev_samp("l_extendedprice").alias("sd_samp"),
-            F.stddev_pop("l_extendedprice").alias("sd_pop"),
-            F.var_samp("l_extendedprice").alias("v_samp"),
-            F.var_pop("l_extendedprice").alias("v_pop"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_samp"),
+            F.round(F.stddev_pop("l_extendedprice"), 4).alias("sd_pop"),
+            F.round(F.var_samp("l_extendedprice"), 4).alias("v_samp"),
+            F.round(F.var_pop("l_extendedprice"), 4).alias("v_pop"),
         )
         .orderBy("l_returnflag")
     )
@@ -108,8 +112,8 @@ def agg_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l.l_returnflag
     )
     SELECT l_returnflag,
-           m3 / pow(m2, 1.5) AS skew,
-           m4 / pow(m2, 2) - 3 AS kurt
+           round(m3 / pow(m2, 1.5), 6) AS skew,
+           round(m4 / pow(m2, 2) - 3, 6) AS kurt
     FROM mom
     ORDER BY l_returnflag
     """,
@@ -124,8 +128,8 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.groupBy("l_returnflag")
         .agg(
-            F.skewness("l_extendedprice").alias("skew"),
-            F.kurtosis("l_extendedprice").alias("kurt"),
+            F.round(F.skewness("l_extendedprice"), 6).alias("skew"),
+            F.round(F.kurtosis("l_extendedprice"), 6).alias("kurt"),
         )
         .orderBy("l_returnflag")
     )
@@ -135,9 +139,9 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_corr_covar",
     oracle="""
     SELECT l_returnflag,
-           corr(l_quantity, l_extendedprice)       AS correlation,
-           covar_samp(l_quantity, l_extendedprice) AS cov_samp,
-           covar_pop(l_quantity, l_extendedprice)  AS cov_pop
+           round(corr(l_quantity, l_extendedprice), 6)       AS correlation,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_samp,
+           round(covar_pop(l_quantity, l_extendedprice), 4)  AS cov_pop
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -150,9 +154,9 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.groupBy("l_returnflag")
         .agg(
-            F.corr("l_quantity", "l_extendedprice").alias("correlation"),
-            F.covar_samp("l_quantity", "l_extendedprice").alias("cov_samp"),
-            F.covar_pop("l_quantity", "l_extendedprice").alias("cov_pop"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("correlation"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_samp"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("cov_pop"),
         )
         .orderBy("l_returnflag")
     )
@@ -214,8 +218,8 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(n_name))          AS nations,
-           list_sort(list(DISTINCT n_name)) AS nation_set
+           array_to_string(list_sort(list(n_name)), '|')          AS nations,
+           array_to_string(list_sort(list(DISTINCT n_name)), '|') AS nation_set
     FROM nation
     GROUP BY n_regionkey
     ORDER BY n_regionkey
@@ -225,14 +229,15 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list / collect_set (reference collect.scala:90,113),
     wrapped in sort_array because bare collect order is partition-order
-    dependent on any engine."""
+    dependent on any engine.  Output is serialized with array_join: the
+    driver's canonicalizer cannot sort/hash array-typed columns."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     return (
         t.nation.groupBy("n_regionkey")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
-            F.sort_array(F.collect_set("n_name")).alias("nation_set"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations"),
+            F.array_join(F.sort_array(F.collect_set("n_name")), "|").alias("nation_set"),
         )
         .orderBy("n_regionkey")
     )

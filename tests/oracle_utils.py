@@ -1,9 +1,17 @@
 """Local mirror of the driver's DuckDB-oracle comparison.
 
 Runs a registered Spark query and its oracle SQL on the same parquet
-tables, then compares row count, column names and values (columns
-sorted by name, rows sorted, floats rounded).  Stricter than the
-driver's hash so that anything passing here passes there.
+tables, then compares row count, column names and values.
+
+Two modes:
+- default (tolerant): floats rounded to 4dp + 1e-4 tolerance — useful
+  while iterating, but NOT a predictor of the driver's exact value hash.
+- strict=True: models the driver. Fails on array/struct/map output
+  columns (the driver's canonicalizer cannot hash numpy.ndarray), uses
+  EXACT float equality (so every float column must be explicitly
+  rounded identically in both engines), and flags order divergence
+  between the two engines' emitted row order even when the sorted
+  values match (an order-sensitive driver hash would fail those).
 """
 
 from __future__ import annotations
@@ -30,13 +38,19 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _normalize(df: pd.DataFrame, float_dp: int = 4) -> pd.DataFrame:
+def _canon_types(df: pd.DataFrame, float_dp: int | None = 4) -> pd.DataFrame:
+    """Canonicalize dtypes (columns sorted by name) WITHOUT reordering rows.
+
+    float_dp=None keeps raw float values — strict mode must see the exact
+    emitted doubles, otherwise comparator-side rounding would mask the
+    very divergence the driver's exact hash catches."""
     df = df.copy()
     df = df[sorted(df.columns)]
     for col in df.columns:
         s = df[col]
         if pd.api.types.is_float_dtype(s):
-            df[col] = s.astype("float64").round(float_dp)
+            s = s.astype("float64")
+            df[col] = s if float_dp is None else s.round(float_dp)
         elif pd.api.types.is_datetime64_any_dtype(s):
             ts = pd.to_datetime(s)
             try:
@@ -57,37 +71,92 @@ def _normalize(df: pd.DataFrame, float_dp: int = 4) -> pd.DataFrame:
             df[col] = s.map(conv)
         elif pd.api.types.is_integer_dtype(s):
             df[col] = s.astype("int64")
+    return df
+
+
+def _normalize(df: pd.DataFrame, float_dp: int | None = 4) -> pd.DataFrame:
+    df = _canon_types(df, float_dp)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
 
-def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str) -> None:
+def hazard_columns(df: pd.DataFrame) -> list[str]:
+    """Columns whose values the driver's canonicalizer cannot sort/hash
+    (arrays, structs, maps surface as list/ndarray/dict in pandas)."""
+    import numpy as np
+
+    bad = []
+    for col in df.columns:
+        s = df[col]
+        if s.dtype == object:
+            v = next(
+                (x for x in s
+                 if x is not None and not (isinstance(x, float) and math.isnan(x))),
+                None,
+            )
+            if isinstance(v, (list, tuple, dict, np.ndarray)):
+                bad.append(col)
+    return bad
+
+
+def _columns_equal(sv: pd.Series, ov: pd.Series, exact_floats: bool) -> pd.Series:
+    """Boolean mask of MISMATCHING rows."""
+    if pd.api.types.is_float_dtype(sv):
+        if exact_floats:
+            eq = (sv.isna() & ov.isna()) | (sv == ov)
+        else:
+            eq = (sv.isna() & ov.isna()) | (
+                (sv - ov).abs() <= 1e-4 + 1e-6 * ov.abs().fillna(0)
+            )
+    else:
+        eq = (sv.isna() & ov.isna()) | (sv == ov)
+    return ~eq
+
+
+def _assert_values(s: pd.DataFrame, o: pd.DataFrame, name: str,
+                   exact_floats: bool, what: str) -> None:
+    for col in s.columns:
+        mism = _columns_equal(s[col], o[col], exact_floats)
+        if mism.any():
+            idx = mism[mism].index[:5]
+            detail = "\n".join(
+                f"  row {i}: spark={s[col][i]!r} oracle={o[col][i]!r}" for i in idx
+            )
+            raise AssertionError(
+                f"{name}: {what} column {col!r} mismatches "
+                f"({int(mism.sum())} rows):\n{detail}"
+            )
+
+
+def compare_frames(
+    spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str,
+    strict: bool = False,
+) -> None:
     assert len(spark_df) == len(oracle_df), (
         f"{name}: row count {len(spark_df)} (spark) != {len(oracle_df)} (oracle)"
     )
     s_cols, o_cols = sorted(spark_df.columns), sorted(oracle_df.columns)
     assert s_cols == o_cols, f"{name}: columns {s_cols} != {o_cols}"
-    s, o = _normalize(spark_df), _normalize(oracle_df)
-    for col in s.columns:
-        sv, ov = s[col], o[col]
-        if pd.api.types.is_float_dtype(sv):
-            mism = ~(
-                (sv.isna() & ov.isna())
-                | ((sv - ov).abs() <= 1e-4 + 1e-6 * ov.abs().fillna(0))
-            )
-        else:
-            mism = ~((sv.isna() & ov.isna()) | (sv == ov))
-        if mism.any():
-            idx = mism[mism].index[:5]
-            detail = "\n".join(
-                f"  row {i}: spark={sv[i]!r} oracle={ov[i]!r}" for i in idx
-            )
-            raise AssertionError(
-                f"{name}: column {col!r} mismatches ({int(mism.sum())} rows):\n{detail}"
-            )
+    if strict:
+        bad = hazard_columns(spark_df)
+        assert not bad, (
+            f"{name}: driver-unhashable output columns {bad} "
+            "(serialize arrays with array_join/to_json)"
+        )
+    dp = None if strict else 4
+    s, o = _normalize(spark_df, dp), _normalize(oracle_df, dp)
+    _assert_values(s, o, name, exact_floats=strict, what="sorted")
+    if strict:
+        # Order-divergence check: the sorted values match; now verify the
+        # two engines also EMITTED the rows in the same order, so an
+        # order-sensitive driver hash would agree too.
+        se = _canon_types(spark_df, None).reset_index(drop=True)
+        oe = _canon_types(oracle_df, None).reset_index(drop=True)
+        _assert_values(se, oe, name, exact_floats=True, what="emitted-order")
 
 
-def check_query(spark, name: str, sf_dir: str = SF_DIR_ORACLE) -> None:
+def check_query(spark, name: str, sf_dir: str = SF_DIR_ORACLE,
+                strict: bool = False) -> None:
     """Run query `name` on Spark and DuckDB at sf_dir; assert match."""
     spec = REGISTRY[name]
     spark_pdf = spec.fn(spark, sf_dir).toPandas()
@@ -99,4 +168,4 @@ def check_query(spark, name: str, sf_dir: str = SF_DIR_ORACLE) -> None:
         oracle_pdf = con.execute(spec.oracle).df()
     finally:
         con.close()
-    compare_frames(spark_pdf, oracle_pdf, name)
+    compare_frames(spark_pdf, oracle_pdf, name, strict=strict)

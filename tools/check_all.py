@@ -1,11 +1,18 @@
 #!/usr/bin/env python
 """Run every registered query against its DuckDB oracle at a given SF.
 
-    python tools/check_all.py [/root/testdata/sf0.1]
+    python tools/check_all.py [--strict] [/root/testdata/sf0.1] [name ...]
 
 The driver's t2 gate runs at sf0.01; some divergences only materialize
 at larger SFs (e.g. duplicate late lines in TPC-H Q21 first appear at
 sf0.1), so run this at the bench SF after touching any operator.
+
+--strict models the driver's exact value hash: no float tolerance, no
+array/struct output columns, emitted-order agreement (see
+tests/oracle_utils.compare_frames).  A strict pass at sf0.01 AND sf0.1
+is the local predictor of a driver hash_match.
+
+Optional trailing query names restrict the run to that subset.
 Queries without oracles get a rows-only check.  Exits non-zero on any
 failure.
 """
@@ -19,7 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    argv = sys.argv[1:]
+    strict = "--strict" in argv
+    argv = [a for a in argv if a != "--strict"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    only = set(argv[1:])
     from splitserve_spark.registry import load_all
     from splitserve_spark.session import get_session
     from tests.oracle_utils import check_query
@@ -27,18 +38,20 @@ def main() -> int:
     spark = get_session("check-all", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
+    names = [n for n in sorted(registry) if not only or n in only]
     ok, failed = 0, []
-    for name in sorted(registry):
+    for name in names:
         try:
             if registry[name].oracle is not None:
-                check_query(spark, name, sf_dir)
+                check_query(spark, name, sf_dir, strict=strict)
             else:
                 registry[name].fn(spark, sf_dir).count()
             ok += 1
         except Exception as ex:
             failed.append(name)
             print(f"FAIL {name}: {str(ex)[:300]}", file=sys.stderr)
-    print(f"{ok}/{len(registry)} queries pass at {sf_dir}"
+    mode = "strict" if strict else "tolerant"
+    print(f"{ok}/{len(names)} queries pass ({mode}) at {sf_dir}"
           + (f"; FAILED: {failed}" if failed else ""))
     spark.stop()
     return 1 if failed else 0
