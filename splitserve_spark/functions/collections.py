@@ -92,6 +92,8 @@ def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.nation.select(
             "n_nationkey",
             _arr_str(F.transform(F.array(k, r), lambda x: x * 10)).alias("times10"),
+            # gt3 is provably non-empty (literal 7 > 3 is always kept), so
+            # DuckDB's array_to_string([]) → NULL divergence cannot bite here.
             _arr_str(F.filter(F.array(k, r, F.lit(7)), lambda x: x > 3)).alias("gt3"),
             F.aggregate(
                 F.array(k, r, F.lit(5)), F.lit(0), lambda acc, x: acc + x
@@ -254,8 +256,10 @@ def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_brand,
            len(sizes)                                        AS n_keys,
            array_to_string(list_sort(list_transform(sizes, s -> s * 10)), '|') AS sizes_x10,
-           array_to_string(list_sort(list_filter(sizes, s -> s % 2 = 0)), '|') AS even_sizes,
-           list_aggregate(sizes, 'sum')                      AS size_sum
+           -- COALESCE: DuckDB array_to_string([]) is NULL, Spark array_join is ''
+           COALESCE(array_to_string(list_sort(list_filter(sizes, s -> s % 2 = 0)), '|'), '') AS even_sizes,
+           -- CAST: DuckDB list_aggregate sum yields HUGEINT (float64 via pandas)
+           CAST(list_aggregate(sizes, 'sum') AS BIGINT)      AS size_sum
     FROM src
     ORDER BY p_brand
     """,
@@ -283,7 +287,8 @@ def fn_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         _arr_str(F.array_sort(
             F.map_keys(F.map_filter(m, lambda k, v: k % 2 == 0))
         )).alias("even_sizes"),
-        F.aggregate("sizes", F.lit(0), lambda acc, s: acc + s).alias("size_sum"),
+        F.aggregate("sizes", F.lit(0), lambda acc, s: acc + s)
+        .cast("long").alias("size_sum"),
     ).orderBy("p_brand")
 
 
@@ -327,6 +332,8 @@ def fn_array_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.select(
         "l_orderkey",
+        # first3/rev are provably non-empty: `lines` is a groupBy
+        # collect_list, and every group has >= 1 row by construction.
         _arr_str(F.slice("lines", 1, 3)).alias("first3"),
         _arr_str(F.reverse("lines")).alias("rev"),
         F.size("lines").alias("n"),

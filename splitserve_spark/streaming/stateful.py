@@ -62,9 +62,11 @@ _SESSION_ORACLE = """
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (
+             -- CAST: DuckDB sum(int) yields HUGEINT, which pandas renders as
+             -- float64 and breaks the driver's representation-sensitive hash
+             CAST(sum(new_session) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,

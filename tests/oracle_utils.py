@@ -9,9 +9,16 @@ Two modes:
 - strict=True: models the driver. Fails on array/struct/map output
   columns (the driver's canonicalizer cannot hash numpy.ndarray), uses
   EXACT float equality (so every float column must be explicitly
-  rounded identically in both engines), and flags order divergence
-  between the two engines' emitted row order even when the sorted
-  values match (an order-sensitive driver hash would fail those).
+  rounded identically in both engines), compares the raw pandas dtype
+  CLASS (int vs float) of each column — DuckDB HUGEINT sums surface as
+  float64 and broke q12's driver hash while value comparison passed —
+  and flags order divergence between the two engines' emitted row
+  order even when the sorted values match.
+
+A strict pass is intended as SUFFICIENT evidence for a driver
+hash_match, not necessary: the driver demonstrably tolerates last-ULP
+float drift that exact equality flags. Treat strict failures as
+triage-worthy, not all as real.
 """
 
 from __future__ import annotations
@@ -143,6 +150,23 @@ def compare_frames(
             f"{name}: driver-unhashable output columns {bad} "
             "(serialize arrays with array_join/to_json)"
         )
+        # Dtype-class check (the q12 lesson): DuckDB HUGEINT → pandas
+        # float64, Spark BIGINT → int64; values compare equal but the
+        # driver's representation-sensitive hash diverges. Require the
+        # same numeric class (int vs float) on both sides.
+        for col in s_cols:
+            s_dt, o_dt = spark_df[col].dtype, oracle_df[col].dtype
+            s_kind = ("float" if pd.api.types.is_float_dtype(s_dt)
+                      else "int" if pd.api.types.is_integer_dtype(s_dt)
+                      else None)
+            o_kind = ("float" if pd.api.types.is_float_dtype(o_dt)
+                      else "int" if pd.api.types.is_integer_dtype(o_dt)
+                      else None)
+            assert s_kind == o_kind, (
+                f"{name}: column {col!r} dtype class mismatch: "
+                f"spark {s_dt} ({s_kind}) vs oracle {o_dt} ({o_kind}) — "
+                "likely a DuckDB HUGEINT sum; CAST(... AS BIGINT) in the oracle"
+            )
     dp = None if strict else 4
     s, o = _normalize(spark_df, dp), _normalize(oracle_df, dp)
     _assert_values(s, o, name, exact_floats=strict, what="sorted")
