@@ -192,3 +192,36 @@ def fn_na_fill_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill({"bal": 0.0, "seg": "UNKNOWN"})
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "fn_na_replace",
+    oracle="""
+    SELECT c_custkey,
+           CASE c_mktsegment
+             WHEN 'BUILDING'  THEN 'CONSTRUCTION'
+             WHEN 'MACHINERY' THEN 'INDUSTRIAL'
+             ELSE c_mktsegment END AS seg,
+           CASE WHEN c_nationkey = 0 THEN 99 ELSE c_nationkey END AS nk
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tags=("function", "na", "replace"),
+)
+def fn_na_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.na.replace — value substitution per column (reference
+    `python/pyspark/sql/dataframe.py:1182-1270`, DataFrameNaFunctions
+    .replace): planned as a CASE WHEN projection, no shuffle."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.select("c_custkey", "c_mktsegment", "c_nationkey")
+        .na.replace(
+            {"BUILDING": "CONSTRUCTION", "MACHINERY": "INDUSTRIAL"},
+            subset=["c_mktsegment"],
+        )
+        .na.replace({0: 99}, subset=["c_nationkey"])
+        .withColumnRenamed("c_mktsegment", "seg")
+        .withColumnRenamed("c_nationkey", "nk")
+        .orderBy("c_custkey")
+    )

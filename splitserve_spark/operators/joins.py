@@ -424,3 +424,76 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "k")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "join_shuffled_hash",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           sum(l_quantity) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "shuffled-hash"),
+)
+def join_shuffled_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled hash join, the 5th physical form (reference
+    ShuffledHashJoinExec `joins/ShuffledHashJoinExec.scala:32`, selection
+    rule `SparkStrategies.scala:128-141`): both sides shuffle on the key,
+    the smaller side builds a per-partition hash table — no sort, so it
+    beats sort-merge when one side is much smaller per partition but too
+    big to broadcast.  Forced via hint("SHUFFLE_HASH"); the physical
+    operator is asserted in tests/test_plans.py."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    orders = t.orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).hint("SHUFFLE_HASH")
+    return (
+        orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "join_natural",
+    oracle="""
+    WITH n AS (SELECT n_nationkey AS nationkey, n_regionkey AS regionkey,
+                      n_name AS nation_name FROM nation),
+         r AS (SELECT r_regionkey AS regionkey, r_name AS region_name
+               FROM region)
+    SELECT nation_name, region_name
+    FROM n NATURAL JOIN r
+    ORDER BY nation_name
+    """,
+    tags=("join", "natural"),
+)
+def join_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATURAL JOIN — implicit equi-join on all shared column names
+    (reference rule ResolveNaturalAndUsingJoin,
+    `catalyst/analysis/Analyzer.scala:101`): resolved at analysis time
+    to a USING join on the common columns, then planned like any
+    equi-join (broadcast here: region is tiny)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    t.nation.select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_regionkey").alias("regionkey"),
+        F.col("n_name").alias("nation_name"),
+    ).createOrReplaceTempView("nj_nation")
+    t.region.select(
+        F.col("r_regionkey").alias("regionkey"),
+        F.col("r_name").alias("region_name"),
+    ).createOrReplaceTempView("nj_region")
+    return spark.sql(
+        """
+        SELECT nation_name, region_name
+        FROM nj_nation NATURAL JOIN nj_region
+        ORDER BY nation_name
+        """
+    )

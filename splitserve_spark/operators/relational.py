@@ -260,3 +260,34 @@ def union_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_parity_conf(spark)
     df = spark.createDataFrame([(1, "one"), (2, "two"), (3, "three")], ["k", "v"])
     return df.orderBy("k")
+
+
+@register(
+    "sort_within_partitions",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+    tags=("sort", "partition-local"),
+)
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local sort (reference SortExec with global=false,
+    `execution/SortExec.scala:38`; Python surface
+    `dataframe.sortWithinPartitions`): sorts each partition without a
+    range-shuffle — the pattern behind sorted file writes and
+    sort-merge-ready layouts.  At scale: repartition(key) +
+    sortWithinPartitions(key) gives clustered, locally-ordered output
+    at one hash shuffle instead of a global range sort.  For a
+    deterministic oracle comparison the query pins ONE partition, so
+    the local sort is provably total; the multi-partition layout
+    behavior is asserted in tests/test_plans.py."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.filter(F.col("o_orderkey") <= 500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )

@@ -104,6 +104,42 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           sum(l_quantity) AS sum_qty,
+           sum(l_extendedprice) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("source", "orc"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → ORC → read back → aggregate.  ORC ships with stock
+    Spark (reference: `sql/hive/src/main/scala/org/apache/spark/sql/
+    hive/orc/OrcFileFormat.scala`); matching the parquet-backed oracle
+    proves the ORC writer/reader preserved rows, decimals and dates."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    path = _roundtrip_dir(sf_dir, "orc")
+    t.lineitem.select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    ).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
     "source_partitioned_parquet",
     oracle="""
     SELECT l_returnflag, count(*) AS n

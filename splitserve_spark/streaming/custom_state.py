@@ -88,7 +88,7 @@ from splitserve_spark.registry import register  # noqa: E402
     oracle="""
     SELECT user_id,
            count(*)                       AS n_events,
-           sum(value)                     AS total_value,
+           round(sum(value), 4)           AS total_value,
            CAST(epoch_us(max(ts)) AS BIGINT) AS last_ts_micros
     FROM events
     GROUP BY user_id
@@ -98,9 +98,15 @@ from splitserve_spark.registry import register  # noqa: E402
 )
 def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful operator run through the real micro-batch
-    engine over the events table (single availableNow batch): each
-    user's state folds every event, so the emitted profiles equal the
-    batch aggregate — which is exactly what the oracle checks.
+    engine over the events table: each user's state folds every event,
+    so the FINAL emitted profile per user equals the batch aggregate —
+    which is exactly what the oracle checks.
+
+    An update-mode memory sink APPENDS one row per user per micro-batch
+    that touched the user, so under multi-batch input (several event
+    files, or maxFilesPerTrigger) a user has several rows.  n_events is
+    strictly increasing per user, so max_by(., n_events) deterministically
+    selects the final state regardless of how the source was batched.
     Multi-batch state carry-over is covered in tests/test_custom_state.py."""
     ensure_parity_conf(spark)
     from splitserve_spark.streaming.stateful import _events_stream
@@ -116,4 +122,15 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).orderBy("user_id")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            # 4dp rounding on BOTH engines: the Python fold accumulates in
+            # a different order than the oracle's sum → last-ULP drift.
+            F.round(F.max_by("total_value", "n_events"), 4).alias("total_value"),
+            F.max_by("last_ts_micros", "n_events").alias("last_ts_micros"),
+        )
+        .orderBy("user_id")
+    )

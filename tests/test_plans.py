@@ -111,3 +111,52 @@ def test_agg_is_partial_then_final(spark):
     exchange."""
     plan = physical_plan(q("agg_basic_stats", spark), mode="simple")
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_shuffled_hash_join_planned(spark):
+    """hint('SHUFFLE_HASH') must produce ShuffledHashJoin — the 5th
+    physical join form (reference SparkStrategies.scala:128-141)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Disable broadcast so the hint is the deciding factor even at
+        # tiny test SFs where the filtered side would auto-broadcast.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        assert_in_plan(q("join_shuffled_hash", spark), "ShuffledHashJoin")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
+
+
+def test_natural_join_resolves_to_equi_join(spark):
+    """NATURAL JOIN must resolve to a hash equi-join on the shared key,
+    not a cartesian (ResolveNaturalAndUsingJoin)."""
+    plan = physical_plan(q("join_natural", spark))
+    assert "Join" in plan and "Cartesian" not in plan, plan
+
+
+def test_sort_within_partitions_is_local_sort(spark):
+    """sortWithinPartitions plans Sort(global=false): no range-exchange
+    after the repartition — one exchange total, and each output
+    partition is internally ordered."""
+    from splitserve_spark.tables import Tables
+    t = Tables(spark, SF_DIR)
+    df = (
+        t.orders.select("o_orderkey", "o_custkey")
+        .repartition(4, "o_custkey")
+        .sortWithinPartitions("o_custkey", "o_orderkey")
+    )
+    plan = physical_plan(df)
+    assert "Sort" in plan, plan
+    # Local sort: exactly the one hash repartition, no rangepartitioning.
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert count_exchanges(df) == 1, plan
+    # Every partition is internally ordered by the sort key.
+    def _ordered(it):
+        prev = None
+        for row in it:
+            k = (row.o_custkey, row.o_orderkey)
+            assert prev is None or k >= prev
+            prev = k
+        return iter(())
+    list(df.rdd.mapPartitions(_ordered).collect())
