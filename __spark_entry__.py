@@ -2,13 +2,18 @@
 
 entry(spark)   — flagship query (TPC-H Q1 style) on sf0.001.
 queries()      — every registered operator query from SURVEY.md §2 plus
-                 the beyond-parity pipeline operators (~177 entries:
+                 the beyond-parity pipeline operators (~182 entries:
                  TPC-H Q1-Q22, the paper's TPC-DS Q5/Q16/Q94/Q95 shapes,
                  joins/aggregates/windows/setops/subqueries, scalar
                  functions, UDF surface, stats, DDL, RDD ops, streaming,
                  dedup/similarity/text/multimodal, graph/ML workloads).
-oracle_sql()   — matching DuckDB SQL per query (~165 entries; None-oracle
+oracle_sql()   — matching DuckDB SQL per query (~169 entries; None-oracle
                  queries omitted → driver records a rows-only check).
+
+Ordering: the driver hash-checks only the first ~50 queries() entries
+per round, so ordered_registry() rotates names already driver-verified
+green (rounds 1-2) behind never-verified ones — see registry.py
+_DRIVER_GREEN / driver_window().
 """
 
 from __future__ import annotations
@@ -31,8 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Priority order: TPC-H, TPC-DS quartet, LLM-pipeline operators, core
-    # relational highlights, everything else; no-oracle queries last.
+    # Never-driver-verified queries first (by priority tier), proven
+    # names rotate behind; no-oracle queries at the back of each group.
     return {name: spec.fn for name, spec in ordered_registry().items()}
 
 

@@ -245,6 +245,7 @@ def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fn_map_functions",
+    priority=35,  # fixed round 3 (HUGEINT + empty-array oracle) — must re-verify
     oracle="""
     WITH src AS (
       SELECT p_brand,

@@ -22,8 +22,9 @@ from splitserve_spark.tables import Tables
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_quantity - 25)              AS centered,
-           ceil(l_extendedprice / 1000)      AS price_k_ceil,
-           floor(l_discount * 100)           AS disc_pct_floor,
+           -- CAST: Spark ceil/floor → BIGINT, DuckDB's → DOUBLE (q12 dtype class)
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+           CAST(floor(l_discount * 100) AS BIGINT)      AS disc_pct_floor,
            round(l_tax * 100, 1)             AS tax_pct,
            round(sqrt(l_quantity), 9)        AS root_qty,
            round(pow(l_discount, 2), 9)      AS disc_sq,
@@ -31,7 +32,8 @@ from splitserve_spark.tables import Tables
            round(ln(l_extendedprice), 9)     AS ln_price,
            round(log10(l_extendedprice), 9)  AS log10_price,
            round(log2(l_quantity + 1), 9)    AS log2_qty,
-           sign(l_quantity - 25.0)           AS qty_sign,
+           -- CAST: DuckDB sign() → TINYINT, Spark signum → DOUBLE
+           CAST(sign(l_quantity - 25.0) AS DOUBLE) AS qty_sign,
            greatest(l_discount, l_tax)       AS max_rate,
            least(l_discount, l_tax)          AS min_rate
     FROM lineitem
@@ -70,20 +72,20 @@ def fn_math_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_math_trig",
     oracle="""
     SELECT n_nationkey,
-           sin(n_nationkey)                    AS s,
-           cos(n_nationkey)                    AS c,
-           tan(n_nationkey)                    AS t,
-           asin(n_nationkey / 25.0)            AS arc_s,
-           acos(n_nationkey / 25.0)            AS arc_c,
-           atan(n_nationkey)                   AS arc_t,
-           atan2(n_nationkey, 10)              AS arc_t2,
-           (exp(n_nationkey / 10.0) - exp(-n_nationkey / 10.0)) / 2 AS sh,
-           (exp(n_nationkey / 10.0) + exp(-n_nationkey / 10.0)) / 2 AS ch,
-           (exp(n_nationkey / 5.0) - 1) / (exp(n_nationkey / 5.0) + 1) AS th,
-           degrees(n_nationkey / 10.0)         AS deg,
-           radians(n_nationkey * 10)           AS rad,
-           pi()                                AS pi_const,
-           sqrt(n_nationkey * n_nationkey + 100.0) AS hyp
+           round(sin(n_nationkey), 9)          AS s,
+           round(cos(n_nationkey), 9)          AS c,
+           round(tan(n_nationkey), 9)          AS t,
+           round(asin(n_nationkey / 25.0), 9)  AS arc_s,
+           round(acos(n_nationkey / 25.0), 9)  AS arc_c,
+           round(atan(n_nationkey), 9)         AS arc_t,
+           round(atan2(n_nationkey, 10), 9)    AS arc_t2,
+           round((exp(n_nationkey / 10.0) - exp(-n_nationkey / 10.0)) / 2, 9) AS sh,
+           round((exp(n_nationkey / 10.0) + exp(-n_nationkey / 10.0)) / 2, 9) AS ch,
+           round((exp(n_nationkey / 5.0) - 1) / (exp(n_nationkey / 5.0) + 1), 9) AS th,
+           round(degrees(n_nationkey / 10.0), 9) AS deg,
+           round(radians(n_nationkey * 10), 9) AS rad,
+           round(pi(), 9)                      AS pi_const,
+           round(sqrt(n_nationkey * n_nationkey + 100.0), 9) AS hyp
     FROM nation
     ORDER BY n_nationkey
     """,
@@ -98,20 +100,22 @@ def fn_math_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.nation.select(
             "n_nationkey",
-            F.sin(k).alias("s"),
-            F.cos(k).alias("c"),
-            F.tan(k).alias("t"),
-            F.asin(k / 25.0).alias("arc_s"),
-            F.acos(k / 25.0).alias("arc_c"),
-            F.atan(k).alias("arc_t"),
-            F.atan2(k.cast("double"), F.lit(10.0)).alias("arc_t2"),
-            F.sinh(k / 10.0).alias("sh"),
-            F.cosh(k / 10.0).alias("ch"),
-            F.tanh(k / 10.0).alias("th"),
-            F.degrees(k / 10.0).alias("deg"),
-            F.radians(k * 10).alias("rad"),
-            F.expr("pi()").alias("pi_const"),
-            F.hypot(k.cast("double"), F.lit(10.0)).alias("hyp"),
+            # 9dp rounding both engines: libm last-ULP drift (e.g. acos at
+            # k=22) is below the driver's quantization but fails strict.
+            F.round(F.sin(k), 9).alias("s"),
+            F.round(F.cos(k), 9).alias("c"),
+            F.round(F.tan(k), 9).alias("t"),
+            F.round(F.asin(k / 25.0), 9).alias("arc_s"),
+            F.round(F.acos(k / 25.0), 9).alias("arc_c"),
+            F.round(F.atan(k), 9).alias("arc_t"),
+            F.round(F.atan2(k.cast("double"), F.lit(10.0)), 9).alias("arc_t2"),
+            F.round(F.sinh(k / 10.0), 9).alias("sh"),
+            F.round(F.cosh(k / 10.0), 9).alias("ch"),
+            F.round(F.tanh(k / 10.0), 9).alias("th"),
+            F.round(F.degrees(k / 10.0), 9).alias("deg"),
+            F.round(F.radians(k * 10), 9).alias("rad"),
+            F.round(F.expr("pi()"), 9).alias("pi_const"),
+            F.round(F.hypot(k.cast("double"), F.lit(10.0)), 9).alias("hyp"),
         )
         .orderBy("n_nationkey")
     )
@@ -169,8 +173,10 @@ def fn_math_int(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(o_totalprice)            AS r0,
            round(o_totalprice, 1)         AS r1,
            round(o_totalprice, -2)        AS rneg2,
-           ceil(o_totalprice)             AS c0,
-           floor(o_totalprice)            AS f0,
+           -- CAST: Spark ceil/floor return BIGINT, DuckDB's return DOUBLE —
+           -- equal values, divergent driver hash (the q12 dtype class)
+           CAST(ceil(o_totalprice) AS BIGINT)  AS c0,
+           CAST(floor(o_totalprice) AS BIGINT) AS f0,
            CAST(trunc(o_totalprice) AS INTEGER) AS truncated
     FROM orders
     WHERE o_orderkey <= 300

@@ -120,7 +120,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 @register(
     "join_bucketed_colocated",
     oracle="""
-    SELECT o_custkey, sum(l_extendedprice) AS total_price
+    SELECT o_custkey, round(sum(l_extendedprice), 4) AS total_price
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_custkey
     HAVING sum(l_extendedprice) > 1000000
@@ -141,7 +141,10 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(F.sum("l_extendedprice").alias("total_price"))
-        .filter(F.col("total_price") > 1_000_000)
+        .agg(F.sum("l_extendedprice").alias("raw_total"))
+        .filter(F.col("raw_total") > 1_000_000)
+        # 4dp both engines AFTER the HAVING filter (round before filter
+        # could flip membership near the threshold).
+        .select("o_custkey", F.round("raw_total", 4).alias("total_price"))
         .orderBy("o_custkey")
     )

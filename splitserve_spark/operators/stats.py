@@ -48,9 +48,9 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stat_corr_cov",
     oracle="""
-    SELECT corr(l_quantity, l_extendedprice)      AS corr_qty_price,
-           covar_samp(l_quantity, l_extendedprice) AS cov_qty_price,
-           covar_pop(l_quantity, l_extendedprice)  AS covp_qty_price
+    SELECT round(corr(l_quantity, l_extendedprice), 9)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+           round(covar_pop(l_quantity, l_extendedprice), 4)  AS covp_qty_price
     FROM lineitem
     """,
     tags=("stat", "corr"),
@@ -60,10 +60,12 @@ def stat_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame result — single-pass co-moment aggregation."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
+    # Rounded both engines (9dp corr, 4dp cov): co-moment accumulation
+    # order differs across engines → last-ULP drift under strict compare.
     return t.lineitem.agg(
-        F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
-        F.covar_samp("l_quantity", "l_extendedprice").alias("cov_qty_price"),
-        F.covar_pop("l_quantity", "l_extendedprice").alias("covp_qty_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 9).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covp_qty_price"),
     )
 
 

@@ -53,9 +53,9 @@ def _ts(lit: str):
         AND o_orderdate < TIMESTAMP '1996-07-01'
     )
     SELECT channel, id,
-           sum(sales)   AS total_sales,
-           sum(returns) AS total_returns,
-           sum(sales - returns) AS profit
+           round(sum(sales), 4)   AS total_sales,
+           round(sum(returns), 4) AS total_returns,
+           round(sum(sales - returns), 4) AS profit
     FROM flows
     GROUP BY ROLLUP (channel, id)
     ORDER BY channel NULLS FIRST, id NULLS FIRST
@@ -102,9 +102,10 @@ def qds5_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         flow1.unionAll(flow2)
         .rollup("channel", "id")
         .agg(
-            F.sum("sales").alias("total_sales"),
-            F.sum("returns").alias("total_returns"),
-            F.sum(F.col("sales") - F.col("returns")).alias("profit"),
+            # 4dp both engines: rollup re-aggregation order drifts ULPs
+            F.round(F.sum("sales"), 4).alias("total_sales"),
+            F.round(F.sum("returns"), 4).alias("total_returns"),
+            F.round(F.sum(F.col("sales") - F.col("returns")), 4).alias("profit"),
         )
         .orderBy(F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
     )
@@ -112,7 +113,7 @@ def qds5_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q16_94_ORACLE = """
     SELECT count(DISTINCT o_orderkey) AS order_count,
-           sum(o_totalprice)          AS total_price
+           round(sum(o_totalprice), 4) AS total_price
     FROM (
       SELECT DISTINCT o_orderkey, o_totalprice
       FROM orders, lineitem l1
@@ -157,7 +158,7 @@ def _q16_94_impl(
         .join(returned, F.col("o_orderkey") == returned["l_orderkey"], "left_anti")
         .agg(
             F.countDistinct("o_orderkey").alias("order_count"),
-            F.sum("o_totalprice").alias("total_price"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
         )
     )
 
@@ -212,7 +213,7 @@ def qds94_web_no_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l1.l_orderkey
     )
     SELECT count(DISTINCT o_orderkey) AS order_count,
-           sum(o_totalprice)          AS total_price
+           round(sum(o_totalprice), 4) AS total_price
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-06-01'
       AND o_orderdate < TIMESTAMP '1996-09-01'
@@ -260,6 +261,6 @@ def qds95_both_sites_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.countDistinct("o_orderkey").alias("order_count"),
-            F.sum("o_totalprice").alias("total_price"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
         )
     )

@@ -191,7 +191,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q7_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              EXTRACT(year FROM l_shipdate) AS l_year,
@@ -243,7 +243,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("volume").alias("revenue"))
+        .agg(F.round(F.sum("volume"), 4).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -252,8 +252,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-             / sum(volume) AS mkt_share
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 9) AS mkt_share
     FROM (
       SELECT EXTRACT(year FROM o_orderdate) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -319,9 +319,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_year")
         .agg(
-            (
+            F.round(
                 F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
-                / F.sum("volume")
+                / F.sum("volume"),
+                9,
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -331,7 +332,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_product_profit",
     oracle="""
-    SELECT nation, o_year, sum(amount) AS sum_profit
+    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
     FROM (
       SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
              l_extendedprice * (1 - l_discount)
@@ -378,7 +379,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("amount").alias("sum_profit"))
+        .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
 
@@ -429,7 +430,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_parts",
     oracle="""
     SELECT l_partkey AS ps_partkey,
-           sum(l_extendedprice * l_quantity) AS value
+           round(sum(l_extendedprice * l_quantity), 4) AS value
     FROM lineitem, supplier, nation
     WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
       AND n_name = 'NATION_5'
@@ -465,7 +466,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.join(F.broadcast(threshold))
         .filter(F.col("value") > F.col("threshold"))
-        .select(F.col("l_partkey").alias("ps_partkey"), "value")
+        # 4dp AFTER the threshold filter (both engines filter on raw sums)
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round("value", 4).alias("value"),
+        )
         .orderBy(F.col("value").desc(), "ps_partkey")
     )
 
@@ -670,7 +675,7 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND p_brand = 'Brand#3' AND p_size < 10
       AND l_quantity < (
@@ -695,7 +700,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(parts, F.col("p_partkey") == F.col("l_partkey"))
         .join(per_part_avg, F.col("ap_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
 
 
@@ -910,7 +915,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_global_sales_opportunity",
     oracle="""
-    SELECT cntrycode, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal
     FROM (
       SELECT c_nationkey % 5 AS cntrycode, c_acctbal, c_custkey
       FROM customer
@@ -952,7 +957,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum("c_acctbal").alias("totacctbal"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )

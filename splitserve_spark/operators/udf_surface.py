@@ -81,7 +81,7 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_pandas_grouped_agg",
     oracle="""
     SELECT l_returnflag,
-           sum(l_discount * l_quantity) / sum(l_quantity) AS wavg_discount
+           round(sum(l_discount * l_quantity) / sum(l_quantity), 9) AS wavg_discount
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -102,7 +102,7 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem
         .groupBy("l_returnflag")
-        .agg(wavg(F.col("l_discount"), F.col("l_quantity")).alias("wavg_discount"))
+        .agg(F.round(wavg(F.col("l_discount"), F.col("l_quantity")), 9).alias("wavg_discount"))
         .orderBy("l_returnflag")
     )
 
@@ -111,8 +111,8 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_apply_in_pandas",
     oracle="""
     SELECT c_mktsegment, c_custkey, c_acctbal,
-           (c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
-             / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment)
+           round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+             / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 9)
              AS acctbal_z
     FROM customer
     ORDER BY c_mktsegment, c_custkey
@@ -144,6 +144,9 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="c_mktsegment string, c_custkey bigint, "
                    "c_acctbal double, acctbal_z double",
         )
+        # 9dp both engines: pandas mean/std accumulate in a different
+        # order than DuckDB's window aggregates -> last-ULP drift.
+        .withColumn("acctbal_z", F.round("acctbal_z", 9))
         .orderBy("c_mktsegment", "c_custkey")
     )
 
@@ -202,7 +205,7 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey AS custkey, c_acctbal FROM customer)
     SELECT c.custkey,
            coalesce(o.n_orders, 0) AS n_orders,
-           coalesce(o.total_spend, 0.0) AS total_spend,
+           round(coalesce(o.total_spend, 0.0), 4) AS total_spend,
            c.c_acctbal
     FROM c LEFT OUTER JOIN o ON c.custkey = o.custkey
     ORDER BY c.custkey
@@ -239,6 +242,8 @@ def udf_cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="custkey bigint, n_orders bigint, "
                    "total_spend double, c_acctbal double",
         )
+        # 4dp both engines: pandas .sum() order != DuckDB sum order.
+        .withColumn("total_spend", F.round("total_spend", 4))
         .orderBy("custkey")
     )
 

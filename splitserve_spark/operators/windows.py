@@ -116,12 +116,12 @@ def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rows_frame",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           sum(o_totalprice) OVER (
+           round(sum(o_totalprice) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)   AS running_spend,
-           avg(o_totalprice) OVER (
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)   AS running_spend,
+           round(avg(o_totalprice) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)           AS moving_avg_3,
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)           AS moving_avg_3,
            count(*) OVER (PARTITION BY o_custkey)                AS cust_orders
     FROM orders
     ORDER BY o_custkey, o_orderkey
@@ -138,12 +138,16 @@ def window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.orders.select(
             "o_custkey",
             "o_orderkey",
-            F.sum("o_totalprice")
-            .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .alias("running_spend"),
-            F.avg("o_totalprice")
-            .over(ordered.rowsBetween(-2, Window.currentRow))
-            .alias("moving_avg_3"),
+            # 4dp both engines: running-sum accumulation order drifts ULPs.
+            F.round(
+                F.sum("o_totalprice").over(
+                    ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ), 4,
+            ).alias("running_spend"),
+            F.round(
+                F.avg("o_totalprice").over(ordered.rowsBetween(-2, Window.currentRow)),
+                4,
+            ).alias("moving_avg_3"),
             F.count(F.lit(1))
             .over(Window.partitionBy("o_custkey"))
             .alias("cust_orders"),

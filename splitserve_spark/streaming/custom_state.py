@@ -85,6 +85,7 @@ from splitserve_spark.registry import register  # noqa: E402
 
 @register(
     "stream_stateful_profile",
+    priority=35,  # fixed round 3 (multi-batch dedup + 4dp) — must re-verify
     oracle="""
     SELECT user_id,
            count(*)                       AS n_events,

@@ -82,6 +82,7 @@ _SESSION_ORACLE = """
 
 @register(
     "sessionize_lag_cumsum",
+    priority=35,  # fixed round 3 (HUGEINT session_id oracle) — must re-verify
     oracle=_SESSION_ORACLE,
     tags=("streaming", "session", "window"),
 )
