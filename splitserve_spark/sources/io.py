@@ -49,7 +49,8 @@ def write_partitioned(
 @register(
     "source_csv_roundtrip",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -74,7 +75,14 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         back.groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: exact and partition-order independent, so the
+            # result is bit-identical to the oracle at any SF
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
         .orderBy("o_orderstatus")
     )
 
@@ -82,7 +90,8 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "source_json_roundtrip",
     oracle="""
-    SELECT event_type, count(*) AS n, sum(value) AS total_value
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -98,7 +107,10 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(t.events.schema).json(path)
     return (
         back.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
         .orderBy("event_type")
     )
 
