@@ -95,24 +95,33 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Near-dup threshold for the synthetic embeddings: random vectors
+#: concentrate cosine near 0 (q99.9 ≈ 0.37, max ≈ 0.47 in the fenced
+#: block at every SF), so a "real-corpus" 0.8 threshold selects ZERO
+#: pairs and the query is vacuous.  0.35 keeps the same top-0.1%-of-
+#: pairs meaning a 0.8 threshold has on clustered real embeddings.
+NEAR_DUP_TAU = 0.35
+
+
 @register(
     "sim_cosine_pairs",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 6) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) > 0.8
+    WHERE list_cosine_similarity(a.v, b.v) > {NEAR_DUP_TAU}
     ORDER BY id_a, id_b
     """,
     tags=("similarity", "pipeline", "dedup"),
 )
 def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above 0.8 on a bounded
-    block — the semantic-dedup primitive.  The fenced O(n²) block is the
-    ground-truth twin of the LSH path (same pattern as dedup_ngram_jaccard)."""
+    """Embedding-cosine near-duplicate pairs above NEAR_DUP_TAU on a
+    bounded block — the semantic-dedup primitive.  The fenced O(n²)
+    block is the ground-truth twin of the LSH path (same pattern as
+    dedup_ngram_jaccard)."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     e = t.embeddings.filter(F.col("vec_id") < 300).select(
@@ -123,9 +132,61 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", _cosine(F.col("v_a"), F.col("v_b")))
-        .filter(F.col("cosine") > 0.8)
+        .filter(F.col("cosine") > NEAR_DUP_TAU)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
+    ),
+    p AS (
+      SELECT b.vec_id AS dup_id, a.vec_id AS earlier_id,
+             list_cosine_similarity(a.v, b.v) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= {NEAR_DUP_TAU}
+    )
+    SELECT dup_id,
+           min(earlier_id) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_near,
+           round(max(cos), 6) AS max_cos
+    FROM p GROUP BY dup_id ORDER BY dup_id
+    """,
+    tags=("similarity", "pipeline", "dedup"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup (SemDeDup-style keep-first): a vector
+    is dropped iff some earlier (smaller-id) vector is within cosine
+    NEAR_DUP_TAU; output one row per dropped vector with its keeper
+    (smallest qualifying earlier id).  Survivors are the fenced block
+    minus dup_ids — an anti-join in the consuming pipeline.
+
+    Scale path: at corpus scale the fenced O(n²) pair generation is
+    replaced by LSH-bucketed candidates (sim_lsh_ann's signature
+    equi-join) feeding this same keep-first aggregation; one shuffle on
+    dup_id either way."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.filter(F.col("vec_id") < 300).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("earlier_id"), F.col("v").alias("v_a"))
+    b = e.select(F.col("vec_id").alias("dup_id"), F.col("v").alias("v_b"))
+    return (
+        a.join(b, F.col("earlier_id") < F.col("dup_id"))
+        .withColumn("cos", _cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= NEAR_DUP_TAU)
+        .groupBy("dup_id")
+        .agg(
+            F.min("earlier_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_near"),
+            F.round(F.max("cos"), 6).alias("max_cos"),
+        )
+        .orderBy("dup_id")
     )
 
 

@@ -87,7 +87,9 @@ _DRIVER_GREEN = frozenset({
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_signature",
     "dedup_ngram_jaccard", "dedup_simhash", "distinct_values",
     "drop_duplicates_subset", "global_sort_nulls", "join_bucketed_colocated",
-    "join_cross", "join_full_outer", "join_left_anti", "join_left_outer",
+    # join_left_anti deliberately absent: its round-1 green was vacuous
+    # (0 rows — every customer has orders); re-verify the urgent-order form.
+    "join_cross", "join_full_outer", "join_left_outer",
     "join_left_semi", "join_non_equi", "join_null_safe", "join_right_outer",
     "join_salted_skew", "join_self", "join_sort_merge_fact_fact",
     "join_using_key", "mm_binary_meta", "pipeline_training_data",
@@ -102,7 +104,9 @@ _DRIVER_GREEN = frozenset({
     "q9_product_profit", "qds16_multi_site_no_returns", "qds5_channel_rollup",
     "qds94_web_no_returns", "qds95_both_sites_view", "range_generator",
     "range_join_price_bands", "setop_except", "setop_intersect",
-    "setop_union_all", "setop_union_distinct", "sim_cosine_pairs",
+    # sim_cosine_pairs deliberately absent: its round-2 green was vacuous
+    # (0 rows at the old 0.8 threshold); re-verify at NEAR_DUP_TAU.
+    "setop_union_all", "setop_union_distinct",
     "sim_cosine_topk", "sim_norms", "text_fingerprint", "text_lang_id",
     "text_quality", "text_stats", "text_token_count", "topk_orders",
     "union_inline_table", "window_distribution", "window_first_last_nth",
