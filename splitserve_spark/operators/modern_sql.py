@@ -1,0 +1,110 @@
+"""Modern SQL surface: recursive CTEs and the VARIANT semi-structured
+type (beyond-parity; SURVEY.md §2 lists the 2.1-era SQL surface — these
+are the two largest SQL-surface additions since, and both are pure
+Catalyst constructs, so they come to the engine for free).
+
+- Recursive CTE (`WITH RECURSIVE`): the reference era expressed
+  hierarchies with iterative driver loops (the shape our
+  `operators/graph.py` uses for PageRank); Spark 4 plans the recursion
+  as a UnionLoop, so hierarchy walks become one declarative statement.
+- VARIANT (`parse_json` / `variant_get`): schema-on-read JSON without
+  per-query string re-parsing; the binary-encoded variant is columnar
+  and prunable, which at 100 TB beats `get_json_object` string UDF
+  patterns by avoiding repeated JSON text scans.
+
+Both queries run through `sql_entry.sql` — a reference user's SQL runs
+verbatim against the canonical table views.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from splitserve_spark import sql_entry
+from splitserve_spark.registry import register
+
+#: Binary-heap parent edge over nation keys: parent(k) = (k-1) div 2.
+#: A deterministic 25-node hierarchy derived from TESTDATA, so both
+#: engines rebuild the same tree with no auxiliary table.
+_RECURSIVE_SQL = """
+WITH RECURSIVE hier(n_nationkey, n_name, depth, path) AS (
+  SELECT n_nationkey, n_name, CAST(0 AS INTEGER) AS depth,
+         CAST(n_name AS STRING) AS path
+  FROM nation WHERE n_nationkey = 0
+  UNION ALL
+  SELECT c.n_nationkey, c.n_name, CAST(h.depth + 1 AS INTEGER) AS depth,
+         CAST(concat(h.path, '/', c.n_name) AS STRING) AS path
+  FROM nation c
+  JOIN hier h
+    ON h.n_nationkey = CAST(floor((c.n_nationkey - 1) / 2.0) AS BIGINT)
+   AND c.n_nationkey > 0
+)
+SELECT n_nationkey, n_name, depth, path FROM hier ORDER BY n_nationkey
+"""
+
+
+@register(
+    "sql_recursive_cte",
+    oracle=_RECURSIVE_SQL,
+    tags=("sql", "recursive-cte", "modern"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE hierarchy walk (binary-heap parent edges over
+    nation keys): depth + materialized root path per node.
+
+    The identical SQL text runs on both engines — Spark 4 plans the
+    recursion as UnionLoopExec with the per-level join broadcast; at
+    scale the recursion depth is O(log n) levels, each a broadcast join
+    against the (small) frontier, so no full-table shuffle per level.
+    """
+    return sql_entry.sql(spark, _RECURSIVE_SQL, sf_dir)
+
+
+@register(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                                AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT)                                          AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT)                                          AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT)                                          AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("sql", "variant", "modern"),
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion of `events.props`: parse once with
+    `parse_json`, extract typed fields with `variant_get`, aggregate.
+
+    At 100 TB the win over per-query `get_json_object` is structural:
+    parse_json materializes the binary variant encoding a single time
+    (e.g. at ingest into a parquet variant column) and every downstream
+    `variant_get` is a binary-offset lookup, not a JSON text re-parse.
+    The aggregate itself is a plain partial->final hash agg on
+    event_type.  Oracle: DuckDB json_extract, sums pinned to BIGINT
+    (HUGEINT dtype hazard, VERDICT r2 item 1).
+    """
+    from pyspark.sql import functions as F
+
+    from splitserve_spark.session import ensure_parity_conf
+    from splitserve_spark.tables import Tables
+
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        t.events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

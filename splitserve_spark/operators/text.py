@@ -201,6 +201,200 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+      FROM documents
+    ), base AS (
+      SELECT doc_id,
+             round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+               AS dup_word_frac,
+             list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i + 1]) AS bgs
+      FROM w
+    ), cnt AS (
+      SELECT doc_id, bg, count(*) AS c
+      FROM (SELECT doc_id, unnest(bgs) AS bg FROM base) ex
+      GROUP BY doc_id, bg
+    ), top AS (
+      SELECT doc_id, max(c) AS top_bg, CAST(sum(c) AS BIGINT) AS n_bg
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.dup_word_frac,
+           round(COALESCE(CAST(t.top_bg AS DOUBLE) / t.n_bg, 0.0), 6)
+             AS top_bigram_frac
+    FROM base b LEFT JOIN top t USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    tags=("text", "pipeline", "quality", "repetition"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-word fraction
+    and most-frequent-bigram mass fraction per document.
+
+    Scale shape: bigram construction is a JVM zip_with over two array
+    slices (no Python, no shuffle); the per-(doc, bigram) count and the
+    per-doc max/sum are both map-side-combinable hash aggregates keyed
+    by doc_id, so at 100 TB this is scan + two combinable shuffles on
+    the natural key.  Docs with <2 words have no bigrams and get
+    top_bigram_frac = 0.0 via the left join.
+    """
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    w = _words(F.col("text"))
+    n = F.size(w)
+    bigrams = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    base = t.documents.select(
+        "doc_id",
+        F.round(
+            1.0 - F.size(F.array_distinct(w)).cast("double") / n, 6
+        ).alias("dup_word_frac"),
+        bigrams.alias("bgs"),
+    )
+    top = (
+        base.select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bg"), F.sum("count").alias("n_bg"))
+    )
+    return (
+        base.select("doc_id", "dup_word_frac")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_word_frac",
+            F.round(
+                F.coalesce(
+                    F.col("top_bg").cast("double") / F.col("n_bg"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: Benchmark-contamination fence: documents with doc_id < EVAL_MAX_ID
+#: stand in for a held-out eval set.  Deterministic ground-truth fence,
+#: same pattern as dedup_ngram_jaccard's doc_id<150 block.
+EVAL_MAX_ID = 20
+#: Word-n-gram order for the contamination overlap check.
+CONTAM_N = 5
+
+
+@register(
+    "text_contamination",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= {CONTAM_N} THEN
+               list_transform(range(1, len(ws) - {CONTAM_N - 2}),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                      || ' ' || ws[i+3] || ' ' || ws[i+4])
+             ELSE [] END AS gs
+      FROM w
+    ), eg AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest(gs) AS g FROM g WHERE doc_id < {EVAL_MAX_ID}
+      )
+    ), cg AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id >= {EVAL_MAX_ID}
+      )
+    ), m AS (
+      SELECT cg.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM cg LEFT JOIN eg ON cg.g = eg.g
+      GROUP BY cg.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(m.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+           COALESCE(m.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+           COALESCE(round(CAST(m.n_hit AS DOUBLE) / m.n_grams, 6), 0.0)
+             AS contamination
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= {EVAL_MAX_ID}) d
+    LEFT JOIN m USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("text", "pipeline", "contamination"),
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: fraction of each candidate doc's
+    distinct word-{CONTAM_N}-grams that also occur in a held-out eval
+    set (docs with doc_id < EVAL_MAX_ID).
+
+    Scale shape: the eval-side n-gram set is tiny relative to the
+    corpus, so it is broadcast — the per-candidate membership probe is
+    a broadcast hash join with no corpus shuffle; the only shuffles are
+    the per-doc distinct and the per-doc count, both keyed by doc_id
+    and map-side-combinable.  This is the standard decontamination
+    pre-step of a training-data pipeline (eval sets are O(MB), corpora
+    O(100 TB)).
+    """
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    w = _words(F.col("text"))
+    grams = F.when(
+        F.size(w) >= CONTAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (CONTAM_N - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + k) for k in range(CONTAM_N)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t.documents.select("doc_id", grams.alias("gs"))
+    eval_g = (
+        g.filter(F.col("doc_id") < EVAL_MAX_ID)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    cand_g = (
+        g.filter(F.col("doc_id") >= EVAL_MAX_ID)
+        .select("doc_id", F.explode("gs").alias("g"))
+        .distinct()
+    )
+    m = (
+        cand_g.join(
+            F.broadcast(eval_g.withColumn("hit", F.lit(1))), "g", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("hit").isNotNull(), 1).otherwise(0)
+            ).alias("n_hit"),
+        )
+    )
+    return (
+        t.documents.filter(F.col("doc_id") >= EVAL_MAX_ID)
+        .select("doc_id")
+        .join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0).cast("bigint")).alias("n_hit"),
+            F.coalesce(
+                F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6),
+                F.lit(0.0),
+            ).alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "text_fingerprint",
     oracle=f"""
     SELECT doc_id,

@@ -198,6 +198,7 @@ _MODULES = (
     "splitserve_spark.operators.multimodal",
     "splitserve_spark.operators.graph",
     "splitserve_spark.operators.ml",
+    "splitserve_spark.operators.modern_sql",
     "splitserve_spark.sources.io",
     "splitserve_spark.functions.strings",
     "splitserve_spark.functions.math_fns",
