@@ -2,17 +2,21 @@
 
 entry(spark)   — flagship query (TPC-H Q1 style) on sf0.001.
 queries()      — every registered operator query from SURVEY.md §2 plus
-                 the beyond-parity pipeline operators (~182 entries:
+                 the beyond-parity pipeline operators (188 entries:
                  TPC-H Q1-Q22, the paper's TPC-DS Q5/Q16/Q94/Q95 shapes,
                  joins/aggregates/windows/setops/subqueries, scalar
                  functions, UDF surface, stats, DDL, RDD ops, streaming,
                  dedup/similarity/text/multimodal, graph/ML workloads).
-oracle_sql()   — matching DuckDB SQL per query (~169 entries; None-oracle
+oracle_sql()   — matching DuckDB SQL per query (174 entries; None-oracle
                  queries omitted → driver records a rows-only check).
+
+The two counts above are asserted against len(REGISTRY) in
+tests/test_entry.py — update them when registering queries.
 
 Ordering: the driver hash-checks only the first ~50 queries() entries
 per round, so ordered_registry() rotates names already driver-verified
-green (rounds 1-2) behind never-verified ones — see registry.py
+green (derived from the committed CORRECTNESS_r*.json evidence, latest
+round wins) behind never-verified ones — see registry.py
 _DRIVER_GREEN / driver_window().
 """
 

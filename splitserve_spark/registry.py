@@ -72,47 +72,53 @@ _CORE_HIGHLIGHTS = frozenset({
     "setop_except", "join_full_outer", "subq_exists_correlated",
 })
 
-# Names the external driver already verified green (hash_match or
-# rows-only pass) in rounds 1-2 (CORRECTNESS_r01/r02.json).  The driver
-# checks only the FIRST ~50 entries of queries() per round, so proven
-# names rotate BEHIND never-verified ones to maximize cumulative
-# coverage.  q12_shipping_lateness is deliberately absent: it was red in
-# round 2 (HUGEINT oracle dtype, fixed round 3) and must re-verify.
-_DRIVER_GREEN = frozenset({
-    "agg_basic_stats", "agg_bool_and_count_if", "agg_collect_sorted",
-    "agg_corr_covar", "agg_cube", "agg_grouping_sets", "agg_having",
-    "agg_median_mode_listagg", "agg_min_max_by", "agg_multi_distinct",
-    "agg_percentiles", "agg_pivot", "agg_rollup", "agg_skew_kurt",
-    "agg_sum_distinct", "agg_variance", "asof_join_events_orders",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_signature",
-    "dedup_ngram_jaccard", "dedup_simhash", "distinct_values",
-    "drop_duplicates_subset", "global_sort_nulls", "join_bucketed_colocated",
-    # join_left_anti deliberately absent: its round-1 green was vacuous
-    # (0 rows — every customer has orders); re-verify the urgent-order form.
-    "join_cross", "join_full_outer", "join_left_outer",
-    "join_left_semi", "join_non_equi", "join_null_safe", "join_right_outer",
-    "join_salted_skew", "join_self", "join_sort_merge_fact_fact",
-    "join_using_key", "mm_binary_meta", "pipeline_training_data",
-    "project_filter", "q10_returned_items", "q11_important_parts",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_part_count", "q17_small_quantity_revenue",
-    "q18_large_volume_customer", "q19_discounted_revenue",
-    "q1_pricing_summary", "q20_potential_promotion", "q21_waiting_suppliers",
-    "q22_global_sales_opportunity", "q2_min_cost_supplier",
-    "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "qds16_multi_site_no_returns", "qds5_channel_rollup",
-    "qds94_web_no_returns", "qds95_both_sites_view", "range_generator",
-    "range_join_price_bands", "setop_except", "setop_intersect",
-    # sim_cosine_pairs deliberately absent: its round-2 green was vacuous
-    # (0 rows at the old 0.8 threshold); re-verify at NEAR_DUP_TAU.
-    "setop_union_all", "setop_union_distinct",
-    "sim_cosine_topk", "sim_norms", "text_fingerprint", "text_lang_id",
-    "text_quality", "text_stats", "text_token_count", "topk_orders",
-    "union_inline_table", "window_distribution", "window_first_last_nth",
-    "window_lead_lag", "window_range_frame", "window_ranking",
-    "window_rows_frame", "window_topn_per_group",
-})
+# Driver-verification history, DERIVED from the committed
+# CORRECTNESS_r*.json evidence files at import time (never
+# hand-maintained — rounds 3 and 4 were both lost to a stale
+# hand-edited set).  For each query name the LATEST round's verdict
+# wins: green = hash_match true (or, for rows-only checks, rows_match
+# true with no hash); red/errored names stay OUT of the green set so
+# they re-enter the driver window and re-verify.
+import json as _json  # noqa: E402
+import pathlib as _pathlib  # noqa: E402
+
+_REPO_ROOT = _pathlib.Path(__file__).resolve().parent.parent
+
+
+def _load_driver_verdicts() -> dict[str, bool]:
+    """name → latest driver verdict (True=green) across all committed
+    CORRECTNESS_r*.json files, in round order (r01 < r02 < …)."""
+    latest: dict[str, bool] = {}
+    for path in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
+        try:
+            results = _json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue  # unreadable evidence file — skip, never crash import
+        if not isinstance(results, dict):
+            continue
+        for name, v in results.items():
+            if not isinstance(v, dict):
+                continue
+            err = v.get("err")
+            if err == "no_oracle":
+                # Driver's weaker rows-only check: pass = it ran and
+                # produced a row count.
+                ok = v.get("spark_rows") is not None
+            elif err is not None:
+                ok = False
+            elif v.get("hash_match") is not None:
+                ok = bool(v["hash_match"])
+            else:
+                ok = bool(v.get("rows_match"))
+            latest[name] = ok
+    return latest
+
+
+_DRIVER_VERDICTS = _load_driver_verdicts()
+#: Every name the driver has EVER checked (green or red).
+_DRIVER_CHECKED = frozenset(_DRIVER_VERDICTS)
+#: Names whose latest driver verdict passed — rotate behind never-checked.
+_DRIVER_GREEN = frozenset(n for n, ok in _DRIVER_VERDICTS.items() if ok)
 
 
 def _default_priority(name: str, has_oracle: bool) -> int:

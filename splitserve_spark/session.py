@@ -32,8 +32,11 @@ PARITY_CONF = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for every Python<->JVM batch boundary (pandas_udf, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
-    # read as long and convert in the loader (tables.Tables).
+    # pyspark ≤4.0: TIMESTAMP(NANOS) parquet reads as long nanos under
+    # this flag; pyspark ≥4.1 accepts-but-ignores it and yields
+    # TIMESTAMP_NTZ instead.  Either way tables.normalize_event_ts is
+    # the single seam that maps events.ts to TIMESTAMP (UTC, µs) — do
+    # not add per-consumer ts handling anywhere else.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

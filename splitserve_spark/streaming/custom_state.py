@@ -48,7 +48,14 @@ def _fold_profile(
         n += len(pdf)
         total += float(pdf["value"].sum())
         if len(pdf):
-            ts_us = (pdf["ts"].astype("int64") // 1000).max()
+            # Resolution-independent epoch-µs: pandas 2.x may hand the
+            # kernel datetime64[us] OR datetime64[ns] depending on the
+            # Arrow path, so never assume the int64 unit — divide a
+            # Timedelta instead.
+            ts = pdf["ts"]
+            tz = getattr(ts.dt, "tz", None)
+            epoch = pd.Timestamp(0, tz=tz) if tz is not None else pd.Timestamp(0)
+            ts_us = ((ts - epoch) // pd.Timedelta(microseconds=1)).max()
             last_us = max(last_us, int(ts_us))
     state.update((n, total, last_us))
     yield pd.DataFrame(

@@ -32,21 +32,21 @@ from splitserve_spark.registry import register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
-#: Raw on-disk schema of events.parquet: ts is TIMESTAMP(NANOS), which
-#: Spark reads as long under spark.sql.legacy.parquet.nanosAsLong (see
-#: session.PARITY_CONF); streams convert to µs timestamps first thing.
-_EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, "
-    "event_type string, value double, props string"
-)
-
-
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+    """File-source stream over events.parquet with the SAME timestamp
+    contract as the batch loader: the stream schema is taken from the
+    parquet footer (so it tracks whatever representation the runtime
+    yields — long nanos on pyspark ≤4.0, TIMESTAMP_NTZ on ≥4.1) and
+    ``ts`` is normalized through tables.normalize_event_ts, the single
+    events-ts ingestion seam."""
+    from splitserve_spark.tables import normalize_event_ts
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
         .parquet(f"{sf_dir}/events.*")  # glob: file source needs a dir base path
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    return normalize_event_ts(stream)
 
 #: Session gap for sessionization operators.
 GAP = "30 minutes"
@@ -97,9 +97,12 @@ def sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     prev_ts = F.lag("ts").over(by_user)
+    # Exact µs gap (matches the oracle's `ts - lag(ts) > INTERVAL`);
+    # timestampdiff works on TIMESTAMP and TIMESTAMP_NTZ alike, unlike
+    # the epoch cast that pyspark 4.1 rejects for NTZ.
+    gap_us = F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts"))
     new_session = (
-        prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60)
+        prev_ts.isNull() | (gap_us > 30 * 60 * 1_000_000)
     ).cast("int")
     return (
         t.events

@@ -33,6 +33,34 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TIMESTAMP (session-TZ, µs precision)
+    regardless of how the runtime surfaced the on-disk value.
+
+    This is the single ingestion contract for event timestamps — the
+    reference funnels every timestamp read through one vectorized reader
+    (parquet/VectorizedParquetRecordReader.java:48); here the same role
+    is played by this normalizer.  Observed representations:
+
+    * ``bigint`` — TIMESTAMP(NANOS) parquet read as long nanos under
+      ``spark.sql.legacy.parquet.nanosAsLong`` (pyspark ≤4.0).
+    * ``timestamp_ntz`` — µs parquet timestamp without UTC adjustment,
+      inferred as NTZ by pyspark ≥4.1 (inferTimestampNTZ).  The session
+      timezone is pinned to UTC (session.PARITY_CONF), so the NTZ→LTZ
+      cast is wall-clock-preserving and matches the DuckDB oracle's
+      naive reading of the same file.
+    * ``timestamp`` — already the contract type; pass through.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 class Tables:
     """Lazy per-table loader: ``Tables(spark, sf_dir).lineitem``.
 
@@ -57,12 +85,8 @@ class Tables:
             df = self._spark.read.parquet(
                 os.path.join(self._sf_dir, f"{name}.parquet")
             )
-            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-                # TIMESTAMP(NANOS) parquet read as long nanos
-                # (spark.sql.legacy.parquet.nanosAsLong) → truncate to µs.
-                from pyspark.sql import functions as F
-
-                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            if name == "events":
+                df = normalize_event_ts(df)
             self._cache[name] = df
         return self._cache[name]
 

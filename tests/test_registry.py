@@ -1,27 +1,62 @@
-
-
 def test_driver_window_composition():
     """The driver hash-checks only the first DRIVER_WINDOW entries of
     queries().  Rotation invariants: every window entry is oracle-backed
     (rows-only checks waste a slot), no already-driver-green name
     occupies a slot while never-verified oracle-backed queries wait, and
-    the round-3 fixed/new queries are all inside."""
+    every currently-red query re-enters the window to re-verify."""
     from splitserve_spark.registry import (
-        DRIVER_WINDOW, REGISTRY, _DRIVER_GREEN, driver_window,
-        ordered_registry,
+        DRIVER_WINDOW, REGISTRY, _DRIVER_GREEN, _DRIVER_VERDICTS,
+        driver_window, ordered_registry,
     )
     w = driver_window()
     assert len(w) == DRIVER_WINDOW
-    assert all(REGISTRY[n].oracle is not None for n in w), w
     waiting = [
         n for n in ordered_registry()
         if n not in w and n not in _DRIVER_GREEN and REGISTRY[n].oracle
     ]
     greens_in_window = [n for n in w if n in _DRIVER_GREEN]
     assert not (waiting and greens_in_window), (waiting, greens_in_window)
-    for must in (
-        "q12_shipping_lateness", "fn_map_functions", "sessionize_lag_cumsum",
-        "stream_stateful_profile", "fn_na_replace", "source_orc_roundtrip",
-        "join_shuffled_hash", "join_natural", "sort_within_partitions",
-    ):
-        assert must in w, must
+    # A no-oracle entry (rows-only verdict) may occupy a slot only when
+    # no oracle-backed unverified query is left waiting outside.
+    no_oracle_in_window = [n for n in w if REGISTRY[n].oracle is None]
+    assert not (waiting and no_oracle_in_window), (waiting, no_oracle_in_window)
+    # Every latest-red name must re-verify this round.
+    reds = [n for n, ok in _DRIVER_VERDICTS.items() if not ok and n in REGISTRY]
+    for name in reds:
+        assert name in w, f"red query {name} not scheduled for re-verify"
+    # Every oracle-backed query the driver has never seen must be in the
+    # window while slots remain (they all fit as of round 5: 37 never +
+    # 2 red < 50).
+    never = [
+        n for n, s in REGISTRY.items()
+        if s.oracle is not None and n not in _DRIVER_VERDICTS
+    ]
+    if len(never) + len(reds) <= DRIVER_WINDOW:
+        for name in never:
+            assert name in w, f"never-checked {name} left out of the window"
+
+
+def test_driver_green_derived_from_evidence():
+    """_DRIVER_GREEN comes from the committed CORRECTNESS_r*.json files,
+    latest-round-wins — it can no longer go stale by hand-editing."""
+    import json
+    import pathlib
+
+    from splitserve_spark.registry import (
+        _DRIVER_GREEN, _DRIVER_VERDICTS, _REPO_ROOT,
+    )
+    files = sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json"))
+    assert files, "evidence files missing from repo root"
+    # Spot-check latest-wins: q12 was red in r2 (HUGEINT dtype), fixed
+    # and green in r3/r4 — derived set must reflect the LATEST verdict.
+    last = json.loads(files[-1].read_text())
+    for name, v in last.items():
+        expected = (
+            v.get("err") is None
+            and (v.get("hash_match") if v.get("hash_match") is not None
+                 else v.get("rows_match"))
+        )
+        assert _DRIVER_VERDICTS[name] == bool(expected), name
+    assert _DRIVER_GREEN == frozenset(
+        n for n, ok in _DRIVER_VERDICTS.items() if ok
+    )

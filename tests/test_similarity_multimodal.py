@@ -71,3 +71,23 @@ def test_ivf_ann_recall(spark):
     assert (abs(merged["cosine_e"] - merged["cosine_a"]) < 1e-6).all()
     # every query answered with a full top-k
     assert (approx.groupby("query_id").size() == 5).all()
+
+
+def test_dedup_embedding_lsh_recall(spark):
+    """The LSH-candidate dedup must (a) find most of the exact twin's
+    dropped vectors (recall; calibrated 0.88 on this seed/data — assert
+    with margin), (b) never drop a vector the exact pass keeps
+    (precision 1.0 by construction: every candidate is cosine-confirmed),
+    and (c) report only true cosines."""
+    exact = REGISTRY["dedup_embedding_cosine"].fn(spark, SF_DIR).toPandas()
+    approx = REGISTRY["dedup_embedding_lsh"].fn(spark, SF_DIR).toPandas()
+    exact_dups = set(exact["dup_id"])
+    lsh_dups = set(approx["dup_id"])
+    assert lsh_dups <= exact_dups, "LSH dropped a vector the exact pass keeps"
+    recall = len(lsh_dups & exact_dups) / len(exact_dups)
+    assert recall >= 0.70, f"dup recall {recall:.2f}"
+    # Where both found a dup, max_cos must agree with at most the
+    # missed-pair slack (LSH max over a subset ≤ exact max).
+    merged = exact.merge(approx, on="dup_id", suffixes=("_e", "_a"))
+    assert (merged["max_cos_a"] <= merged["max_cos_e"] + 1e-9).all()
+    assert (merged["n_near_a"] <= merged["n_near_e"]).all()
