@@ -118,24 +118,26 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # Edge weights (1/outdeg) are a property of the STATIC graph —
+    # compute once before the loop, not per iteration.
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_w = _persist_tracked(
+        edges.join(outdeg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+        )
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(N_ITER):
-        # Broadcast the (node, rank/deg) side: ranks are O(|nodes|),
-        # edges O(|edges|) — the static edge table never moves, each
-        # iteration ships only the small rank vector to it and shuffles
-        # the per-dst partial sums.  (At billions of nodes the same loop
-        # switches to a co-partitioned join: edges bucketed by src once,
-        # ranks shuffled by node per iteration — drop the two
-        # F.broadcast hints; semantics identical.)
-        per_edge = F.broadcast(
-            ranks.join(outdeg, F.col("node") == F.col("src"))
-            .select(F.col("node").alias("e_src"), (F.col("rank") / F.col("deg")).alias("cpe"))
-        )
+        # Each iteration ships only the small (node, rank) vector to
+        # the static weighted-edge table and shuffles the per-dst
+        # partial sums — edges never move.  (At billions of nodes the
+        # same loop switches to a co-partitioned join: edges_w bucketed
+        # by src once, ranks shuffled by node per iteration — drop the
+        # two F.broadcast hints; semantics identical.)
         contribs = (
-            edges.join(per_edge, F.col("src") == F.col("e_src"))
+            edges_w.join(F.broadcast(ranks), F.col("src") == F.col("node"))
             .groupBy("dst")
-            .agg(F.sum("cpe").alias("c"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
         )
         ranks = nodes.join(
             F.broadcast(contribs), F.col("node") == F.col("dst"), "left"

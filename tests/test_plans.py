@@ -160,3 +160,20 @@ def test_sort_within_partitions_is_local_sort(spark):
             prev = k
         return iter(())
     list(df.rdd.mapPartitions(_ordered).collect())
+
+
+def test_dedup_embedding_lsh_no_cartesian(spark):
+    """The LSH-candidate dedup must generate pairs via the (tbl, bucket)
+    equi-join — never a cartesian/nested-loop pass over vector pairs
+    (the fenced O(n²) form is dedup_embedding_cosine's job)."""
+    plan = physical_plan(q("dedup_embedding_lsh", spark))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pagerank_edges_weighted_once(spark):
+    """The static weighted-edge table is persisted before the loop: the
+    per-iteration subplans must reuse it (InMemoryTableScan), not
+    recompute outdeg per iteration."""
+    plan = physical_plan(q("graph_pagerank", spark))
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
