@@ -1,0 +1,291 @@
+"""Training-data preparation operators (beyond-parity, LLM-pipeline).
+
+Four ops every large-scale training-data pipeline runs between raw
+corpus and tokenizer, absent from the reference (SURVEY.md §4.3 plans
+LLM-pipeline capabilities as DataFrame libraries):
+
+  * `pii_pseudonymize`   — irreversible surrogate ids + digit masking +
+                           value bucketing before data leaves the
+                           governed zone.
+  * `text_boilerplate`   — CCNet-style cross-document boilerplate
+                           detection: word-3-grams shared by ≥ K docs.
+  * `pack_sequences`     — concat-and-chunk packing of the token stream
+                           into fixed context windows, per shard.
+  * `mix_domains_quota`  — deterministic hash-ordered per-domain quota
+                           sampling (reproducible data mixing).
+
+All four are pure DataFrame programs (no UDFs) with exact DuckDB
+oracles; they run on the driver-generated `documents`/`customer`
+tables (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+
+@register(
+    "pii_pseudonymize",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name)                                   AS pseudo_id,
+           regexp_replace(c_name, '[0-9]', 'X', 'g')     AS masked_name,
+           CAST(floor(c_acctbal / 1000) AS BIGINT)       AS acctbal_bucket,
+           c_mktsegment
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tags=("pipeline", "privacy", "text"),
+)
+def pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymize identity columns before training: stable
+    irreversible surrogate (md5), digit-masked display form, and
+    k-anonymity-style bucketing of the numeric attribute.
+
+    Scale shape: a narrow projection — no shuffle, no UDF; md5 and
+    regexp_replace run inside whole-stage codegen, so this is a
+    zero-cost rewrite on the 100 TB scan path."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.select(
+            "c_custkey",
+            F.md5(F.col("c_name").cast("binary")).alias("pseudo_id"),
+            F.regexp_replace("c_name", "[0-9]", "X").alias("masked_name"),
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("acctbal_bucket"),
+            "c_mktsegment",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+#: A word-3-gram is boilerplate if it occurs in at least this many
+#: distinct documents (absolute threshold — corpus-size-relative
+#: thresholds are vacuous on the synthetic corpus, whose max 3-gram
+#: doc-frequency is ~2%; at larger SFs this catches proportionally
+#: more, which is the intended CCNet-style behavior).
+BOILER_MIN_DOCS = 5
+BOILER_N = 3
+
+_BOILER_GRAMS_SQL = """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3 THEN
+               list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+             ELSE [] END AS gs
+      FROM w
+    ), e AS (
+      SELECT DISTINCT doc_id, unnest(gs) AS g FROM g
+    ), boiler AS (
+      SELECT g FROM e GROUP BY g HAVING count(*) >= 5
+    )
+"""
+
+
+@register(
+    "text_boilerplate",
+    oracle=_BOILER_GRAMS_SQL
+    + """
+    , m AS (
+      SELECT e.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler
+      FROM e LEFT JOIN boiler b ON e.g = b.g
+      GROUP BY e.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(m.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+           COALESCE(m.n_boiler, CAST(0 AS BIGINT)) AS n_boiler,
+           COALESCE(round(CAST(m.n_boiler AS DOUBLE) / m.n_grams, 6), 0.0)
+             AS boiler_ratio
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN m USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("text", "pipeline", "dedup"),
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate scan (CCNet line-dedup analog at the
+    n-gram level): per document, the fraction of its distinct
+    word-{BOILER_N}-grams shared by ≥ {BOILER_MIN_DOCS} documents —
+    headers/footers/navigation chrome in a real crawl.
+
+    Scale shape: gram doc-frequency is one map-side-combinable groupBy
+    on the gram; the boilerplate set (df ≥ K) is orders of magnitude
+    smaller than the corpus and broadcasts back for the per-doc probe —
+    the corpus shuffles once (per-doc distinct), same skeleton as
+    text_contamination."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    ws = F.split(F.trim(F.col("text")), " +")
+    grams = F.when(
+        F.size(ws) >= BOILER_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (BOILER_N - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + k) for k in range(BOILER_N)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    e = (
+        t.documents.select("doc_id", grams.alias("gs"))
+        .select("doc_id", F.explode("gs").alias("g"))
+        .distinct()
+    )
+    boiler = (
+        e.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DOCS)
+        .select("g")
+    )
+    m = (
+        e.join(F.broadcast(boiler.withColumn("hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias("n_boiler"),
+        )
+    )
+    return (
+        t.documents.select("doc_id")
+        .join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0).cast("bigint")).alias("n_boiler"),
+            F.coalesce(
+                F.round(F.col("n_boiler").cast("double") / F.col("n_grams"), 6),
+                F.lit(0.0),
+            ).alias("boiler_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: Fixed context-window length (tokens) for sequence packing.
+CONTEXT_TOKENS = 512
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             -- CAST: DuckDB sum(BIGINT) yields HUGEINT, which pandas
+             -- renders as float64 and breaks the dtype-class compare
+             CAST(COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS offset_tokens
+      FROM d
+    )
+    SELECT doc_id, source, n_tokens, offset_tokens,
+           CAST(floor(offset_tokens / {CONTEXT_TOKENS}) AS BIGINT) AS chunk_first,
+           CAST(floor((offset_tokens + n_tokens - 1) / {CONTEXT_TOKENS}) AS BIGINT)
+             AS chunk_last
+    FROM c
+    ORDER BY source, doc_id
+    """,
+    tags=("pipeline", "packing"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per shard (source), documents
+    are concatenated in doc_id order into one token stream and cut into
+    fixed {CONTEXT_TOKENS}-token context windows; each document reports
+    its token offset and the chunk range it spans — exactly the packed
+    layout an LLM pre-training loader materializes.
+
+    Scale shape: ONE window partitioned by shard (never a global
+    single-partition cumsum — the per-source partitioning is the
+    parallelism), computed in a single shuffle on source; everything
+    else is arithmetic in codegen."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " +")).cast("bigint")
+    run = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        t.documents.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn(
+            "offset_tokens",
+            F.coalesce(F.sum("n_tokens").over(run), F.lit(0).cast("bigint")),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "offset_tokens",
+            F.floor(F.col("offset_tokens") / CONTEXT_TOKENS)
+            .cast("bigint")
+            .alias("chunk_first"),
+            F.floor((F.col("offset_tokens") + F.col("n_tokens") - 1) / CONTEXT_TOKENS)
+            .cast("bigint")
+            .alias("chunk_last"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+#: Per-domain document quota for deterministic data mixing.
+MIX_QUOTA = 10
+
+
+@register(
+    "mix_domains_quota",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hkey
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id)
+               AS pick_rank
+      FROM h
+    )
+    SELECT source, CAST(pick_rank AS BIGINT) AS pick_rank, doc_id
+    FROM r
+    WHERE pick_rank <= {MIX_QUOTA}
+    ORDER BY source, pick_rank
+    """,
+    tags=("pipeline", "sampling"),
+)
+def mix_domains_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing: each domain (source) contributes its
+    {MIX_QUOTA} documents with the smallest md5(doc_id) — a reproducible
+    uniform subsample per domain, the building block of weighted
+    corpus-mixing recipes (quota per domain = weight × budget).
+
+    Hash-ordered selection beats rand() sampling at scale because it is
+    stable across runs/retries and needs no seed plumbing: one shuffle
+    on source, WindowGroupLimit prunes each partition to the quota
+    before the final sort."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    return (
+        t.documents.select(
+            "doc_id", "source",
+            F.md5(F.col("doc_id").cast("string").cast("binary")).alias("hkey"),
+        )
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= MIX_QUOTA)
+        .select("source", F.col("pick_rank").cast("bigint").alias("pick_rank"), "doc_id")
+        .orderBy("source", "pick_rank")
+    )

@@ -198,6 +198,7 @@ _MODULES = (
     "splitserve_spark.operators.scale_patterns",
     "splitserve_spark.operators.temporal_joins",
     "splitserve_spark.operators.pipeline",
+    "splitserve_spark.operators.training_prep",
     "splitserve_spark.operators.dedup",
     "splitserve_spark.operators.similarity",
     "splitserve_spark.operators.text",

@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+import pytest
+
+from splitserve_spark.registry import REGISTRY, load_all
+from tests.oracle_utils import SF_DIR, check_query
+
+load_all()
+
+ORACLED = [
+    "pii_pseudonymize", "text_boilerplate", "pack_sequences",
+    "mix_domains_quota",
+]
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_match(spark, name):
+    check_query(spark, name, SF_DIR)
+
+
+def test_pseudonymize_is_stable_and_masked(spark):
+    out = REGISTRY["pii_pseudonymize"].fn(spark, SF_DIR).toPandas()
+    # Surrogates are unique per identity and contain no original digits.
+    assert out["pseudo_id"].nunique() == len(out)
+    assert not out["masked_name"].str.contains(r"[0-9]").any()
+
+
+def test_boilerplate_nonvacuous(spark):
+    out = REGISTRY["text_boilerplate"].fn(spark, SF_DIR).toPandas()
+    assert (out["n_boiler"] > 0).sum() > 0, "boilerplate threshold vacuous"
+    assert (out["boiler_ratio"] <= 1.0).all()
+
+
+def test_pack_sequences_invariants(spark):
+    out = REGISTRY["pack_sequences"].fn(spark, SF_DIR).toPandas()
+    # Within each shard, offsets are the exclusive prefix sum of tokens.
+    for _, g in out.groupby("source"):
+        g = g.sort_values("doc_id")
+        assert (g["offset_tokens"].values[1:]
+                == (g["offset_tokens"] + g["n_tokens"]).values[:-1]).all()
+    assert (out["chunk_first"] <= out["chunk_last"]).all()
+
+
+def test_pack_sequences_window_is_sharded(spark):
+    """The packing cumsum must partition by shard — a global (empty
+    partitionBy) window would serialize the 100 TB corpus through one
+    task."""
+    from splitserve_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(REGISTRY["pack_sequences"].fn(spark, SF_DIR))
+    assert "windowspecdefinition(source" in plan, plan
+
+
+def test_mix_quota_exact_and_deterministic(spark):
+    a = REGISTRY["mix_domains_quota"].fn(spark, SF_DIR).toPandas()
+    b = REGISTRY["mix_domains_quota"].fn(spark, SF_DIR).toPandas()
+    assert a.equals(b)
+    from splitserve_spark.operators.training_prep import MIX_QUOTA
+
+    assert (a.groupby("source").size() <= MIX_QUOTA).all()
+
+
+def test_mix_quota_has_window_group_limit(spark):
+    """Per-domain top-quota must prune partitions before the sort
+    (WindowGroupLimit pushdown), not rank the full corpus."""
+    from splitserve_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(REGISTRY["mix_domains_quota"].fn(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
