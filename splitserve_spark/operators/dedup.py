@@ -363,3 +363,109 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+#: Min-label propagation iterations for near-dup cluster resolution.
+#: Text near-dup graphs are near-cliques (if a~b and b~c, a~c is very
+#: likely), so 4 hops close any realistic cluster; the FIXED count makes
+#: the Spark loop and the recursive-CTE oracle bitwise comparable even
+#: on adversarial chains (both report the same 4-hop labels).
+CLUSTER_ITER = 4
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE
+    w AS (
+      SELECT doc_id,
+             list_distinct(string_split(regexp_replace(trim(lower(text)),
+                           ' +', ' ', 'g'), ' ')) AS toks
+      FROM documents WHERE doc_id < 150
+    ),
+    p AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM w a JOIN w b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(a.toks || b.toks)) >= 0.6
+    ),
+    sym AS (
+      SELECT a, b FROM p
+      UNION SELECT b, a FROM p
+      UNION SELECT a, a FROM p
+      UNION SELECT b, b FROM p
+    ),
+    lab AS (
+      SELECT 0 AS iter, a AS node, min(b) AS label FROM sym GROUP BY a
+      UNION ALL
+      SELECT l.iter + 1, s.a AS node, min(l.label) AS label
+      FROM lab l JOIN sym s ON s.b = l.node
+      WHERE l.iter < {CLUSTER_ITER}
+      GROUP BY l.iter + 1, s.a
+    )
+    SELECT node AS doc_id, label AS canonical_id,
+           CAST(CASE WHEN node = label THEN 1 ELSE 0 END AS INTEGER)
+             AS is_canonical
+    FROM lab WHERE iter = {CLUSTER_ITER}
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "pipeline", "graph"),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution — the step between pair mining and
+    survivor selection that pairwise keep-first misses: a~b and b~c
+    must collapse to ONE canonical document even when a~c was never
+    emitted as a pair.  Pairs (exact Jaccard >= 0.6 on the fenced
+    doc_id<150 block, same ground truth as dedup_ngram_jaccard) are
+    symmetrized and resolved to components by {CLUSTER_ITER} rounds of
+    min-label propagation; each document in any cluster reports its
+    canonical (minimum) doc_id.  Survivors = is_canonical docs plus
+    every doc absent from this output.
+
+    Scale shape: identical to graph_connected_components — per round
+    one join + one min-agg on the symmetrized pair list, shuffling
+    (node, label) pairs only; at corpus scale the pair list comes from
+    the banded-LSH candidate join (dedup_minhash_lsh), not the fenced
+    O(n²) block."""
+    # Reuse the iterative-operator persist tracker (bounds cached
+    # copies to one run across repeated invocations — graph.py:41).
+    from splitserve_spark.operators.graph import _persist_tracked, _release_prior
+
+    ensure_parity_conf(spark)
+    _release_prior()
+    t = Tables(spark, sf_dir)
+    w = t.documents.filter(F.col("doc_id") < 150).select(
+        "doc_id",
+        F.array_distinct(F.split(_norm(F.col("text")), " ")).alias("toks"),
+    )
+    a = w.select(F.col("doc_id").alias("a"), F.col("toks").alias("t_a"))
+    b = w.select(F.col("doc_id").alias("b"), F.col("toks").alias("t_b"))
+    jac = F.size(F.array_intersect("t_a", "t_b")).cast("double") / F.size(
+        F.array_union("t_a", "t_b")
+    )
+    pairs = (
+        a.join(b, F.col("a") < F.col("b"))
+        .filter(jac >= 0.6)
+        .select("a", "b")
+    )
+    sym = _persist_tracked(
+        pairs.select("a", "b")
+        .union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .union(pairs.select("a", F.col("a").alias("b")))
+        .union(pairs.select(F.col("b").alias("a"), F.col("b").alias("b")))
+        .distinct()
+    )
+    labels = sym.groupBy("a").agg(F.min("b").alias("label")).withColumnRenamed("a", "node")
+    for _ in range(CLUSTER_ITER):
+        labels = (
+            sym.join(labels, F.col("b") == F.col("node"))
+            .groupBy("a")
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("a", "node")
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("canonical_id"),
+        F.when(F.col("node") == F.col("label"), 1).otherwise(0).cast("int")
+        .alias("is_canonical"),
+    ).orderBy("doc_id")

@@ -244,3 +244,80 @@ def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+#: Attribution window for the stream-stream join.
+ATTRIB_GAP = "30 minutes"
+
+
+@register(
+    "stream_click_attribution",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS buy_id, c.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+    ORDER BY click_id, buy_id
+    """,
+    tags=("streaming", "join", "stateful", "beyond-2.1"),
+)
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (beyond-2.1 extra — the reference's 2.1
+    engine rejects it, UnsupportedOperationChecker.scala:41; modern
+    Spark supports it since 2.3): click events joined to purchase
+    events of the same user within ATTRIB_GAP, both sides true file
+    streams through the micro-batch engine.
+
+    The event-time range condition (buy_ts in [click_ts, click_ts+30m])
+    plus both watermarks bounds the join state: each side keeps only
+    rows younger than watermark+gap, which is what makes the operator
+    viable on an unbounded 100 TB/day stream — state is O(rate x gap),
+    not O(history).  The oracle is the equivalent batch self-join, so
+    the driver proves stream==batch for the join too."""
+    ensure_parity_conf(spark)
+    name = "sca_" + "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    buys = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("buy_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIB_GAP}")),
+        "inner",
+    ).select(
+        "click_id",
+        "buy_id",
+        F.col("c_user").alias("user_id"),
+        F.timestamp_diff("MICROSECOND", F.col("click_ts"), F.col("buy_ts")).alias(
+            "lag_us"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("click_id", "buy_id")

@@ -53,3 +53,19 @@ def test_pipeline_stages_monotone(spark):
     assert (out["n_chars_obs"] >= MIN_CHARS).all()
     assert (out["n_words"] >= MIN_WORDS).all()
     assert out["doc_id"].is_unique
+
+
+def test_cluster_canonical_transitive_and_consistent(spark):
+    """Cluster resolution must be transitive (one canonical per
+    component, even for pairs never directly emitted) and consistent
+    with the pair ground truth."""
+    out = REGISTRY["dedup_cluster_canonical"].fn(spark, SF_DIR).toPandas()
+    pairs = REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_DIR).toPandas()
+    lab = dict(zip(out["doc_id"], out["canonical_id"]))
+    # Every doc in a pair got a label; both ends share one.
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert lab[a] == lab[b], (a, b)
+    # Canonical ids are cluster minima and themselves in the cluster.
+    assert (out["canonical_id"] <= out["doc_id"]).all()
+    assert set(out["canonical_id"]) <= set(out["doc_id"])
+    assert (out.loc[out["doc_id"] == out["canonical_id"], "is_canonical"] == 1).all()
