@@ -521,3 +521,73 @@ def sim_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "sim_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500
+    ), s AS (
+      SELECT vec_id, v, list_min(v) AS vmin,
+             (list_max(v) - list_min(v)) / 255.0 AS scale
+      FROM e
+    ), r AS (
+      SELECT vec_id, vmin, scale,
+             list_transform(v, x -> vmin + floor((x - vmin) / scale + 0.5) * scale)
+               AS recon,
+             v
+      FROM s
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           round(list_sum(list_transform(range(1, len(v) + 1),
+                 i -> (v[i] - recon[i]) * (v[i] - recon[i]))) / len(v), 8)
+             AS mse,
+           round(list_max(list_transform(range(1, len(v) + 1),
+                 i -> abs(v[i] - recon[i]))), 6)
+             AS max_abs_err
+    FROM r
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "pipeline", "quantization"),
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column — the
+    compression step that makes billion-vector ANN indexes fit in
+    memory (4x smaller than float32, 8x than float64): per vector,
+    min/max affine scale to 256 levels, with reconstruction-error
+    diagnostics (MSE, max abs error) that a pipeline monitors to
+    decide quantization level.
+
+    Everything is JVM higher-order functions over the array column —
+    no Python, no shuffle; the quantized codes would be written in the
+    scan projection at corpus scale.  floor(x + 0.5) is used instead of
+    round() in BOTH engines so half-way semantics cannot drift."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.filter(F.col("vec_id") < 500).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    s = e.select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("vmin"),
+        ((F.array_max("v") - F.array_min("v")) / 255.0).alias("scale"),
+    )
+    recon = F.transform(
+        "v",
+        lambda x: F.col("vmin")
+        + F.floor((x - F.col("vmin")) / F.col("scale") + 0.5) * F.col("scale"),
+    )
+    r = s.withColumn("recon", recon)
+    sq = F.zip_with("v", "recon", lambda a, b: (a - b) * (a - b))
+    ae = F.zip_with("v", "recon", lambda a, b: F.abs(a - b))
+    return r.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(
+            F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x) / F.size("v"), 8
+        ).alias("mse"),
+        F.round(F.array_max(ae), 6).alias("max_abs_err"),
+    ).orderBy("vec_id")

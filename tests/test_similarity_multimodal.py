@@ -91,3 +91,13 @@ def test_dedup_embedding_lsh_recall(spark):
     merged = exact.merge(approx, on="dup_id", suffixes=("_e", "_a"))
     assert (merged["max_cos_a"] <= merged["max_cos_e"] + 1e-9).all()
     assert (merged["n_near_a"] <= merged["n_near_e"]).all()
+
+
+def test_quantize_int8_error_bound(spark):
+    """Affine 256-level quantization guarantees max reconstruction
+    error <= scale/2 (half a quantization step)."""
+    out = REGISTRY["sim_quantize_int8"].fn(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    # scale is rounded to 6dp in the output, so allow half-ULP slack
+    assert (out["max_abs_err"] <= out["scale"] / 2 + 1e-6).all()
+    assert (out["mse"] <= (out["scale"] / 2 + 1e-6) ** 2).all()
