@@ -114,7 +114,8 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_decode_features", oracle=None, tags=("multimodal", "pipeline", "stub"))
+@register("mm_decode_features", oracle=None, priority=87,  # preferred rows-only filler
+          tags=("multimodal", "pipeline", "stub"))
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode / feature-extract via mapInPandas (Arrow batches).  The
     decode kernel is the deterministic stub; the Spark plumbing (schema,

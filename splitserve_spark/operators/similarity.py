@@ -212,6 +212,7 @@ def _dedup_hyperplanes(dim: int) -> list[list[list[float]]]:
     "dedup_embedding_lsh",
     oracle=None,  # approximate (recall-tested vs dedup_embedding_cosine)
     tags=("similarity", "pipeline", "dedup", "lsh"),
+    priority=84,  # preferred rows-only filler: flagship scale path, new r5
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-candidate form of embedding near-dedup — the scale path that
@@ -304,7 +305,8 @@ def _hyperplanes(dim: int) -> list[list[list[float]]]:
     return rng.standard_normal((N_TABLES, N_BITS, dim)).tolist()
 
 
-@register("sim_lsh_ann", oracle=None, tags=("similarity", "pipeline", "ann", "lsh"))
+@register("sim_lsh_ann", oracle=None, priority=85,  # preferred rows-only filler
+          tags=("similarity", "pipeline", "ann", "lsh"))
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: per table, a B-bit sign signature;
     candidates = vectors sharing any table's (possibly 1-bit-flipped)
@@ -399,7 +401,8 @@ N_CELLS = 16
 N_PROBE = 4
 
 
-@register("sim_ivf_ann", oracle=None, tags=("similarity", "pipeline", "ann", "ivf"))
+@register("sim_ivf_ann", oracle=None, priority=86,  # preferred rows-only filler
+          tags=("similarity", "pipeline", "ann", "ivf"))
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse k-means quantizer partitions
     vectors into C cells; each query probes its P nearest centroids and
