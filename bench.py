@@ -62,6 +62,8 @@ def main() -> None:
         "metric": "bench_total_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "definition": f"sum of per-query best-of-{max(1, reps)} timings"
+                      " (not wall clock)",
         "queries": timings,
         "sf": sf,
     }
