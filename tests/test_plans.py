@@ -177,3 +177,20 @@ def test_pagerank_edges_weighted_once(spark):
     recompute outdeg per iteration."""
     plan = physical_plan(q("graph_pagerank", spark))
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+
+
+def test_training_prep_shuffle_budgets(spark):
+    """Training-prep operators keep their scale-critical shuffle
+    budgets: pseudonymization and quantization are pure projections
+    (only the presentation sort exchanges); packing and mixing spend
+    exactly one data shuffle (the per-shard window) plus the sort."""
+    assert count_exchanges(q("pii_pseudonymize", spark)) <= 1
+    assert count_exchanges(q("sim_quantize_int8", spark)) <= 1
+    assert count_exchanges(q("pack_sequences", spark)) <= 2
+    assert count_exchanges(q("mix_domains_quota", spark)) <= 2
+
+
+def test_boilerplate_probe_is_broadcast(spark):
+    """The boilerplate set (df >= K grams) must broadcast back to the
+    corpus-side probe — the corpus must not shuffle a second time."""
+    assert_in_plan(q("text_boilerplate", spark), "BroadcastHashJoin")
