@@ -289,3 +289,200 @@ def mix_domains_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("pick_rank").cast("bigint").alias("pick_rank"), "doc_id")
         .orderBy("source", "pick_rank")
     )
+
+
+#: Deterministic split: docs whose 60-bit hash lands in the lowest
+#: EVAL_PCT buckets of 100 are held out.
+EVAL_PCT = 5
+
+
+@register(
+    "split_train_eval",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+                       % 100 < {EVAL_PCT}
+                  THEN 'eval' ELSE 'train' END AS split,
+             len(string_split_regex(trim(text), ' +')) AS n_tokens
+      FROM documents
+    )
+    SELECT source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM d GROUP BY source, split
+    ORDER BY source, split
+    """,
+    tags=("pipeline", "sampling"),
+)
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval split by document hash: stable across
+    runs, machines and engines (no seed plumbing), leakage-free by
+    construction — the same doc can never switch sides.  Output is the
+    per-source split manifest (doc/token counts) a pipeline records
+    next to the data.
+
+    Scale shape: the split predicate is a codegen projection; the
+    manifest is one map-side-combinable groupBy."""
+    from splitserve_spark.functions.parity_hash import md5_hash60
+
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    split = F.when(
+        md5_hash60(F.col("doc_id").cast("string")) % 100 < EVAL_PCT, "eval"
+    ).otherwise("train")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " +")).cast("bigint")
+    return (
+        t.documents.select(
+            "source", split.alias("split"), n_tokens.alias("n_tokens")
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+#: Quality-filter thresholds (calibrated non-degenerate on the synthetic
+#: corpus: ~105 short / ~171 long / ~165 repetitive / ~59 ok at sf0.001).
+MIN_WORDS, MAX_WORDS, MIN_UNIQ_RATIO = 30, 70, 0.55
+
+
+@register(
+    "filter_reason_codes",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), ' +')) AS n_words,
+             len(list_distinct(string_split_regex(trim(text), ' +'))) AS n_uniq
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(CAST(n_uniq AS DOUBLE) / n_words, 6) AS uniq_ratio,
+           CASE WHEN n_words < {MIN_WORDS} THEN 'too_short'
+                WHEN n_words > {MAX_WORDS} THEN 'too_long'
+                WHEN CAST(n_uniq AS DOUBLE) / n_words < {MIN_UNIQ_RATIO}
+                  THEN 'repetitive'
+                ELSE 'ok' END AS reason
+    FROM w
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def filter_reason_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering with reason codes — production pipelines never
+    just drop documents, they label WHY (too_short / too_long /
+    repetitive / ok, first matching rule wins) so filter rates can be
+    monitored per source and rules can be replayed.
+
+    Scale shape: a narrow codegen projection; the downstream filter is
+    `WHERE reason = 'ok'` and the monitoring rollup is a groupBy on
+    (source, reason) — neither is materialized here."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    ws = F.split(F.trim(F.col("text")), " +")
+    n_words = F.size(ws).cast("bigint")
+    uniq_ratio = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
+    reason = (
+        F.when(n_words < MIN_WORDS, "too_short")
+        .when(n_words > MAX_WORDS, "too_long")
+        .when(uniq_ratio < MIN_UNIQ_RATIO, "repetitive")
+        .otherwise("ok")
+    )
+    return (
+        t.documents.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            F.round(uniq_ratio, 6).alias("uniq_ratio"),
+            reason.alias("reason"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: Number of corpus domains (sources) — the uniform mixing target is
+#: 1/N_SOURCES of the budget each.
+N_SOURCES = 20
+
+
+@register(
+    "mix_importance_weights",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    ), tot AS (SELECT sum(n_docs) AS total FROM s)
+    SELECT s.source, s.n_docs,
+           round(CAST(s.n_docs AS DOUBLE) / tot.total, 6) AS actual_share,
+           round(CAST(tot.total AS DOUBLE) / ({N_SOURCES}.0 * s.n_docs), 6)
+             AS weight
+    FROM s, tot
+    ORDER BY s.source
+    """,
+    tags=("pipeline", "sampling"),
+)
+def mix_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weights for corpus mixing: weight(source) =
+    target_share / actual_share with a uniform 1/{N_SOURCES} target —
+    multiply per-doc sampling probability by its source weight to hit
+    the recipe.  Over-represented domains get weight < 1, rare domains
+    > 1 (upsampled).
+
+    Scale shape: the corpus reduces to one {N_SOURCES}-row aggregate;
+    the share normalization is a window over those rows, not the data."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    s = t.documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return (
+        s.withColumn("total", total)
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("total"), 6)
+            .alias("actual_share"),
+            F.round(
+                F.col("total").cast("double") / (N_SOURCES * F.col("n_docs")), 6
+            ).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+#: Histogram bin width (tokens) for the corpus length profile.
+HIST_BIN = 10
+
+
+@register(
+    "text_token_histogram",
+    oracle=f"""
+    WITH w AS (
+      SELECT source,
+             CAST(floor(len(string_split_regex(trim(text), ' +'))
+                        / {HIST_BIN}) * {HIST_BIN} AS BIGINT) AS bin_lo
+      FROM documents
+    )
+    SELECT source, bin_lo, CAST(count(*) AS BIGINT) AS n_docs
+    FROM w GROUP BY source, bin_lo
+    ORDER BY source, bin_lo
+    """,
+    tags=("pipeline", "text", "stats"),
+)
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram ({HIST_BIN}-token bins) —
+    the length profile a pipeline inspects before choosing packing and
+    truncation parameters.  One map-side-combinable groupBy; bins are
+    computed in the scan projection."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    n_words = F.size(F.split(F.trim(F.col("text")), " +"))
+    bin_lo = (F.floor(n_words / HIST_BIN) * HIST_BIN).cast("bigint")
+    return (
+        t.documents.select("source", bin_lo.alias("bin_lo"))
+        .groupBy("source", "bin_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "bin_lo")
+    )

@@ -67,3 +67,49 @@ def test_mix_quota_has_window_group_limit(spark):
 
     plan = physical_plan(REGISTRY["mix_domains_quota"].fn(spark, SF_DIR))
     assert "WindowGroupLimit" in plan, plan
+
+
+MANIFEST_ORACLED = [
+    "split_train_eval", "filter_reason_codes", "mix_importance_weights",
+    "text_token_histogram",
+]
+
+
+@pytest.mark.parametrize("name", MANIFEST_ORACLED)
+def test_manifest_oracle_match(spark, name):
+    check_query(spark, name, SF_DIR)
+
+
+def test_split_is_deterministic_and_near_target(spark):
+    a = REGISTRY["split_train_eval"].fn(spark, SF_DIR).toPandas()
+    b = REGISTRY["split_train_eval"].fn(spark, SF_DIR).toPandas()
+    assert a.equals(b)
+    by_split = a.groupby("split")["n_docs"].sum()
+    frac = by_split.get("eval", 0) / by_split.sum()
+    # 5% target with binomial slack on a 500-doc corpus.
+    assert 0.005 <= frac <= 0.15, frac
+
+
+def test_filter_reasons_nondegenerate(spark):
+    out = REGISTRY["filter_reason_codes"].fn(spark, SF_DIR).toPandas()
+    counts = out["reason"].value_counts()
+    assert set(counts.index) == {"too_short", "too_long", "repetitive", "ok"}
+    assert (counts > 0).all()
+
+
+def test_importance_weights_normalize(spark):
+    """share-weighted sum of weights = 1 (the weights reproduce the
+    uniform target when applied to the actual distribution)."""
+    out = REGISTRY["mix_importance_weights"].fn(spark, SF_DIR).toPandas()
+    assert abs((out["actual_share"] * out["weight"]).sum() - 1.0) < 1e-3
+
+
+def test_token_histogram_covers_corpus(spark):
+    out = REGISTRY["text_token_histogram"].fn(spark, SF_DIR).toPandas()
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    assert out["n_docs"].sum() == n
+    assert (out["bin_lo"] % 10 == 0).all()
