@@ -469,3 +469,72 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("node") == F.col("label"), 1).otherwise(0).cast("int")
         .alias("is_canonical"),
     ).orderBy("doc_id")
+
+
+#: Corpus/batch fence for incremental dedup: docs below are the
+#: already-ingested corpus, docs at/above are the incoming batch.
+INCR_FENCE = 250
+
+
+@register(
+    "dedup_incremental",
+    priority=88,  # round-5 window is full (50 oracle checks) — verifies r6
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(lower(text)), ' +'))), ' ')) AS fp
+      FROM documents
+    ),
+    ex AS (SELECT DISTINCT fp FROM f WHERE doc_id < {INCR_FENCE}),
+    inc AS (SELECT doc_id, fp FROM f WHERE doc_id >= {INCR_FENCE}),
+    fi AS (SELECT fp, min(doc_id) AS first_id FROM inc GROUP BY fp)
+    SELECT i.doc_id,
+           CASE WHEN ex.fp IS NOT NULL THEN 'dup_of_corpus'
+                WHEN i.doc_id <> fi.first_id THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM inc i LEFT JOIN ex ON i.fp = ex.fp
+    JOIN fi ON i.fp = fi.fp
+    ORDER BY i.doc_id
+    """,
+    tags=("dedup", "pipeline", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (crawl-delta) dedup — the production shape: a new
+    batch is deduplicated against the ALREADY-INGESTED corpus index and
+    against itself, without rescanning corpus text.  Fingerprint =
+    md5 of the sorted vocabulary set (bag-of-words), which collapses
+    word-order shuffles of the same content; each incoming doc is
+    labeled dup_of_corpus / dup_in_batch / new.
+
+    Scale shape: the corpus contributes only its fingerprint column
+    (the persisted dedup index, O(corpus) keys but narrow); the batch
+    shuffles once on fp for both the index anti-probe and the
+    first-in-batch window.  Corpus text is never touched."""
+    ensure_parity_conf(spark)
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    fp = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(F.split(_norm(F.col("text")), " ")))
+        ).cast("binary")
+    )
+    f = t.documents.select("doc_id", fp.alias("fp"))
+    existing = f.filter(F.col("doc_id") < INCR_FENCE).select("fp").distinct()
+    incoming = f.filter(F.col("doc_id") >= INCR_FENCE)
+    first_in_batch = F.min("doc_id").over(Window.partitionBy("fp"))
+    return (
+        incoming.join(
+            existing.withColumn("in_corpus", F.lit(1)), "fp", "left"
+        )
+        .withColumn("first_id", first_in_batch)
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus").isNotNull(), "dup_of_corpus")
+            .when(F.col("doc_id") != F.col("first_id"), "dup_in_batch")
+            .otherwise("new")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )

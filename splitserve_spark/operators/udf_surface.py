@@ -275,3 +275,67 @@ def udf_python_row(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name", tag("n_name", "n_regionkey").alias("tagged"))
         .orderBy("n_nationkey")
     )
+
+
+#: Words per chunk for the UDTF demo.
+UDTF_CHUNK = 10
+
+
+@register(
+    "udtf_chunk_text",
+    priority=88,  # round-5 window is full (50 oracle checks) — verifies r6
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+      FROM documents WHERE doc_id < 100
+    ), c AS (
+      SELECT doc_id, ws,
+             unnest(range(0, CAST(ceil(len(ws) / {UDTF_CHUNK}.0) AS INTEGER)))
+               AS chunk_idx
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           array_to_string(
+             ws[chunk_idx * {UDTF_CHUNK} + 1 : (chunk_idx + 1) * {UDTF_CHUNK}],
+             ' ') AS chunk,
+           CAST(len(ws[chunk_idx * {UDTF_CHUNK} + 1 : (chunk_idx + 1) * {UDTF_CHUNK}])
+                AS INTEGER) AS n_words
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("udf", "udtf", "generator"),
+)
+def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (user-defined TABLE function) — the modern mapping of
+    the reference's `UserDefinedGenerator` (generators.scala:68, SURVEY
+    §2.9): one input row expands to N output rows through a Python
+    generator, invoked via LATERAL join.  Splits each document into
+    fixed {UDTF_CHUNK}-word chunks (a simple tokenizer-sharding step).
+
+    Arrow-optimized (useArrow=True) so batches cross the Python
+    boundary columnar; still a Python-worker path — at corpus scale
+    prefer the pure-column equivalent (slice/transform on the split
+    array) unless the expansion logic genuinely needs Python."""
+    ensure_parity_conf(spark)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=f"chunk_idx int, chunk string, n_words int", useArrow=True)
+    class ChunkText:
+        def eval(self, text: str):
+            words = text.strip().split()
+            for i in range(0, len(words), UDTF_CHUNK):
+                chunk = words[i : i + UDTF_CHUNK]
+                yield i // UDTF_CHUNK, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("chunk_text", ChunkText)
+    t = Tables(spark, sf_dir)
+    t.documents.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_words
+        FROM _udtf_docs d, LATERAL chunk_text(d.text) c
+        WHERE d.doc_id < 100
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )

@@ -14,6 +14,7 @@ ORACLE_CHECKED = [
     "udf_map_in_pandas",
     "udf_cogroup_in_pandas",
     "udf_python_row",
+    "udtf_chunk_text",
     "stat_crosstab",
     "stat_corr_cov",
     "stat_describe",
