@@ -1,12 +1,15 @@
 """Deduplication operators for training-data pipelines (beyond-parity).
 
-Four families over the `documents` table:
+Families over the `documents` table:
   * exact        — hash-groupBy on normalized text
   * MinHash+LSH  — shingle → 8-perm minhash signature → 4 banded buckets
                    → candidate join → exact Jaccard confirm
   * SimHash      — 16-bit sign-sum sketch + Hamming-distance pairing
   * n-gram Jaccard — exact pairwise on a bounded block (the brute-force
                    baseline the LSH path approximates)
+  * cluster canonicalization — pair list → min-label propagation →
+                   one canonical doc per near-dup component
+  * incremental  — crawl-delta batch vs persisted fingerprint index
 
 Scale design: every step is scan → narrow map → groupBy/join on
 bounded keys.  The LSH candidate join is the only quadratic-risk step

@@ -1,17 +1,20 @@
 """Vector similarity search over the `embeddings` table (beyond-parity).
 
-Three tiers:
+Tiers:
   * brute-force cosine top-k  — the exactness baseline (oracle-checked)
   * threshold pair mining     — embedding-cosine near-dup detection
-  * LSH-bucketed ANN          — random-hyperplane signatures; the scale
-                                path (recall-tested against brute force)
+    (+ keep-first dedup, exact and LSH-candidate forms)
+  * LSH-bucketed / IVF ANN    — the scale paths (recall-tested
+    against brute force)
+  * int8 scalar quantization  — the compression step for
+    billion-vector indexes (oracle-checked)
 
 Scale design: query vectors are broadcast (they are the small side by
 construction); per-row cosine runs as JVM higher-order functions
 (zip_with + aggregate) — no Python, no UDF.  Top-k per query uses the
 rank-window + filter shape, which Spark executes with WindowGroupLimit
-pushdown (partial top-k before the shuffle).  The LSH variant trades
-the all-pairs scan for an equi-join on 16-bit signatures.
+pushdown (partial top-k before the shuffle).  The LSH variants trade
+the all-pairs scan for equi-joins on sign-bit signatures.
 """
 
 from __future__ import annotations

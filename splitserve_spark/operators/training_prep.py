@@ -1,22 +1,26 @@
 """Training-data preparation operators (beyond-parity, LLM-pipeline).
 
-Four ops every large-scale training-data pipeline runs between raw
+Operations every large-scale training-data pipeline runs between raw
 corpus and tokenizer, absent from the reference (SURVEY.md §4.3 plans
 LLM-pipeline capabilities as DataFrame libraries):
 
-  * `pii_pseudonymize`   — irreversible surrogate ids + digit masking +
-                           value bucketing before data leaves the
-                           governed zone.
-  * `text_boilerplate`   — CCNet-style cross-document boilerplate
-                           detection: word-3-grams shared by ≥ K docs.
-  * `pack_sequences`     — concat-and-chunk packing of the token stream
-                           into fixed context windows, per shard.
-  * `mix_domains_quota`  — deterministic hash-ordered per-domain quota
-                           sampling (reproducible data mixing).
+  * `pii_pseudonymize`        — irreversible surrogate ids + digit
+                                masking + value bucketing before data
+                                leaves the governed zone.
+  * `text_boilerplate`        — CCNet-style cross-document boilerplate
+                                detection: word-3-grams in ≥ K docs.
+  * `pack_sequences`          — concat-and-chunk packing of the token
+                                stream into fixed context windows.
+  * `mix_domains_quota`       — deterministic hash-ordered per-domain
+                                quota sampling (reproducible mixing).
+  * `split_train_eval`        — leakage-free hash split + manifest.
+  * `filter_reason_codes`     — quality filter with reason labels.
+  * `mix_importance_weights`  — per-domain mixing weights.
+  * `text_token_histogram`    — per-source length profile.
 
-All four are pure DataFrame programs (no UDFs) with exact DuckDB
-oracles; they run on the driver-generated `documents`/`customer`
-tables (TESTDATA.md).
+All are pure DataFrame programs (no UDFs) with exact DuckDB oracles;
+they run on the driver-generated `documents`/`customer` tables
+(TESTDATA.md).
 """
 
 from __future__ import annotations
