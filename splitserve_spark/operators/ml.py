@@ -149,3 +149,106 @@ def workload_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pi_estimate")
     )
+
+
+#: One-step Lloyd block: vectors and K for the oracle-checked variant.
+ONESTEP_MAX_ID = 400
+ONESTEP_K = 8
+
+
+@register(
+    "ml_kmeans_onestep",
+    priority=88,  # round-5 window is full — verifies r6
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < {ONESTEP_MAX_ID}
+    ),
+    init AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {ONESTEP_K}),
+    a0 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, i.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, i.cv), i.cid) AS rn
+        FROM e CROSS JOIN init i) s
+      WHERE rn = 1
+    ),
+    cells AS (
+      SELECT cid, pos, avg(x) AS m FROM (
+        SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a0) u
+      GROUP BY cid, pos
+    ),
+    cv1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM cells GROUP BY cid),
+    a1 AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT e.vec_id, c.cid, list_distance(e.v, c.cv) AS dist,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        FROM e CROSS JOIN cv1 c) s
+      WHERE rn = 1
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cell, round(dist, 6) AS dist
+    FROM a1 ORDER BY vec_id
+    """,
+    tags=("ml", "workload"),
+)
+def ml_kmeans_onestep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd step, fully distributed and value-exact
+    against a SQL oracle — the hash-verified core of the k-means
+    workload (the iterated variants ml_kmeans / ml_kmeans_lloyd are
+    recall/invariant-tested; this pins the arithmetic cross-engine).
+
+    Init = the first {ONESTEP_K} vectors; assign (argmin L2, ties to
+    the lower cell id) → per-dimension centroid means via posexplode
+    (the shuffle carries K·dim cells, never raw vectors) → reassign.
+    Every init cell is non-empty by construction (each seed vector is
+    at distance 0 from its own cell), so no empty-cell branch is
+    needed."""
+    ensure_parity_conf(spark)
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.filter(F.col("vec_id") < ONESTEP_MAX_ID).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def l2(a, b):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            )
+        )
+
+    init = e.filter(F.col("vec_id") < ONESTEP_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    by_vec = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    a0 = (
+        e.join(F.broadcast(init))
+        .withColumn("dist", l2(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(by_vec))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    cv1 = (
+        a0.select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.transform("pm", lambda s: s["m"]).alias("cv"))
+    )
+    return (
+        e.join(F.broadcast(cv1))
+        .withColumn("dist", l2(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(by_vec))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cid").cast("bigint").alias("cell"),
+            F.round("dist", 6).alias("dist"),
+        )
+        .orderBy("vec_id")
+    )

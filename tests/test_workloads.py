@@ -9,7 +9,7 @@ from tests.oracle_utils import SF_DIR, check_query
 load_all()
 
 
-@pytest.mark.parametrize("name", ["graph_pagerank", "workload_pi"])
+@pytest.mark.parametrize("name", ["graph_pagerank", "workload_pi", "ml_kmeans_onestep"])
 def test_oracle_match(spark, name):
     check_query(spark, name, SF_DIR)
 
