@@ -540,8 +540,10 @@ def sim_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
     ), r AS (
       SELECT vec_id, vmin, scale,
-             list_transform(v, x -> vmin + floor((x - vmin) / scale + 0.5) * scale)
-               AS recon,
+             CASE WHEN scale = 0 THEN v
+                  ELSE list_transform(
+                    v, x -> vmin + floor((x - vmin) / scale + 0.5) * scale)
+             END AS recon,
              v
       FROM s
     )
@@ -581,10 +583,16 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("v").alias("vmin"),
         ((F.array_max("v") - F.array_min("v")) / 255.0).alias("scale"),
     )
-    recon = F.transform(
-        "v",
-        lambda x: F.col("vmin")
-        + F.floor((x - F.col("vmin")) / F.col("scale") + 0.5) * F.col("scale"),
+    # scale == 0 (constant vector) would make (x - vmin)/scale a 0/0 NaN;
+    # the quantization is lossless there, so recon = v exactly (mirrored
+    # in the oracle's CASE).
+    recon = F.when(F.col("scale") == 0, F.col("v")).otherwise(
+        F.transform(
+            "v",
+            lambda x: F.col("vmin")
+            + F.floor((x - F.col("vmin")) / F.col("scale") + 0.5)
+            * F.col("scale"),
+        )
     )
     r = s.withColumn("recon", recon)
     sq = F.zip_with("v", "recon", lambda a, b: (a - b) * (a - b))

@@ -90,9 +90,9 @@ _BOILER_GRAMS_SQL = """
     ), e AS (
       SELECT DISTINCT doc_id, unnest(gs) AS g FROM g
     ), boiler AS (
-      SELECT g FROM e GROUP BY g HAVING count(*) >= 5
+      SELECT g FROM e GROUP BY g HAVING count(*) >= {min_docs}
     )
-"""
+""".format(min_docs=BOILER_MIN_DOCS)
 
 
 @register(
@@ -407,21 +407,18 @@ def filter_reason_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Number of corpus domains (sources) — the uniform mixing target is
-#: 1/N_SOURCES of the budget each.
-N_SOURCES = 20
-
-
 @register(
     "mix_importance_weights",
-    oracle=f"""
+    oracle="""
     WITH s AS (
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
       GROUP BY source
-    ), tot AS (SELECT sum(n_docs) AS total FROM s)
+    ), tot AS (
+      SELECT sum(n_docs) AS total, count(*) AS n_src FROM s
+    )
     SELECT s.source, s.n_docs,
            round(CAST(s.n_docs AS DOUBLE) / tot.total, 6) AS actual_share,
-           round(CAST(tot.total AS DOUBLE) / ({N_SOURCES}.0 * s.n_docs), 6)
+           round(CAST(tot.total AS DOUBLE) / (tot.n_src * s.n_docs), 6)
              AS weight
     FROM s, tot
     ORDER BY s.source
@@ -430,26 +427,33 @@ N_SOURCES = 20
 )
 def mix_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance weights for corpus mixing: weight(source) =
-    target_share / actual_share with a uniform 1/{N_SOURCES} target —
+    target_share / actual_share with a uniform 1/n_sources target —
     multiply per-doc sampling probability by its source weight to hit
     the recipe.  Over-represented domains get weight < 1, rare domains
-    > 1 (upsampled).
+    > 1 (upsampled).  The source count is measured in-query (a window
+    over the aggregated rows), never pinned as a corpus constant.
 
-    Scale shape: the corpus reduces to one {N_SOURCES}-row aggregate;
-    the share normalization is a window over those rows, not the data."""
+    Scale shape: the corpus reduces to one row-per-source aggregate;
+    the share/weight normalization is a window over those few rows,
+    not the data."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     s = t.documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    total = F.sum("n_docs").over(Window.partitionBy())
+    everything = Window.partitionBy()
+    total = F.sum("n_docs").over(everything)
+    n_src = F.count(F.lit(1)).over(everything)
     return (
         s.withColumn("total", total)
+        .withColumn("n_src", n_src)
         .select(
             "source",
             "n_docs",
             F.round(F.col("n_docs").cast("double") / F.col("total"), 6)
             .alias("actual_share"),
             F.round(
-                F.col("total").cast("double") / (N_SOURCES * F.col("n_docs")), 6
+                F.col("total").cast("double")
+                / (F.col("n_src") * F.col("n_docs")),
+                6,
             ).alias("weight"),
         )
         .orderBy("source")

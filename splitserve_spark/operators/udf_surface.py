@@ -320,10 +320,17 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_parity_conf(spark)
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType=f"chunk_idx int, chunk string, n_words int", useArrow=True)
+    @udtf(returnType="chunk_idx int, chunk string, n_words int", useArrow=True)
     class ChunkText:
         def eval(self, text: str):
-            words = text.strip().split()
+            # Same semantics as the oracle's string_split_regex(trim(text),
+            # ' +'): NULL → no rows; split on single-space runs only (not
+            # all whitespace); empty text → one [''] chunk.
+            if text is None:
+                return
+            import re as _re
+
+            words = _re.split(" +", text.strip())
             for i in range(0, len(words), UDTF_CHUNK):
                 chunk = words[i : i + UDTF_CHUNK]
                 yield i // UDTF_CHUNK, " ".join(chunk), len(chunk)
