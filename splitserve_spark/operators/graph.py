@@ -128,24 +128,31 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(N_ITER):
-        # Each iteration ships only the small (node, rank) vector to
-        # the static weighted-edge table and shuffles the per-dst
-        # partial sums — edges never move.  (At billions of nodes the
-        # same loop switches to a co-partitioned join: edges_w bucketed
-        # by src once, ranks shuffled by node per iteration — drop the
-        # two F.broadcast hints; semantics identical.)
-        contribs = (
-            edges_w.join(F.broadcast(ranks), F.col("src") == F.col("node"))
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
-        )
-        ranks = nodes.join(
-            F.broadcast(contribs), F.col("node") == F.col("dst"), "left"
-        ).select(
-            "node",
-            (F.lit(RESET) + F.lit(DAMP) * F.coalesce("c", F.lit(0.0))).alias("rank"),
-        )
+        ranks = _iterate_rank(edges_w, nodes, ranks)
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+def _iterate_rank(
+    edges_w: DataFrame, nodes: DataFrame, ranks: DataFrame
+) -> DataFrame:
+    """One PageRank iteration: rank' (node) = RESET + DAMP · Σ contribs.
+
+    The rank vector is O(|nodes|) — deliberately NO broadcast hints (a
+    forced per-iteration driver broadcast of every node's rank is the
+    scale-killer at billions of nodes).  AQE picks broadcast at test SF
+    where ranks is tiny; with large inputs the planner shuffle-joins
+    (pinned by tests/test_plans.py), and the right cluster layout is
+    edges_w bucketed by src once, with only the (node, rank) vector
+    moving per iteration."""
+    contribs = (
+        edges_w.join(ranks, F.col("src") == F.col("node"))
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
+    )
+    return nodes.join(contribs, F.col("node") == F.col("dst"), "left").select(
+        "node",
+        (F.lit(RESET) + F.lit(DAMP) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+    )
 
 
 CC_ITER = 6

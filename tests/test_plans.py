@@ -179,6 +179,30 @@ def test_pagerank_edges_weighted_once(spark):
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
 
 
+def test_pagerank_iteration_not_broadcast_at_scale(spark):
+    """The per-iteration rank join must NOT plan a broadcast when the
+    rank vector is large (the rank vector is O(|nodes|); a forced
+    broadcast per iteration was the one remaining 100 TB scale-killer).
+    Drive one iteration with a large synthetic graph — the planner must
+    pick a shuffle-based equi-join for both joins."""
+    from splitserve_spark.operators.graph import _iterate_rank
+
+    n = 20_000_000  # ~big enough that size estimates exceed the 64 MB threshold
+    nodes = spark.range(n).select(
+        F.concat(F.lit("n"), F.col("id")).alias("node")
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    edges_w = spark.range(n).select(
+        F.concat(F.lit("n"), F.col("id")).alias("src"),
+        F.concat(F.lit("n"), (F.col("id") + 1) % n).alias("dst"),
+        F.lit(1.0).alias("w"),
+    )
+    plan = physical_plan(_iterate_rank(edges_w, nodes, ranks))
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+
 def test_training_prep_shuffle_budgets(spark):
     """Training-prep operators keep their scale-critical shuffle
     budgets: pseudonymization and quantization are pure projections
