@@ -5,19 +5,27 @@ metadata structs; per-item decode / feature-extraction runs as
 Arrow-batched pandas iterators (mapInPandas) so a 100 TB corpus streams
 through Python in columnar batches, never row-at-a-time.
 
-The test container ships no image/audio codecs, so the decode kernel is
-a deterministic STUB (_fake_decode) behind the real Spark plumbing —
-schema contracts, batch iteration, and partitioning are production
-shaped; swap `_fake_decode` for a PIL/ffmpeg call in deployment.
+One modality decodes for REAL: `mm_decode_features` parses PCM WAV
+payloads byte-for-byte (RIFF/fmt/data chunk walk via struct.unpack,
+int16 sample decode via numpy) and its oracle replays the expected
+header fields and sample statistics analytically in DuckDB.  Formats
+that need external codec libraries (JPEG/MP3/H.264 — none ship in this
+container) stay behind the honest `decode_media` NotImplementedError
+hook; swap it for a PIL/ffmpeg call in deployment — the Spark plumbing
+(schema contracts, batch iteration, partition parallelism) is identical.
 
 The synthetic corpus has no binary column; `documents.text` bytes stand
-in as payloads via cast(text AS binary).
+in as payloads via cast(text AS binary), and the WAV corpus is
+synthesized deterministically from doc_id (the generator and the decode
+kernel share only the bytes, never code).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,17 +35,11 @@ from splitserve_spark.registry import register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
-#: Output schema of the decode/feature-extract stage.
-DECODE_SCHEMA = (
-    "doc_id bigint, byte_len int, width int, height int, n_frames int, "
-    "feature array<double>"
-)
-
-
 def decode_media(payload: bytes) -> dict:
-    """Real decode hook — NOT implemented in this container (no codec
-    libraries are installed).  Deployments replace `_fake_decode` with
-    this, backed by PIL/torchaudio/ffmpeg."""
+    """Codec-format decode hook (JPEG/MP3/H.264…) — NOT implemented in
+    this container (no codec libraries are installed).  Deployments
+    back this with PIL/torchaudio/ffmpeg; PCM WAV needs no codec and
+    decodes for real via `decode_wav` below."""
     raise NotImplementedError("media codecs are not available in this environment")
 
 
@@ -58,15 +60,6 @@ def _fake_decode(payload: bytes) -> dict:
             float(payload[-1]) if n else 0.0,
         ],
     }
-
-
-def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: one pandas frame per Arrow batch."""
-    for pdf in batches:
-        decoded = pdf["payload"].map(lambda b: _fake_decode(bytes(b)))
-        out = pd.DataFrame(list(decoded))
-        out.insert(0, "doc_id", pdf["doc_id"].values)
-        yield out
 
 
 def with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,17 +107,136 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_decode_features", oracle=None, priority=87,  # preferred rows-only filler
-          tags=("multimodal", "pipeline", "stub"))
+# --- Real WAV decode -------------------------------------------------------
+#
+# Synthetic PCM-WAV corpus: sample i of doc d is ((d*31 + i*17) % 2048)
+# - 1024 (int16), n_samples = 50 + d % 32, sample_rate = 8000 + (d % 4)
+# * 4000, mono 16-bit.  The ENCODER packs real RIFF bytes from this
+# formula; the DECODER below never sees the formula — it parses the
+# bytes.  The DuckDB oracle replays the formula analytically, so a
+# header-offset or endianness bug in either stage is a hash mismatch.
+
+MM_WAV_DOCS = 300
+
+
+def _wav_bytes(doc_id: int) -> bytes:
+    n = 50 + doc_id % 32
+    rate = 8000 + (doc_id % 4) * 4000
+    samples = [((doc_id * 31 + i * 17) % 2048) - 1024 for i in range(n)]
+    data = struct.pack(f"<{n}h", *samples)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def _encode_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "payload": [_wav_bytes(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL PCM-WAV decode: walk the RIFF chunk list, unpack the fmt
+    header, numpy-decode the int16 data chunk.  Raises on malformed
+    bytes — production behavior, not a stub."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _byte_rate, _block, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported encoding: fmt={audio_fmt} bits={bits}")
+    samples = np.frombuffer(data, dtype="<i2")
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "bits": bits,
+        "n_samples": len(samples) // channels,
+        "byte_len": len(payload),
+        "mean_amp": round(float(samples.sum()) / len(samples), 6),
+        "peak_amp": int(np.abs(samples.astype(np.int64)).max()),
+    }
+
+
+def _decode_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = pd.DataFrame([decode_wav(bytes(b)) for b in pdf["payload"]])
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+@register(
+    "mm_decode_features",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             50 + doc_id % 32 AS n,
+             8000 + (doc_id % 4) * 4000 AS rate
+      FROM documents WHERE doc_id < {MM_WAV_DOCS}
+    ), s AS (
+      SELECT doc_id, n, rate,
+             list_transform(range(0, n),
+               i -> ((doc_id * 31 + i * 17) % 2048) - 1024) AS samples
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(1 AS INTEGER)    AS channels,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(16 AS INTEGER)   AS bits,
+           CAST(n AS INTEGER)    AS n_samples,
+           CAST(44 + 2 * n AS INTEGER) AS byte_len,
+           round(CAST(list_sum(samples) AS DOUBLE) / n, 6) AS mean_amp,
+           CAST(list_max(list_transform(samples, x -> abs(x))) AS INTEGER)
+             AS peak_amp
+    FROM s
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "pipeline", "decode"),
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode / feature-extract via mapInPandas (Arrow batches).  The
-    decode kernel is the deterministic stub; the Spark plumbing (schema,
-    batching, partition parallelism) is real.  Reference analogue:
-    typed mapPartitions (`execution/objects.scala:174`) and
-    BatchEvalPythonExec (`execution/python/BatchEvalPythonExec.scala:63`)."""
+    """Bytes→features decode through Arrow batches, for REAL: encode a
+    deterministic PCM-WAV corpus, then parse it back with a genuine
+    RIFF chunk-walking decoder (struct.unpack header, numpy int16
+    samples) inside mapInPandas.  The oracle replays the expected
+    header fields and sample stats analytically — any byte-layout bug
+    in encoder or decoder breaks the hash.  Reference analogue: typed
+    mapPartitions (`execution/objects.scala:174`) and
+    BatchEvalPythonExec (`execution/python/BatchEvalPythonExec.scala:63`);
+    swap the kernel for PIL/ffmpeg for codec formats (see
+    `decode_media`)."""
     ensure_parity_conf(spark)
-    df = with_payload(spark, sf_dir).select("doc_id", "payload")
-    return df.mapInPandas(_decode_batches, schema=DECODE_SCHEMA).orderBy("doc_id")
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id").filter(F.col("doc_id") < MM_WAV_DOCS)
+    wav = docs.mapInPandas(
+        _encode_wav_batches, schema="doc_id bigint, payload binary"
+    )
+    return wav.mapInPandas(
+        _decode_wav_batches,
+        schema=(
+            "doc_id bigint, channels int, sample_rate int, bits int, "
+            "n_samples int, byte_len int, mean_amp double, peak_amp int"
+        ),
+    ).orderBy("doc_id")
 
 
 @register("mm_frame_sample", oracle=None, tags=("multimodal", "pipeline", "stub"))

@@ -35,12 +35,27 @@ def test_decode_features_schema_and_determinism(spark):
     a = fn(spark, SF_DIR).toPandas()
     b = fn(spark, SF_DIR).toPandas()
     assert list(a.columns) == [
-        "doc_id", "byte_len", "width", "height", "n_frames", "feature"
+        "doc_id", "channels", "sample_rate", "bits", "n_samples",
+        "byte_len", "mean_amp", "peak_amp",
     ]
     assert len(a) > 0 and a["doc_id"].is_unique
-    assert a.drop(columns="feature").equals(b.drop(columns="feature"))
-    assert (a["byte_len"] > 0).all()
-    assert a["feature"].map(len).eq(4).all()
+    assert a.equals(b)
+    assert (a["byte_len"] == 44 + 2 * a["n_samples"]).all()
+    assert (a["bits"] == 16).all() and (a["channels"] == 1).all()
+    assert (a["peak_amp"] <= 1024).all()
+
+
+def test_decode_wav_rejects_malformed_bytes():
+    """The decoder is a real parser, not a stub: malformed payloads
+    raise instead of producing garbage features."""
+    from splitserve_spark.operators.multimodal import _wav_bytes, decode_wav
+
+    good = _wav_bytes(7)
+    assert decode_wav(good)["n_samples"] == 50 + 7 % 32
+    with pytest.raises(ValueError):
+        decode_wav(b"JUNK" + good[4:])
+    with pytest.raises(ValueError):
+        decode_wav(good[:20])  # truncated: no data chunk
 
 
 def test_frame_sample_fanout(spark):
