@@ -30,6 +30,23 @@ def _tag(sf_dir: str) -> str:
     return re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(os.path.normpath(sf_dir)))
 
 
+def _clear_managed_location(spark: SparkSession, *names: str) -> None:
+    """Drop catalog entries AND their warehouse directories.  A managed
+    table/database location can outlive the in-memory catalog (fresh
+    session, stale warehouse dir), and saveAsTable refuses to reuse it
+    (LOCATION_ALREADY_EXISTS) — clear both before recreating."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = warehouse.removeprefix("file:")
+    for name in names:
+        if name.endswith(".db"):
+            spark.sql(f"DROP DATABASE IF EXISTS {name[:-3]} CASCADE")
+        else:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+
+
 @register(
     "ddl_temp_view_sql",
     oracle="""
@@ -174,6 +191,92 @@ def ddl_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stats
+
+
+@register(
+    "ddl_database_lifecycle",
+    oracle="""
+    SELECT true AS database_found,
+           (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_rows
+    """,
+    tags=("ddl", "catalog", "database"),
+)
+def ddl_database_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE DATABASE → CTAS into it (db-qualified, current database
+    untouched) → SHOW DATABASES LIKE → DROP DATABASE CASCADE (reference
+    `command/ddl.scala:55` CreateDatabaseCommand, `:120`
+    DropDatabaseCommand).  The namespace lifecycle a real warehouse
+    exercises before any table exists."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    db = f"ddl_db_{_tag(sf_dir)}"
+    _clear_managed_location(spark, f"{db}.db")
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        t.nation.write.mode("overwrite").saveAsTable(f"{db}.nation_t")
+        found = (
+            spark.sql(f"SHOW DATABASES LIKE '{db}'").count() == 1
+        )
+        n_rows = spark.table(f"{db}.nation_t").count()
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    return spark.createDataFrame(
+        [(found, n_rows)], "database_found boolean, n_rows bigint"
+    )
+
+
+@register(
+    "ddl_show_partitions",
+    oracle="""
+    SELECT DISTINCT 'n_regionkey=' || n_regionkey AS "partition"
+    FROM nation
+    ORDER BY "partition"
+    """,
+    tags=("ddl", "catalog", "partitioning"),
+)
+def ddl_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW PARTITIONS on a partitioned managed table (reference
+    `command/tables.scala:320` ShowPartitionsCommand) — the catalog
+    must enumerate the directory-keyed partitions the writer laid down,
+    which is what partition pruning trusts at scale."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    name = f"nation_part_{_tag(sf_dir)}"
+    _clear_managed_location(spark, name)
+    t.nation.write.mode("overwrite").partitionBy("n_regionkey").saveAsTable(
+        name
+    )
+    return (
+        spark.sql(f"SHOW PARTITIONS {name}")
+        .select(F.col("partition"))
+        .orderBy("partition")
+    )
+
+
+@register(
+    "ddl_truncate_table",
+    oracle="""
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM region) AS n_before,
+           CAST(0 AS BIGINT) AS n_after
+    """,
+    tags=("ddl", "catalog"),
+)
+def ddl_truncate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATE TABLE (reference `command/tables.scala:250`
+    TruncateTableCommand): data gone, table + schema retained in the
+    catalog — unlike DROP, downstream readers keep resolving."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    name = f"region_trunc_{_tag(sf_dir)}"
+    _clear_managed_location(spark, name)
+    t.region.write.mode("overwrite").saveAsTable(name)
+    n_before = spark.table(name).count()
+    spark.sql(f"TRUNCATE TABLE {name}")
+    n_after = spark.table(name).count()  # still resolvable, now empty
+    spark.sql(f"DROP TABLE {name}")
+    return spark.createDataFrame(
+        [(n_before, n_after)], "n_before bigint, n_after bigint"
+    )
 
 
 @register(

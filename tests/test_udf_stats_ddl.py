@@ -25,6 +25,9 @@ ORACLE_CHECKED = [
     "ddl_catalog_list",
     "ddl_cache_table",
     "ddl_analyze_stats",
+    "ddl_database_lifecycle",
+    "ddl_show_partitions",
+    "ddl_truncate_table",
 ]
 
 
