@@ -11,7 +11,10 @@ Two layers here:
     DuckDB-oracled via time_bucket;
   * true readStream → writeStream pipelines (`stream_tumbling_counts`)
     exercised in tests/test_streaming.py with file sources, watermarks,
-    append/complete modes, and batch-equivalence as the oracle.
+    and the full trigger × output-mode matrix (availableNow /
+    processingTime × append / update / complete, multi-micro-batch via
+    maxFilesPerTrigger=1), batch-equivalence as the oracle for every
+    cell.
 
 Not in the 2.1 reference (documented out of scope): session windows,
 (flat)mapGroupsWithState, stream-stream joins, streaming dedup.

@@ -124,3 +124,90 @@ def test_stream_append_mode_with_watermark(spark, event_json_dir):
 def test_stream_is_streaming_flag(spark, event_json_dir):
     sdf = stream_tumbling_counts(spark, event_json_dir, EVENT_SCHEMA)
     assert sdf.isStreaming
+
+
+def _batch_expected(spark, source_dir):
+    return (
+        spark.read.schema(EVENT_SCHEMA)
+        .json(source_dir)
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("wstart"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("wstart", "event_type")
+        .toPandas()
+    )
+
+
+@pytest.mark.parametrize("trigger_kind", ["availableNow", "processingTime"])
+@pytest.mark.parametrize("mode", ["append", "update", "complete"])
+def test_trigger_output_mode_matrix(spark, event_json_dir, trigger_kind, mode):
+    """The same tumbling pipeline through every trigger × output-mode
+    cell (reference `TriggerExecutor.scala` one-time/processing-time
+    executors; `OutputMode.java:43,54` Append/Complete, update added in
+    2.1.1): maxFilesPerTrigger=1 forces multiple micro-batches so each
+    mode's emission policy is actually exercised, and batch equivalence
+    is the oracle for every cell.
+
+    - complete: the memory table is replaced per trigger → final table
+      == batch result exactly.
+    - append: only watermark-finalized windows emitted, exactly once →
+      emitted rows are a value-correct subset of the batch result.
+    - update: changed keys re-emitted per batch → the LAST update per
+      key (max n_events — counts are monotone) == the batch row."""
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(event_json_dir)
+    )
+    sdf = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("wstart"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    qname = f"matrix_{mode}_{trigger_kind}"
+    writer = sdf.writeStream.format("memory").queryName(qname).outputMode(mode)
+    if trigger_kind == "availableNow":
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.trigger(processingTime="500 milliseconds").start()
+        q.processAllAvailable()
+        q.stop()
+    # maxFilesPerTrigger=1 over 2 files → the trigger loop really ran
+    # multiple micro-batches (what distinguishes the matrix from a
+    # single-batch pass).
+    assert q.lastProgress["batchId"] >= 1, q.lastProgress
+    got = spark.table(qname).toPandas()
+    expected = _batch_expected(spark, event_json_dir)
+
+    if mode == "complete":
+        got = got.sort_values(["wstart", "event_type"]).reset_index(drop=True)
+        assert got.equals(expected)
+        return
+    if mode == "update":
+        # Final state per key = the last (largest-count) update emitted.
+        got = (
+            got.sort_values("n_events")
+            .groupby(["wstart", "event_type"], as_index=False)
+            .last()
+        )
+    merged = got.merge(expected, on=["wstart", "event_type"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got)  # every emitted key exists in batch
+    assert len(got) > 0
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (abs(merged["total_value_s"] - merged["total_value_b"]) < 1e-9).all()
+    if mode == "update":
+        # Update mode converges to the FULL batch answer (no windows
+        # dropped — watermark only gates state eviction, not emission).
+        assert len(got) == len(expected)
