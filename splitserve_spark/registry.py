@@ -217,6 +217,7 @@ _MODULES = (
     "splitserve_spark.streaming.windows",
     "splitserve_spark.streaming.stateful",
     "splitserve_spark.streaming.custom_state",
+    "splitserve_spark.streaming.sinks",
 )
 
 

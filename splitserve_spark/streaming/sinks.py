@@ -1,0 +1,210 @@
+"""Socket streaming source + row-level foreach / console sinks.
+
+Reference (SURVEY.md §2.10): TextSocketSource
+(`execution/streaming/socket.scala:39` — the quick-start wordcount
+source), ForeachSink (`execution/streaming/ForeachSink.scala:28`,
+Python surface `python/pyspark/sql/streaming.py` foreach), ConsoleSink
+(`execution/streaming/console.scala`).
+
+These were environment-limited in earlier rounds on the assumption the
+sandbox had no network; localhost TCP works, so the socket source runs
+for REAL here: the query function starts an in-process line server,
+streams from it through the micro-batch engine, and returns the sink
+table for the oracle to hash.  The foreach sink likewise executes the
+genuine row-at-a-time ForeachWriter protocol (open/process/close per
+partition per epoch) with the emitted rows read back and re-aggregated
+against the batch oracle.
+
+Scale notes: socket is a dev/debug source (single connection, no
+replay, no offsets — the reference says the same); production streams
+come from Kafka, which still needs a broker + the spark-sql-kafka
+package and stays a documented deployment surface.  foreach is the
+slow path next to foreachBatch (per-row Python call vs whole-frame) —
+use it only for true row-level protocols (e.g. per-row RPC).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import socket
+import threading
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+
+#: The canonical wordcount feed — single source of truth for the Spark
+#: query AND the DuckDB oracle (interpolated into the SQL below).
+SOCKET_LINES = (
+    "the quick brown fox jumps over the lazy dog",
+    "the lazy dog sleeps in the warm sun",
+    "a quick brown cat naps beside the dog",
+    "the sun sets over the quiet river",
+    "a fox and a cat watch the river",
+)
+
+_N_WORDS = sum(len(l.split()) for l in SOCKET_LINES)
+
+_SOCKET_VALUES = ", ".join(f"('{l}')" for l in SOCKET_LINES)
+
+
+def serve_lines(lines) -> tuple[str, int]:
+    """One-shot localhost line server: accept a single client, write
+    every line, hold the connection open briefly (the socket source
+    treats disconnect as end-of-stream), then close."""
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+
+    def run() -> None:
+        try:
+            conn, _ = srv.accept()
+            for line in lines:
+                conn.sendall((line + "\n").encode())
+            time.sleep(20)  # outlive the test's read window
+            conn.close()
+        except Exception:
+            pass
+        finally:
+            srv.close()
+
+    threading.Thread(target=run, daemon=True).start()
+    return "127.0.0.1", port
+
+
+@register(
+    "source_socket_stream",
+    oracle=f"""
+    SELECT word, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(string_split(line, ' ')) AS word
+      FROM (VALUES {_SOCKET_VALUES}) AS t(line)
+    )
+    GROUP BY word
+    ORDER BY word
+    """,
+    tags=("streaming", "source", "socket"),
+)
+def source_socket_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quick-start socket wordcount, executed for real: an
+    in-process TCP server feeds {len(SOCKET_LINES)} fixed lines, the
+    socket source streams them through a groupBy(word).count() in
+    complete mode, and the memory-sink table (polled until all
+    {_N_WORDS} words arrived) is the result the oracle hashes."""
+    ensure_parity_conf(spark)
+    host, port = serve_lines(SOCKET_LINES)
+    name = "sock_wc_" + "".join(
+        c if c.isalnum() else "_" for c in sf_dir.strip("/")
+    )
+    stream = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    counts = (
+        stream.select(F.explode(F.split("value", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if (
+                spark.table(name).agg(F.sum("n")).collect()[0][0] or 0
+            ) >= _N_WORDS:
+                break
+            time.sleep(0.3)
+        else:
+            raise TimeoutError("socket stream did not deliver all words")
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("word")
+
+
+class JsonlForeachWriter:
+    """Row-level ForeachWriter (reference ForeachSink.scala:28): Spark
+    calls open(partition, epoch) / process(row) / close(error) on the
+    EXECUTORS — this class is pickled out, so it holds only the output
+    path.  Emits one JSON line per row; partition+epoch-keyed filenames
+    give exactly-once-per-epoch file semantics."""
+
+    def __init__(self, out_dir: str) -> None:
+        self.out_dir = out_dir
+
+    def open(self, partition_id: int, epoch_id: int) -> bool:
+        os.makedirs(self.out_dir, exist_ok=True)
+        self._f = open(
+            os.path.join(self.out_dir, f"p{partition_id}_e{epoch_id}.jsonl"),
+            "w",
+        )
+        return True
+
+    def process(self, row) -> None:
+        self._f.write(
+            json.dumps({"event_id": row.event_id, "value": row.value}) + "\n"
+        )
+
+    def close(self, error) -> None:
+        self._f.close()
+
+
+#: Keep the row-at-a-time Python path cheap: ~2% of events.
+FOREACH_MOD = 50
+
+
+@register(
+    "sink_foreach_rows",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_id % {FOREACH_MOD} = 0
+    """,
+    tags=("streaming", "sink", "foreach"),
+)
+def sink_foreach_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level foreach sink, end to end: events stream → ForeachWriter
+    emits JSON lines on the executors (the real open/process/close
+    protocol) → the emitted files are read back and re-aggregated; the
+    oracle proves no row was lost or duplicated across partitions and
+    epochs.  foreachBatch (the fast whole-frame path) is covered in
+    tests/test_stateful_streaming.py; this is its per-row sibling."""
+    ensure_parity_conf(spark)
+    from splitserve_spark.streaming.stateful import _events_stream
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    out_dir = os.path.join(
+        os.path.join(os.sep, "tmp", "splitserve_spark_io"), f"foreach_{tag}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    stream = _events_stream(spark, sf_dir).filter(
+        F.col("event_id") % FOREACH_MOD == 0
+    ).select("event_id", "value")
+    q = (
+        stream.writeStream.foreach(JsonlForeachWriter(out_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.schema("event_id long, value double").json(out_dir)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
