@@ -43,25 +43,6 @@ def decode_media(payload: bytes) -> dict:
     raise NotImplementedError("media codecs are not available in this environment")
 
 
-def _fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in for decode: derives pseudo 'dimensions'
-    and a 4-d feature vector from the payload bytes alone."""
-    n = len(payload)
-    checksum = sum(payload[:64]) if n else 0
-    return {
-        "byte_len": n,
-        "width": 16 + checksum % 64,
-        "height": 16 + (checksum * 7) % 64,
-        "n_frames": 1 + n % 8,
-        "feature": [
-            float(n),
-            float(checksum),
-            float(payload[0]) if n else 0.0,
-            float(payload[-1]) if n else 0.0,
-        ],
-    }
-
-
 def with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with an opaque binary `payload` column + typed metadata
     struct — the canonical multimodal row layout."""
@@ -142,10 +123,10 @@ def _encode_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         )
 
 
-def decode_wav(payload: bytes) -> dict:
-    """REAL PCM-WAV decode: walk the RIFF chunk list, unpack the fmt
-    header, numpy-decode the int16 data chunk.  Raises on malformed
-    bytes — production behavior, not a stub."""
+def _parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Walk the RIFF chunk list, unpack the fmt header, numpy-decode
+    the int16 data chunk → (channels, sample_rate, samples).  Raises on
+    malformed bytes — production behavior, not a stub."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
@@ -166,11 +147,16 @@ def decode_wav(payload: bytes) -> dict:
     audio_fmt, channels, rate, _byte_rate, _block, bits = fmt
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"unsupported encoding: fmt={audio_fmt} bits={bits}")
-    samples = np.frombuffer(data, dtype="<i2")
+    return channels, rate, np.frombuffer(data, dtype="<i2")
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL PCM-WAV decode to summary features (see _parse_wav)."""
+    channels, rate, samples = _parse_wav(payload)
     return {
         "channels": channels,
         "sample_rate": rate,
-        "bits": bits,
+        "bits": 16,  # _parse_wav rejects anything else
         "n_samples": len(samples) // channels,
         "byte_len": len(payload),
         "mean_amp": round(float(samples.sum()) / len(samples), 6),
@@ -239,33 +225,89 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("mm_frame_sample", oracle=None, tags=("multimodal", "pipeline", "stub"))
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling: one output row per sampled 'frame' (1:N fan-out
-    through mapInPandas) — the video-pipeline shape where a payload
-    expands into frame rows downstream."""
-    ensure_parity_conf(spark)
+#: Frame geometry for mm_frame_sample: FRAME_LEN-sample frames, keep
+#: every FRAME_STRIDE-th (the video/audio pipeline shape where a
+#: payload expands 1:N into sampled frame rows downstream).
+FRAME_LEN = 16
+FRAME_STRIDE = 2
+MM_FRAME_DOCS = 200
 
-    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                meta = _fake_decode(bytes(payload))
-                for i in range(meta["n_frames"]):
-                    rows.append(
-                        {
-                            "doc_id": doc_id,
-                            "frame_idx": i,
-                            "frame_hash": (meta["byte_len"] * 31 + i * 7) % 10007,
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "frame_hash"]
-            )
 
-    df = with_payload(spark, sf_dir).select("doc_id", "payload").filter(
-        F.col("doc_id") < 200
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: REAL WAV parse, then per-frame slicing —
+    int64 energy so 16-bit squares cannot overflow."""
+    cols = ["doc_id", "frame_idx", "n_in_frame", "energy", "peak"]
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _, _, samples = _parse_wav(bytes(payload))
+            s64 = samples.astype(np.int64)
+            for f in range(0, -(-len(samples) // FRAME_LEN), FRAME_STRIDE):
+                fr = s64[f * FRAME_LEN : (f + 1) * FRAME_LEN]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "frame_idx": f,
+                        "n_in_frame": len(fr),
+                        "energy": int((fr * fr).sum()),
+                        "peak": int(np.abs(fr).max()),
+                    }
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, 50 + doc_id % 32 AS n
+      FROM documents WHERE doc_id < {MM_FRAME_DOCS}
+    ), s AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n),
+               i -> ((doc_id * 31 + i * 17) % 2048) - 1024) AS samples
+      FROM d
+    ), f AS (
+      SELECT doc_id, samples,
+             unnest(range(0, CAST(ceil(n / {FRAME_LEN}.0) AS INTEGER)))
+               AS frame_idx
+      FROM s
     )
-    return df.mapInPandas(
-        frames, schema="doc_id bigint, frame_idx int, frame_hash int"
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(len(samples[frame_idx * {FRAME_LEN} + 1
+                            : (frame_idx + 1) * {FRAME_LEN}]) AS INTEGER)
+             AS n_in_frame,
+           CAST(list_sum(list_transform(
+                 samples[frame_idx * {FRAME_LEN} + 1
+                         : (frame_idx + 1) * {FRAME_LEN}], x -> x * x))
+                AS BIGINT) AS energy,
+           CAST(list_max(list_transform(
+                 samples[frame_idx * {FRAME_LEN} + 1
+                         : (frame_idx + 1) * {FRAME_LEN}], x -> abs(x)))
+                AS INTEGER) AS peak
+    FROM f
+    WHERE frame_idx % {FRAME_STRIDE} = 0
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("multimodal", "pipeline", "decode"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over REAL decoded payloads: each WAV parses back
+    to samples (same genuine RIFF parser as mm_decode_features), slices
+    into {FRAME_LEN}-sample frames, keeps every {FRAME_STRIDE}-th, and
+    emits per-frame energy/peak — the 1:N payload→frames fan-out of a
+    video/audio pipeline, analytically oracled per frame."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id").filter(F.col("doc_id") < MM_FRAME_DOCS)
+    wav = docs.mapInPandas(
+        _encode_wav_batches, schema="doc_id bigint, payload binary"
+    )
+    return wav.mapInPandas(
+        _frame_batches,
+        schema=(
+            "doc_id bigint, frame_idx int, n_in_frame int, "
+            "energy bigint, peak int"
+        ),
     ).orderBy("doc_id", "frame_idx")

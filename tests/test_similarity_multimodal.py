@@ -59,11 +59,20 @@ def test_decode_wav_rejects_malformed_bytes():
 
 
 def test_frame_sample_fanout(spark):
+    from splitserve_spark.operators.multimodal import FRAME_LEN, FRAME_STRIDE
+
     pdf = REGISTRY["mm_frame_sample"].fn(spark, SF_DIR).toPandas()
     per_doc = pdf.groupby("doc_id")["frame_idx"].agg(["count", "min", "max"])
     assert (per_doc["min"] == 0).all()
-    assert (per_doc["max"] == per_doc["count"] - 1).all()
-    assert per_doc["count"].between(1, 8).all()
+    # Sampled stride: frame indices are 0, STRIDE, 2*STRIDE, …
+    assert (pdf["frame_idx"] % FRAME_STRIDE == 0).all()
+    # Doc d has 50 + d % 32 samples → ceil(n/LEN) frames pre-stride.
+    n = 50 + pdf["doc_id"] % 32
+    expected = (-(-n // FRAME_LEN) + FRAME_STRIDE - 1) // FRAME_STRIDE
+    got = pdf.groupby("doc_id").size()
+    assert (got == expected.groupby(pdf["doc_id"]).first()).all()
+    assert (pdf["n_in_frame"].between(1, FRAME_LEN)).all()
+    assert (pdf["peak"] <= 1024).all() and (pdf["energy"] >= 0).all()
 
 
 def test_decode_media_is_explicit_stub():
