@@ -605,3 +605,67 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mse"),
         F.round(F.array_max(ae), 6).alias("max_abs_err"),
     ).orderBy("vec_id")
+
+
+@register(
+    "sim_label_centroid_drift",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             unnest(range(0, len(embedding))) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), per AS (
+      SELECT label, idx, round(avg(v), 6) AS m FROM e GROUP BY label, idx
+    ), g AS (
+      SELECT idx, round(avg(v), 6) AS gm FROM e GROUP BY idx
+    ), n AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM embeddings GROUP BY label
+    )
+    SELECT p.label, n.n_vecs,
+           round(sum(p.m * g.gm)
+                 / (sqrt(sum(p.m * p.m)) * sqrt(sum(g.gm * g.gm))), 6)
+             AS centroid_cosine
+    FROM per p JOIN g USING (idx) JOIN n ON n.label = p.label
+    GROUP BY p.label, n.n_vecs
+    ORDER BY p.label
+    """,
+    tags=("similarity", "pipeline", "diagnostics"),
+)
+def sim_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster embedding drift diagnostics: each label's centroid
+    vs the global corpus centroid (cosine) — the monitoring query that
+    catches a source/cluster whose embedding distribution shifted after
+    a model or crawl update.
+
+    Scale shape: posexplode fans each vector into (label, idx, v) rows
+    — dim×N, but the per-(label, idx) mean is one map-side-combinable
+    groupBy and everything downstream is centroid-sized (labels × dim).
+    Means are rounded to 6 dp BEFORE the cosine on both engines, so the
+    float reduction order inside avg() can never leak into the hash."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "label", F.posexplode(_as_double("embedding")).alias("idx", "v")
+    )
+    per = e.groupBy("label", "idx").agg(F.round(F.avg("v"), 6).alias("m"))
+    g = e.groupBy("idx").agg(F.round(F.avg("v"), 6).alias("gm"))
+    n = t.embeddings.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        per.join(g, "idx")
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sum(F.col("m") * F.col("gm"))
+                / (
+                    F.sqrt(F.sum(F.col("m") * F.col("m")))
+                    * F.sqrt(F.sum(F.col("gm") * F.col("gm")))
+                ),
+                6,
+            ).alias("centroid_cosine")
+        )
+        .join(n, "label")
+        .select("label", "n_vecs", "centroid_cosine")
+        .orderBy("label")
+    )

@@ -420,3 +420,109 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Segment-rewrite geometry: SEG_LEN-word segments; a segment occurring
+#: in at least SEG_MIN_DOCS distinct docs is corpus chrome and is cut.
+SEG_LEN = 8
+SEG_MIN_DOCS = 3
+
+
+@register(
+    "text_segment_dedup_rewrite",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, CAST(ceil(len(ws) / {SEG_LEN}.0) AS INTEGER)),
+               j -> array_to_string(
+                 ws[j * {SEG_LEN} + 1 : (j + 1) * {SEG_LEN}], ' ')) AS segs
+      FROM w
+    ), e AS (
+      SELECT doc_id,
+             unnest(segs) AS seg,
+             unnest(range(0, len(segs))) AS pos
+      FROM g
+    ), common AS (
+      SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM e)
+      GROUP BY seg HAVING count(*) >= {SEG_MIN_DOCS}
+    ), kept AS (
+      SELECT e.* FROM e ANTI JOIN common c ON e.seg = c.seg
+    ), rebuilt AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             md5(string_agg(seg, ' ' ORDER BY pos)) AS cleaned_hash
+      FROM kept GROUP BY doc_id
+    ), sized AS (
+      SELECT doc_id, CAST(len(segs) AS BIGINT) AS n_segs FROM g
+    )
+    SELECT s.doc_id, s.n_segs,
+           s.n_segs - COALESCE(r.n_kept, 0) AS n_removed,
+           COALESCE(r.cleaned_hash, md5('')) AS cleaned_hash
+    FROM sized s LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+    tags=("text", "pipeline", "dedup", "rewrite"),
+)
+def text_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style segment-level dedup as a TRANSFORM (the rewrite
+    sibling of text_boilerplate's scoring): cut every {SEG_LEN}-word
+    segment shared by ≥ {SEG_MIN_DOCS} docs (headers/footers/chrome in
+    a real crawl), reassemble each document in original segment order,
+    and report the cleaned-text hash + removal counts.
+
+    Scale shape: segment doc-frequency is one map-side-combinable
+    groupBy; the common-segment set is tiny and broadcasts back to the
+    probe (same skeleton as text_boilerplate); the rebuild is one more
+    shuffle on doc_id with array_sort fixing segment order — 3 shuffles
+    total regardless of corpus size, and the corpus text never moves
+    twice."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    ws = _words(F.col("text"))
+    n_segs_col = F.ceil(F.size(ws) / F.lit(float(SEG_LEN))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs_col - 1),
+        lambda j: F.array_join(F.slice(ws, j * SEG_LEN + 1, SEG_LEN), " "),
+    )
+    e = (
+        t.documents.select("doc_id", F.posexplode(segs).alias("pos", "seg"))
+    )
+    common = (
+        e.select("doc_id", "seg")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= SEG_MIN_DOCS)
+        .select("seg")
+    )
+    kept = e.join(F.broadcast(common), "seg", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("cleaned_hash"),
+    )
+    sized = t.documents.select(
+        "doc_id", F.size(segs).cast("bigint").alias("n_segs")
+    )
+    return (
+        sized.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            (F.col("n_segs") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+            F.coalesce("cleaned_hash", F.md5(F.lit("").cast("binary"))).alias(
+                "cleaned_hash"
+            ),
+        )
+        .orderBy("doc_id")
+    )

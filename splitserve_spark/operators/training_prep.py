@@ -17,6 +17,8 @@ LLM-pipeline capabilities as DataFrame libraries):
   * `filter_reason_codes`     — quality filter with reason labels.
   * `mix_importance_weights`  — per-domain mixing weights.
   * `text_token_histogram`    — per-source length profile.
+  * `sample_stratified_topk`  — exact hash-ranked per-source sample
+                                (reproducible, WindowGroupLimit-pushed).
 
 All are pure DataFrame programs (no UDFs) with exact DuckDB oracles;
 they run on the driver-generated `documents`/`customer` tables
@@ -493,4 +495,51 @@ def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "bin_lo")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "bin_lo")
+    )
+
+
+#: Docs kept per source by the stratified sampler.
+STRAT_K = 5
+
+
+@register(
+    "sample_stratified_topk",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= {STRAT_K}
+    ORDER BY source, rn
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: exactly {STRAT_K} docs per
+    source, chosen by hash order — the reproducible per-domain sample a
+    pipeline pulls for manual quality review or per-domain eval sets.
+    Unlike sampleBy (probabilistic, approximate counts), hash-ranked
+    top-K is exact and replayable.
+
+    Scale shape: one shuffle on source; the rank <= K predicate pushes
+    into the shuffle as WindowGroupLimit (partial top-K on the map
+    side), so only ~K rows per source per mapper ever move."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    h = F.md5(
+        F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))
+        .cast("binary")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    )
+    return (
+        t.documents.select("source", "doc_id", rn.alias("rn"))
+        .filter(F.col("rn") <= STRAT_K)
+        .orderBy("source", "rn")
     )

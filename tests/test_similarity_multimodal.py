@@ -7,12 +7,24 @@ from tests.oracle_utils import SF_DIR, check_query
 
 load_all()
 
-ORACLED = ["sim_cosine_topk", "sim_cosine_pairs", "sim_norms", "mm_binary_meta"]
+ORACLED = [
+    "sim_cosine_topk", "sim_cosine_pairs", "sim_norms", "mm_binary_meta",
+    "sim_label_centroid_drift",
+]
 
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_match(spark, name):
     check_query(spark, name, SF_DIR)
+
+
+def test_label_centroid_drift_invariants(spark):
+    pdf = REGISTRY["sim_label_centroid_drift"].fn(spark, SF_DIR).toPandas()
+    assert pdf["centroid_cosine"].between(-1.0, 1.0).all()
+    from splitserve_spark.tables import Tables
+
+    total = Tables(spark, SF_DIR).embeddings.count()
+    assert pdf["n_vecs"].sum() == total
 
 
 def test_lsh_ann_recall(spark):

@@ -9,13 +9,24 @@ load_all()
 
 ORACLED = [
     "pii_pseudonymize", "text_boilerplate", "pack_sequences",
-    "mix_domains_quota",
+    "mix_domains_quota", "sample_stratified_topk",
 ]
 
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_match(spark, name):
     check_query(spark, name, SF_DIR)
+
+
+def test_stratified_sample_exact_k_per_source(spark):
+    from splitserve_spark.operators.training_prep import STRAT_K
+
+    pdf = REGISTRY["sample_stratified_topk"].fn(spark, SF_DIR).toPandas()
+    per = pdf.groupby("source").size()
+    assert (per == STRAT_K).all(), per[per != STRAT_K]
+    # Deterministic: a second run picks the identical sample.
+    again = REGISTRY["sample_stratified_topk"].fn(spark, SF_DIR).toPandas()
+    assert pdf.equals(again)
 
 
 def test_pseudonymize_is_stable_and_masked(spark):
