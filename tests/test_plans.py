@@ -218,3 +218,18 @@ def test_boilerplate_probe_is_broadcast(spark):
     """The boilerplate set (df >= K grams) must broadcast back to the
     corpus-side probe — the corpus must not shuffle a second time."""
     assert_in_plan(q("text_boilerplate", spark), "BroadcastHashJoin")
+
+
+def test_segment_rewrite_probe_is_broadcast_anti(spark):
+    """The common-segment set must broadcast into the anti-join probe
+    (same discipline as text_boilerplate) — the exploded corpus must
+    not shuffle against it."""
+    plan = physical_plan(q("text_segment_dedup_rewrite", spark))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_has_window_group_limit(spark):
+    """rank <= K over the per-source hash order must push down as
+    WindowGroupLimit (partial top-K before the shuffle)."""
+    assert_in_plan(q("sample_stratified_topk", spark), "WindowGroupLimit")
