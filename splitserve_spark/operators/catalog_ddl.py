@@ -34,17 +34,28 @@ def _clear_managed_location(spark: SparkSession, *names: str) -> None:
     """Drop catalog entries AND their warehouse directories.  A managed
     table/database location can outlive the in-memory catalog (fresh
     session, stale warehouse dir), and saveAsTable refuses to reuse it
-    (LOCATION_ALREADY_EXISTS) — clear both before recreating."""
+    (LOCATION_ALREADY_EXISTS) — clear both before recreating.
+
+    Local-filesystem warehouses only: for a remote warehouse URI
+    (hdfs://, s3a://) the rmtree is skipped — there DROP TABLE alone
+    clears the location, because the catalog that outlived it is the
+    metastore, not a fresh in-memory one."""
     import shutil
+    from urllib.parse import unquote, urlparse
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    warehouse = warehouse.removeprefix("file:")
+    parsed = urlparse(warehouse)
+    if parsed.scheme in ("", "file"):
+        warehouse = unquote(parsed.path) or warehouse
+    else:
+        warehouse = None  # remote warehouse: catalog drop is sufficient
     for name in names:
         if name.endswith(".db"):
             spark.sql(f"DROP DATABASE IF EXISTS {name[:-3]} CASCADE")
         else:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+        if warehouse is not None:
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
 
 
 @register(
@@ -246,11 +257,16 @@ def ddl_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.nation.write.mode("overwrite").partitionBy("n_regionkey").saveAsTable(
         name
     )
-    return (
+    # Materialize before dropping (SHOW PARTITIONS is lazy), then clean
+    # up like the sibling DDL queries — no stray catalog entries.
+    out = (
         spark.sql(f"SHOW PARTITIONS {name}")
         .select(F.col("partition"))
         .orderBy("partition")
+        .localCheckpoint(eager=True)
     )
+    spark.sql(f"DROP TABLE {name}")
+    return out
 
 
 @register(

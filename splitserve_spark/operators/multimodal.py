@@ -147,7 +147,12 @@ def _parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     audio_fmt, channels, rate, _byte_rate, _block, bits = fmt
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"unsupported encoding: fmt={audio_fmt} bits={bits}")
-    return channels, rate, np.frombuffer(data, dtype="<i2")
+    if channels < 1:
+        raise ValueError(f"invalid channel count: {channels}")
+    samples = np.frombuffer(data, dtype="<i2")
+    if len(samples) == 0:
+        raise ValueError("empty data chunk")
+    return channels, rate, samples
 
 
 def decode_wav(payload: bytes) -> dict:

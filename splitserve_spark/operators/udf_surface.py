@@ -24,6 +24,8 @@ individually fit in memory — groups here are per-customer/per-flag
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -324,13 +326,12 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     class ChunkText:
         def eval(self, text: str):
             # Same semantics as the oracle's string_split_regex(trim(text),
-            # ' +'): NULL → no rows; split on single-space runs only (not
-            # all whitespace); empty text → one [''] chunk.
+            # ' +'): NULL → no rows; trim SPACES only (SQL trim ≠ Python
+            # strip-all-whitespace); split on single-space runs; empty
+            # text → one [''] chunk.
             if text is None:
                 return
-            import re as _re
-
-            words = _re.split(" +", text.strip())
+            words = re.split(" +", text.strip(" "))
             for i in range(0, len(words), UDTF_CHUNK):
                 chunk = words[i : i + UDTF_CHUNK]
                 yield i // UDTF_CHUNK, " ".join(chunk), len(chunk)

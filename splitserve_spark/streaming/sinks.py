@@ -56,12 +56,15 @@ _SOCKET_VALUES = ", ".join(f"('{l}')" for l in SOCKET_LINES)
 def serve_lines(lines) -> tuple[str, int]:
     """One-shot localhost line server: accept a single client, write
     every line, hold the connection open briefly (the socket source
-    treats disconnect as end-of-stream), then close."""
+    treats disconnect as end-of-stream), then close.  A 90 s accept
+    timeout bounds the thread's lifetime if no client ever connects
+    (e.g. the streaming query failed before its first micro-batch)."""
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     srv.bind(("127.0.0.1", 0))
     port = srv.getsockname()[1]
     srv.listen(1)
+    srv.settimeout(90)
 
     def run() -> None:
         try:
@@ -185,12 +188,10 @@ def sink_foreach_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     epochs.  foreachBatch (the fast whole-frame path) is covered in
     tests/test_stateful_streaming.py; this is its per-row sibling."""
     ensure_parity_conf(spark)
+    from splitserve_spark.sources.io import _roundtrip_dir
     from splitserve_spark.streaming.stateful import _events_stream
 
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
-    out_dir = os.path.join(
-        os.path.join(os.sep, "tmp", "splitserve_spark_io"), f"foreach_{tag}"
-    )
+    out_dir = _roundtrip_dir(sf_dir, "foreach")
     shutil.rmtree(out_dir, ignore_errors=True)
     stream = _events_stream(spark, sf_dir).filter(
         F.col("event_id") % FOREACH_MOD == 0

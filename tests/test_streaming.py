@@ -193,7 +193,13 @@ def test_trigger_output_mode_matrix(spark, event_json_dir, trigger_kind, mode):
 
     if mode == "complete":
         got = got.sort_values(["wstart", "event_type"]).reset_index(drop=True)
-        assert got.equals(expected)
+        # Same tolerance as the other branches: the stream accumulates
+        # sums across micro-batches in a different order than the batch
+        # pass, and FP addition is non-associative.
+        assert got.drop(columns="total_value").equals(
+            expected.drop(columns="total_value")
+        )
+        assert (abs(got["total_value"] - expected["total_value"]) < 1e-9).all()
         return
     if mode == "update":
         # Final state per key = the last (largest-count) update emitted.
