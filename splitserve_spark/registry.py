@@ -207,6 +207,7 @@ _MODULES = (
     "splitserve_spark.operators.ml",
     "splitserve_spark.operators.modern_sql",
     "splitserve_spark.sources.io",
+    "splitserve_spark.sources.python_ds",
     "splitserve_spark.functions.strings",
     "splitserve_spark.functions.math_fns",
     "splitserve_spark.functions.datetime_fns",

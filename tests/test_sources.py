@@ -13,6 +13,8 @@ NAMES = [
     "source_partitioned_parquet",
     "source_text_lines",
     "source_jdbc_roundtrip",
+    "source_python_datasource",
+    "source_python_stream",
 ]
 
 
@@ -43,6 +45,26 @@ def test_jdbc_partitioned_scan_parallelism(spark):
     assert back.rdd.getNumPartitions() == 4
     # Bounds partition, they do NOT filter: all 25 rows survive.
     assert back.count() == 25
+
+
+def test_python_datasource_partition_planning(spark):
+    """The custom Python DataSource must materialize its declared shard
+    count as actual scan partitions (the parallelism contract an ingest
+    wrapper relies on), with every doc in its home shard."""
+    from splitserve_spark.sources.python_ds import (
+        PDS_SHARDS,
+        CrawlShardDataSource,
+    )
+
+    try:
+        spark.dataSource.register(CrawlShardDataSource)
+    except Exception:
+        pass
+    df = spark.read.format("crawl_shards").load()
+    assert df.rdd.getNumPartitions() == PDS_SHARDS
+    rows = df.collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})  # exactly once
+    assert all(r["doc_id"] % PDS_SHARDS == r["shard"] for r in rows)
 
 
 def test_json_corrupt_record_column(spark, tmp_path):
