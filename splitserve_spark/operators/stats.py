@@ -140,3 +140,46 @@ def stat_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.orders.sampleBy(
         "o_orderstatus", fractions={"F": 0.2, "O": 0.1, "P": 1.0}, seed=42
     ).select("o_orderkey", "o_orderstatus")
+
+
+@register(
+    "stat_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS rows_scanned,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS qty_scanned,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_quantity > 25) AS rows_kept
+    FROM lineitem
+    """,
+    tags=("stat", "observability"),
+)
+def stat_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.observe(Observation, ...) — zero-cost pipeline observability:
+    named aggregate metrics are computed inline on the already-flowing
+    rows (CollectMetricsExec), so counting what a stage scanned costs
+    no extra pass over the data.  The monitoring idiom every production
+    pipeline wires into its ingest jobs; reference analogue is
+    accumulators (`core/.../Accumulator.scala`), which observe()
+    supersedes with SQL-typed, exactly-once semantics.
+
+    Metrics attach BEFORE the filter, the action runs the filtered
+    count, and the observation reports what the scan actually saw —
+    the decimal sum keeps the metric bit-exact at any partition
+    order."""
+    ensure_parity_conf(spark)
+    from pyspark.sql import Observation
+
+    t = Tables(spark, sf_dir)
+    obs = Observation("scan_metrics")
+    observed = t.lineitem.select("l_quantity").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_scanned"),
+    )
+    rows_kept = observed.filter(F.col("l_quantity") > 25).count()
+    m = obs.get  # blocks until the action above delivered the metrics
+    return spark.createDataFrame(
+        [(m["rows_scanned"], float(m["qty_scanned"]), rows_kept)],
+        "rows_scanned bigint, qty_scanned double, rows_kept bigint",
+    )

@@ -18,6 +18,7 @@ ORACLE_CHECKED = [
     "stat_crosstab",
     "stat_corr_cov",
     "stat_describe",
+    "stat_observe_metrics",
     "ddl_temp_view_sql",
     "ddl_global_temp_view",
     "ddl_show_tables",
