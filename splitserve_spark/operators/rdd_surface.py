@@ -171,3 +171,49 @@ def workload_pi_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .reduce(lambda a, b: a + b)
     )
     return spark.createDataFrame([(4.0 * hits / n,)], "pi_estimate double")
+
+
+@register(
+    "rdd_broadcast_accumulator",
+    oracle="""
+    SELECT r.r_name,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           (SELECT CAST(count(*) AS BIGINT) FROM nation) AS rows_seen
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    tags=("rdd", "broadcast", "accumulator"),
+)
+def rdd_broadcast_accumulator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sc.broadcast + Accumulator — the RDD-era shared-variable pair
+    (reference `core/.../Broadcast.scala`, `Accumulator.scala`; Python
+    surface `python/pyspark/broadcast.py`, `accumulators.py`): the
+    region dim ships once per executor as a broadcast map-side lookup
+    (the hand-rolled ancestor of broadcast hash join) and an
+    accumulator counts rows processed (the ancestor of df.observe).
+    The DataFrame equivalents are strictly preferred (see module
+    docstring); this proves the escape hatch end-to-end."""
+    ensure_parity_conf(spark)
+    sc = spark.sparkContext
+    t = Tables(spark, sf_dir)
+    region_map = sc.broadcast(
+        dict(t.region.select("r_regionkey", "r_name").rdd.map(tuple).collect())
+    )
+    rows_seen = sc.accumulator(0)
+
+    def lookup(row):
+        rows_seen.add(1)
+        return (region_map.value[row.n_regionkey], 1)
+
+    counts = (
+        t.nation.select("n_regionkey").rdd.map(lookup)
+        .reduceByKey(lambda a, b: a + b)
+        .collect()
+    )
+    # The action above is complete, so the accumulator value is final.
+    seen = rows_seen.value
+    return spark.createDataFrame(
+        [(name, n, seen) for name, n in sorted(counts)],
+        "r_name string, n_nations bigint, rows_seen bigint",
+    )

@@ -14,6 +14,7 @@ ORACLE_CHECKED = [
     "rdd_aggregate_by_key",
     "rdd_join_cogroup",
     "rdd_sort_zip_index",
+    "rdd_broadcast_accumulator",
 ]
 
 
