@@ -108,3 +108,30 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register(
+    "sql_group_by_all",
+    oracle=_GROUP_BY_ALL_SQL,
+    tags=("sql", "modern"),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — the modern-SQL shorthand (DuckDB
+    popularized it; Spark adopted it 3.4/4.0): grouping keys inferred
+    from the non-aggregate select list, ordering from the full select
+    list.  The IDENTICAL SQL text runs on both engines — the whole
+    point of the shorthand is cross-engine portability."""
+    from splitserve_spark.session import ensure_parity_conf
+
+    ensure_parity_conf(spark)
+    return sql_entry.sql(spark, _GROUP_BY_ALL_SQL, sf_dir)

@@ -256,3 +256,44 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("o_custkey", F.col("o_totalprice").desc(), "o_orderkey")
     )
+
+
+@register(
+    "window_range_interval",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_recent
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "frame", "interval"),
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with a TIME-INTERVAL boundary: per user, events in
+    the trailing 30-minute window — the rate-limiter / burst-detection
+    window shape.  Distinct from window_range_frame's numeric offset:
+    the boundary is calendar arithmetic on the ORDER BY timestamp, and
+    RANGE peer semantics make ties deterministic without a tiebreaker.
+    (SQL form: the DataFrame rangeBetween API takes only long offsets.)"""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    import os as _os
+
+    view = "ev_ri_" + "".join(
+        c if c.isalnum() else "_" for c in _os.path.basename(sf_dir.rstrip("/"))
+    )
+    t.events.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT user_id, event_id,
+               count(*) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW
+               ) AS n_recent
+        FROM {view}
+        ORDER BY user_id, event_id
+        """
+    )
