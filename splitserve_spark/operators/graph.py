@@ -233,3 +233,164 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("a", "node")
         )
     return labels.select("node", F.col("label").alias("component")).orderBy("node")
+
+
+#: Order-sample modulus for the triangle graph (bounds the co-supplier
+#: projection: ~12k edges / 1000 nodes at sf0.1).
+TRI_MOD = 100
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH os AS (
+      SELECT DISTINCT o_orderkey AS ok, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderkey % {TRI_MOD} = 0
+    ),
+    e AS (
+      SELECT DISTINCT a.s AS a, b.s AS b
+      FROM os a JOIN os b USING (ok) WHERE a.s < b.s
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM
+              (SELECT DISTINCT s FROM os)) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+    """,
+    tags=("graph", "workload"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (GraphX lib breadth; reference
+    `graphx/.../lib/TriangleCount.scala`) on the co-supplier projection
+    (suppliers sharing an order).  Canonical a<b<c enumeration: edges
+    joined twice — wedge generation (e1.b = e2.a) then closure check
+    (e3 = (e1.a, e2.b)).  Two shuffle joins on supplier ids; the
+    canonical orientation (each edge stored once, low→high) is exactly
+    GraphX's degree-based de-duplication trick, keeping wedge counts
+    linear in Σ deg² rather than double-counting."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    os_ = (
+        t.orders.filter(F.col("o_orderkey") % TRI_MOD == 0)
+        .join(
+            t.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    e = (
+        os_.alias("x")
+        .join(os_.alias("y"), "ok")
+        .filter(F.col("x.s") < F.col("y.s"))
+        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .distinct()
+        .persist()
+    )
+    n_nodes = os_.select("s").distinct().count()
+    n_edges = e.count()
+    wedges = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
+    )
+    closure = e.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
+    n_triangles = wedges.join(
+        closure,
+        (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cb")),
+    ).count()
+    e.unpersist()
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_triangles)],
+        "n_nodes bigint, n_edges bigint, n_triangles bigint",
+    )
+
+
+BFS_ITER = 4
+BFS_SOURCES = 3
+
+
+@register(
+    "graph_bfs_levels",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderkey % 20 = 0
+    ),
+    sym AS (
+      SELECT src AS a, dst AS b, 1 AS w FROM edges
+      UNION SELECT dst, src, 1 FROM edges
+      UNION SELECT src, src, 0 FROM edges
+      UNION SELECT dst, dst, 0 FROM edges
+    ),
+    sources AS (
+      SELECT a AS node FROM sym WHERE a LIKE 's%'
+      GROUP BY a ORDER BY a LIMIT {BFS_SOURCES}
+    ),
+    lab AS (
+      SELECT 0 AS iter, node, 0 AS dist FROM sources
+      UNION ALL
+      SELECT l.iter + 1, s.b AS node, min(l.dist + s.w) AS dist
+      FROM lab l JOIN sym s ON s.a = l.node
+      WHERE l.iter < {BFS_ITER}
+      GROUP BY l.iter + 1, s.b
+    )
+    SELECT node, CAST(dist AS INTEGER) AS dist
+    FROM lab WHERE iter = {BFS_ITER}
+    ORDER BY node
+    """,
+    tags=("graph", "workload", "iterative"),
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS levels (GraphX ShortestPaths analog, reference
+    `graphx/.../lib/ShortestPaths.scala`): distance from the nearest of
+    the {BFS_SOURCES} lexicographically-first supplier nodes, {BFS_ITER}
+    fixed relaxation rounds over the symmetrized customer↔supplier
+    graph.  The weight-0 self-loop (same trick as the PageRank oracle)
+    lets each round be ONE join + min-aggregate — d'(v) = min over
+    edges (u,v,w) of d(u)+w — so Spark loop and recursive-CTE oracle
+    are structurally identical.  Nodes not reached in {BFS_ITER} hops
+    are absent (frontier semantics), not NULL-padded."""
+    ensure_parity_conf(spark)
+    _release_prior()
+    t = Tables(spark, sf_dir)
+    edges = (
+        t.orders.filter(F.col("o_orderkey") % 20 == 0)
+        .join(
+            t.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = _persist_tracked(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.lit(1).alias("w"))
+        .union(edges.select("dst", "src", F.lit(1)))
+        .union(edges.select("src", "src", F.lit(0)))
+        .union(edges.select("dst", "dst", F.lit(0)))
+        .distinct()
+    )
+    dist = (
+        sym.filter(F.col("a").startswith("s"))
+        .select(F.col("a").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(BFS_SOURCES)
+        .withColumn("dist", F.lit(0))
+    )
+    for _ in range(BFS_ITER):
+        dist = (
+            sym.join(dist, F.col("a") == F.col("node"))
+            .groupBy("b")
+            .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
+            .withColumnRenamed("b", "node")
+        )
+    return dist.select("node", F.col("dist").cast("int").alias("dist")).orderBy("node")

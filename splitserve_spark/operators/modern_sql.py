@@ -135,3 +135,90 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_parity_conf(spark)
     return sql_entry.sql(spark, _GROUP_BY_ALL_SQL, sf_dir)
+
+
+#: Source-row selectors for the upsert: every UPD_MOD-th customer gets
+#: an update, and one synthetic new customer per INS_MOD existing keys.
+UPD_MOD = 7
+INS_MOD = 500
+INS_BASE = 5_000_000
+OUT_MOD = 97
+
+
+@register(
+    "merge_upsert_scd1",
+    oracle=f"""
+    WITH src AS (
+      SELECT c_custkey, 'UPDATED' AS new_segment,
+             round(c_acctbal + 100.0, 2) AS new_acctbal
+      FROM customer WHERE c_custkey % {UPD_MOD} = 0
+      UNION ALL
+      SELECT c_custkey + {INS_BASE}, 'NEWSEG',
+             CAST(0.0 AS DOUBLE)
+      FROM customer WHERE c_custkey % {INS_MOD} = 0
+    ), merged AS (
+      SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+             CASE WHEN s.c_custkey IS NULL THEN t.c_mktsegment
+                  ELSE s.new_segment END AS segment,
+             CASE WHEN s.c_custkey IS NULL THEN round(t.c_acctbal, 2)
+                  ELSE s.new_acctbal END AS acctbal,
+             CASE WHEN t.c_custkey IS NULL THEN 'insert'
+                  WHEN s.c_custkey IS NULL THEN 'keep'
+                  ELSE 'update' END AS action
+      FROM customer t FULL OUTER JOIN src s USING (c_custkey)
+    )
+    SELECT c_custkey, segment, acctbal, action
+    FROM merged WHERE c_custkey % {OUT_MOD} = 0
+    ORDER BY c_custkey
+    """,
+    tags=("sql", "modern", "merge"),
+)
+def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (SCD-1 upsert) semantics as a DataFrame program:
+    WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT, WHEN NOT
+    MATCHED BY SOURCE THEN keep — expressed as ONE full-outer join +
+    conditional projection, which is exactly the physical shape a
+    MERGE-supporting table format (Delta/Iceberg) plans underneath.
+    The 2.1-era reference has no MERGE; a user migrating from it gets
+    the same semantics on plain parquet this way.
+
+    Scale shape: one shuffle join on the merge key (broadcast when the
+    source delta is small, which is the common case); the action column
+    doubles as the audit the write path needs for metrics."""
+    from pyspark.sql import functions as F
+
+    from splitserve_spark.session import ensure_parity_conf
+    from splitserve_spark.tables import Tables
+
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    target = t.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+    upd = target.filter(F.col("c_custkey") % UPD_MOD == 0).select(
+        "c_custkey",
+        F.lit("UPDATED").alias("new_segment"),
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("new_acctbal"),
+    )
+    ins = target.filter(F.col("c_custkey") % INS_MOD == 0).select(
+        (F.col("c_custkey") + INS_BASE).alias("c_custkey"),
+        F.lit("NEWSEG").alias("new_segment"),
+        F.lit(0.0).alias("new_acctbal"),
+    )
+    src = upd.unionByName(ins)
+    s_matched = F.col("new_segment").isNotNull()
+    t_matched = F.col("c_mktsegment").isNotNull()
+    merged = target.join(src, "c_custkey", "full_outer").select(
+        "c_custkey",
+        F.when(~s_matched, F.col("c_mktsegment"))
+        .otherwise(F.col("new_segment"))
+        .alias("segment"),
+        F.when(~s_matched, F.round("c_acctbal", 2))
+        .otherwise(F.col("new_acctbal"))
+        .alias("acctbal"),
+        F.when(~t_matched, "insert")
+        .when(~s_matched, "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+    return (
+        merged.filter(F.col("c_custkey") % OUT_MOD == 0).orderBy("c_custkey")
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from splitserve_spark.functions.parity_hash import (
     md5_hash60,
@@ -523,6 +524,95 @@ def text_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cleaned_hash", F.md5(F.lit("").cast("binary"))).alias(
                 "cleaned_hash"
             ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: Tokenizer vocabulary size and ids emitted per document.
+VOCAB_SIZE = 512
+IDS_PER_DOC = 12
+OOV_ID = 0
+
+
+@register(
+    "text_tokenize_ids",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), ' +')) AS word,
+             unnest(range(0, len(string_split_regex(trim(text), ' +'))))
+               AS pos
+      FROM documents
+    ), vocab AS (
+      SELECT word,
+             CAST(row_number() OVER (ORDER BY count(*) DESC, word)
+                  AS INTEGER) AS id
+      FROM w GROUP BY word
+      ORDER BY count(*) DESC, word LIMIT {VOCAB_SIZE}
+    ), mapped AS (
+      SELECT w.doc_id, w.pos, COALESCE(v.id, {OOV_ID}) AS id
+      FROM w LEFT JOIN vocab v USING (word)
+      WHERE w.pos < {IDS_PER_DOC}
+    )
+    SELECT doc_id,
+           string_agg(id, ',' ORDER BY pos) AS ids,
+           CAST(sum(CASE WHEN id = {OOV_ID} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov
+    FROM mapped
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "pipeline", "tokenizer"),
+)
+def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word→id tokenization with a corpus-built vocabulary: the top
+    {VOCAB_SIZE} words by frequency (deterministic count-then-word
+    rank) become ids 1..V, everything else maps to OOV {OOV_ID}; each
+    document emits its first {IDS_PER_DOC} token ids in order — the
+    id-sequence handoff to a training shard writer.
+
+    Scale shape: vocab construction is one map-side-combinable groupBy
+    (the vocab is tiny by definition) and broadcasts back into the
+    corpus-side probe; the per-doc reassembly shuffles on doc_id once
+    with array_sort fixing token order — same skeleton as the segment
+    rewrite."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    ws = _words(F.col("text"))
+    w = t.documents.select(
+        "doc_id", F.posexplode(ws).alias("pos", "word")
+    )
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(VOCAB_SIZE)
+        .select(
+            "word",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("word")))
+            .alias("id"),
+        )
+    )
+    mapped = (
+        w.filter(F.col("pos") < IDS_PER_DOC)
+        .join(F.broadcast(vocab), "word", "left")
+        .select(
+            "doc_id", "pos", F.coalesce("id", F.lit(OOV_ID)).alias("id")
+        )
+    )
+    return (
+        mapped.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                    lambda s: s["id"].cast("string"),
+                ),
+                ",",
+            ).alias("ids"),
+            F.sum(F.when(F.col("id") == OOV_ID, 1).otherwise(0)).alias("n_oov"),
         )
         .orderBy("doc_id")
     )

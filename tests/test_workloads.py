@@ -9,7 +9,16 @@ from tests.oracle_utils import SF_DIR, check_query
 load_all()
 
 
-@pytest.mark.parametrize("name", ["graph_pagerank", "workload_pi", "ml_kmeans_onestep"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "graph_pagerank",
+        "workload_pi",
+        "ml_kmeans_onestep",
+        "graph_triangle_count",
+        "graph_bfs_levels",
+    ],
+)
 def test_oracle_match(spark, name):
     check_query(spark, name, SF_DIR)
 
