@@ -203,6 +203,22 @@ def test_pagerank_iteration_not_broadcast_at_scale(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
 
 
+def test_tokenize_vocab_probe_is_broadcast(spark):
+    """The top-V vocabulary must broadcast into the word→id probe —
+    the exploded corpus must never shuffle against a 512-row dict."""
+    plan = physical_plan(q("text_tokenize_ids", spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_single_join(spark):
+    """MERGE-as-full-outer-join must plan exactly one join (plus the
+    presentation sort) — no re-scan per action branch."""
+    plan = physical_plan(q("merge_upsert_scd1", spark))
+    assert plan.count("Join") >= 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_training_prep_shuffle_budgets(spark):
     """Training-prep operators keep their scale-critical shuffle
     budgets: pseudonymization and quantization are pure projections
