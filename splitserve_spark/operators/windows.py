@@ -297,3 +297,74 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id, event_id
         """
     )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    WITH changes AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority,
+             lag(o_orderpriority) OVER w AS prev_priority
+      FROM orders
+      WHERE o_custkey % 50 = 0
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), starts AS (
+      SELECT o_custkey, o_orderdate AS eff_from, o_orderpriority
+      FROM changes
+      WHERE prev_priority IS NULL OR prev_priority <> o_orderpriority
+    )
+    SELECT o_custkey, o_orderpriority AS attr, eff_from,
+           lead(eff_from) OVER (
+             PARTITION BY o_custkey ORDER BY eff_from, attr) AS eff_to,
+           CASE WHEN lead(eff_from) OVER (
+             PARTITION BY o_custkey ORDER BY eff_from, attr) IS NULL
+             THEN true ELSE false END AS is_current
+    FROM starts
+    ORDER BY o_custkey, eff_from, attr
+    """,
+    tags=("window", "warehouse", "scd2"),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history build: collapse a change stream into effective-
+    dated dimension rows — lag() detects attribute changes, lead()
+    closes each version's validity interval, the open interval is the
+    current row.  The warehouse pattern every dimension loader runs;
+    pure window composition, one shuffle on the business key.
+
+    Determinism note: the change-detection window orders by
+    (o_orderdate, o_orderkey) so duplicate dates cannot reorder between
+    engines; the sampled key set (custkey % 50) bounds output while
+    keeping multi-version histories present at every SF."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        t.orders.filter(F.col("o_custkey") % 50 == 0)
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.lag("o_orderpriority").over(w).alias("prev_priority"),
+        )
+    )
+    starts = changes.filter(
+        F.col("prev_priority").isNull()
+        | (F.col("prev_priority") != F.col("o_orderpriority"))
+    ).select(
+        "o_custkey",
+        F.col("o_orderdate").alias("eff_from"),
+        F.col("o_orderpriority").alias("attr"),
+    )
+    # eff_from alone can tie (two versions starting the same date);
+    # attr is the deterministic tiebreaker on BOTH engines.
+    w2 = Window.partitionBy("o_custkey").orderBy("eff_from", "attr")
+    return (
+        starts.select(
+            "o_custkey",
+            "attr",
+            "eff_from",
+            F.lead("eff_from").over(w2).alias("eff_to"),
+            F.lead("eff_from").over(w2).isNull().alias("is_current"),
+        )
+        .orderBy("o_custkey", "eff_from", "attr")
+    )
