@@ -1,0 +1,277 @@
+"""Product-analytics operators over the `events` stream table
+(beyond-parity; SURVEY.md §4.3 goals — the reference's event workloads
+stop at windowed aggregation, ref `sql/core/.../WindowExec.scala:87`).
+
+Funnel conversion, cohort retention, and robust outlier flagging are
+the bread-and-butter queries of an event-analytics engine.  All three
+are expressed as pure DataFrame programs (conditional aggregation +
+one re-join on the grouping key) so Catalyst keeps them in two shuffle
+stages at most; at 100 TB the per-user aggregates are map-side
+combinable and the tiny per-stage/per-type statistics broadcast back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import Tables
+
+#: Ordered funnel stages: a user "converts" stage N only with an event
+#: of that type strictly after their first stage-N-1 conversion.
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t_view
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+        GROUP BY e.user_id
+    )
+    SELECT 'view'     AS stage, 1 AS stage_idx, count(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 'click'    AS stage, 2 AS stage_idx, count(*) AS n_users FROM s2
+    UNION ALL
+    SELECT 'purchase' AS stage, 3 AS stage_idx, count(*) AS n_users FROM s3
+    ORDER BY stage_idx
+    """,
+    tags=("analytics", "events"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: users who viewed, then clicked after
+    their first view, then purchased after that first qualifying click.
+
+    Plan: three groupBy(user_id) aggregations chained by equi-joins on
+    user_id.  All three shuffles hash on the same key, so AQE/exchange
+    reuse keeps the data co-partitioned after the first exchange; the
+    per-stage user sets only shrink.  No window function, no Python.
+    (Ref analytics surface: `sql/core/.../AggUtils.scala:37` — plain
+    conditional aggregation; funnel itself is beyond-parity.)
+    """
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", "ts")
+
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage_count(df: DataFrame, name: str, idx: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(idx).alias("stage_idx"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        stage_count(s1, "view", 1)
+        .unionAll(stage_count(s2, "click", 2))
+        .unionAll(stage_count(s3, "purchase", 3))
+        .orderBy("stage_idx")
+    )
+
+
+#: Retention horizon (days after a user's cohort day) kept in the
+#: output — bounds the matrix regardless of corpus span.
+RETENTION_MAX_OFFSET = 7
+
+
+@register(
+    "events_retention_cohort",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_offset, count(*) AS n_active
+    FROM activity
+    WHERE day_offset <= {RETENTION_MAX_OFFSET}
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+    tags=("analytics", "events"),
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the calendar day of
+    their first event; for each cohort × day-offset (0..7), the count
+    of users active on that offset day.
+
+    Plan: one groupBy(user_id) for cohort days, re-join to events on
+    user_id (same hash partitioning → exchange reuse), distinct on
+    (user, cohort, offset) then a small groupBy.  The distinct and the
+    final agg are map-side combinable; output is O(days × horizon)
+    regardless of event volume, so nothing here grows at 100 TB.
+    """
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "ts")
+
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .filter(F.col("day_offset") <= RETENTION_MAX_OFFSET)
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+#: |z| threshold above which an event's value is flagged as an outlier.
+ZSCORE_THRESHOLD = 2.5
+
+
+@register(
+    "agg_zscore_outliers",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_type,
+               avg(value)        AS mu,
+               stddev_pop(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN abs((e.value - s.mu) / s.sigma)
+                              > {ZSCORE_THRESHOLD}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(max(abs((e.value - s.mu) / s.sigma)), 4) AS max_abs_z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    tags=("analytics", "events"),
+)
+def agg_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier audit: population mean/stddev of
+    `value` per event_type, events beyond |z| > 2.5 counted.
+
+    Plan: groupBy(event_type) produces a 5-row statistics table that
+    Catalyst broadcasts back onto the fact scan (the join side is tiny
+    by construction), so the fact table is read once, shuffled once for
+    the final per-type rollup.  The same shape holds at 100 TB: the
+    stats side stays O(|types|).
+    """
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_type", "value")
+
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(z > ZSCORE_THRESHOLD, 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+#: Number of equi-depth buckets for the price histogram.
+HISTOGRAM_BUCKETS = 10
+
+
+@register(
+    "window_equidepth_histogram",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT l_extendedprice,
+               ntile({HISTOGRAM_BUCKETS}) OVER (
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS bucket
+        FROM lineitem
+    )
+    SELECT bucket,
+           count(*) AS n_rows,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi,
+           round(avg(l_extendedprice), 4) AS mean_price
+    FROM ranked
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("analytics", "window"),
+)
+def window_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of lineitem prices via ntile: 10 buckets of
+    equal row count with per-bucket min/max/mean — the quantile-bucket
+    summary a feature-engineering pipeline uses for binning.
+
+    The ntile order key is made total (price, orderkey, linenumber) so
+    bucket assignment is deterministic in both engines.  Plan note: an
+    unpartitioned ntile is a single-reducer global sort — correct but
+    the known scale ceiling of exact equi-depth binning; at 100 TB the
+    approximate twin is `approxQuantile`/`stat_approx_quantile`, kept
+    separately in the registry.  (Ref window machinery:
+    `sql/core/.../WindowExec.scala:87`.)
+    """
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    ranked = t.lineitem.select(
+        "l_extendedprice",
+        F.ntile(HISTOGRAM_BUCKETS).over(w).alias("bucket"),
+    )
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+            F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+        )
+        .orderBy("bucket")
+    )

@@ -616,3 +616,129 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- BM25 keyword search -------------------------------------------------
+
+#: Fixed search query for the registered example (terms chosen from the
+#: synthetic corpus vocabulary).  Real deployments parameterize this.
+BM25_QUERY_TERMS = ("spark", "hash", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def _bm25_oracle() -> str:
+    """DuckDB oracle for text_bm25_search, generated from the same
+    constants so query terms / k1 / b can never desynchronize."""
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter(ws, w -> w = '{t}')) AS DOUBLE) AS tf_{t}"
+        for t in BM25_QUERY_TERMS
+    )
+    df_cols = ",\n               ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_QUERY_TERMS
+    )
+    score_terms = "\n             + ".join(
+        f"ln((g.n_docs - g.df_{t} + 0.5) / (g.df_{t} + 0.5) + 1)"
+        f" * d.tf_{t} * ({BM25_K1} + 1)"
+        f" / (d.tf_{t} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dl / g.avgdl))"
+        for t in BM25_QUERY_TERMS
+    )
+    return f"""
+    WITH docs AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS dl,
+               {tf_cols}
+        FROM (SELECT doc_id, text,
+                     string_split_regex(trim(text), ' +') AS ws
+              FROM documents)
+    ), globals AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+               {df_cols}
+        FROM docs
+    )
+    SELECT d.doc_id,
+           round({score_terms}, 4) AS score
+    FROM docs d CROSS JOIN globals g
+    WHERE {" + ".join("d.tf_" + t for t in BM25_QUERY_TERMS)} > 0
+    ORDER BY score DESC, d.doc_id
+    LIMIT {BM25_TOP_K}
+    """
+
+
+@register(
+    "text_bm25_search",
+    oracle=_bm25_oracle(),
+    tags=("text", "pipeline"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search: score every document against a fixed
+    3-term query, return the top-20 by score.
+
+    Scale design: because the query has a handful of terms, per-doc
+    term frequencies are computed with `size(filter(words, ...))` —
+    a narrow, codegen'd projection over the scan with NO explode and
+    NO posting-list shuffle.  Corpus-level stats (N, avgdl, per-term
+    document frequencies) reduce to a single row that Catalyst
+    broadcasts back over the scan, so the whole search is one pass
+    over the corpus plus a top-k.  At 100 TB with *ad-hoc* many-term
+    queries you'd materialize an inverted index instead (explode →
+    groupBy term); for fixed small queries this shape is strictly
+    better — the corpus never shuffles.
+    """
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    ws = _words(F.col("text"))
+
+    def eq(term):
+        # NB: the lambda must be unary — a 2-arg lambda would be given
+        # (element, index) by the higher-order-function binder.
+        return lambda w: w == term
+
+    docs = t.documents.select(
+        "doc_id",
+        F.size(ws).cast("double").alias("dl"),
+        *[
+            F.size(F.filter(ws, eq(term)))
+            .cast("double")
+            .alias(f"tf_{term}")
+            for term in BM25_QUERY_TERMS
+        ],
+    )
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{term}") > 0, 1).otherwise(0)).alias(
+                f"df_{term}"
+            )
+            for term in BM25_QUERY_TERMS
+        ],
+    )
+    score = None
+    for term in BM25_QUERY_TERMS:
+        tf = F.col(f"tf_{term}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{term}") + 0.5)
+            / (F.col(f"df_{term}") + 0.5)
+            + 1
+        )
+        part = (
+            idf
+            * tf
+            * (BM25_K1 + 1)
+            / (tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+        )
+        score = part if score is None else score + part
+    any_hit = sum(
+        (F.col(f"tf_{term}") for term in BM25_QUERY_TERMS[1:]),
+        F.col(f"tf_{BM25_QUERY_TERMS[0]}"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(stats))
+        .filter(any_hit > 0)
+        .select("doc_id", F.round(score, 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )

@@ -1,0 +1,83 @@
+from __future__ import annotations
+
+import pytest
+
+from splitserve_spark.registry import REGISTRY, load_all
+from tests.oracle_utils import SF_DIR, check_query
+
+load_all()
+
+NAMES = sorted(
+    n
+    for n, s in REGISTRY.items()
+    if n.startswith(("events_", "agg_zscore", "window_equidepth"))
+    and s.oracle is not None
+)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_match(spark, name):
+    check_query(spark, name, SF_DIR)
+
+
+def test_funnel_monotone(spark):
+    """Each funnel stage can only lose users vs the previous one."""
+    out = REGISTRY["events_funnel"].fn(spark, SF_DIR).toPandas()
+    assert list(out["stage"]) == ["view", "click", "purchase"]
+    counts = list(out["n_users"])
+    assert counts[0] >= counts[1] >= counts[2] >= 0
+
+
+def test_retention_offset_zero_is_cohort_size(spark):
+    """Every user is active on their own cohort day, so the offset-0
+    row of each cohort equals the cohort's size."""
+    from pyspark.sql import functions as F
+
+    from splitserve_spark.tables import Tables
+
+    out = REGISTRY["events_retention_cohort"].fn(spark, SF_DIR).toPandas()
+    t = Tables(spark, SF_DIR)
+    cohorts = (
+        t.events.groupBy("user_id")
+        .agg(F.min("ts").cast("date").alias("cohort_day"))
+        .groupBy("cohort_day")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+    )
+    zero = out[out["day_offset"] == 0].set_index("cohort_day")["n_active"]
+    expect = cohorts.set_index("cohort_day")["n"]
+    assert zero.sort_index().equals(expect.sort_index())
+    assert (out["n_active"] > 0).all()
+
+
+def test_zscore_outliers_bounded(spark):
+    """Chebyshev: at most n/z² values can sit beyond z population
+    stddevs, and every row keeps n_outliers ≤ n_events."""
+    from splitserve_spark.operators.analytics import ZSCORE_THRESHOLD
+
+    out = REGISTRY["agg_zscore_outliers"].fn(spark, SF_DIR).toPandas()
+    assert (out["n_outliers"] <= out["n_events"] / ZSCORE_THRESHOLD**2).all()
+    assert (out["n_outliers"] >= 0).all()
+
+
+def test_equidepth_buckets_are_equal_and_ordered(spark):
+    from splitserve_spark.operators.analytics import HISTOGRAM_BUCKETS
+
+    out = (
+        REGISTRY["window_equidepth_histogram"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("bucket")
+    )
+    assert len(out) == HISTOGRAM_BUCKETS
+    # ntile: bucket sizes differ by at most one row.
+    assert out["n_rows"].max() - out["n_rows"].min() <= 1
+    # Depth boundaries are non-decreasing across buckets.
+    assert (out["hi"] >= out["lo"]).all()
+    assert (out["lo"].diff().dropna() >= 0).all()
+
+
+def test_bm25_scores_positive_and_sorted(spark):
+    out = REGISTRY["text_bm25_search"].fn(spark, SF_DIR).toPandas()
+    assert (out["score"] > 0).all()
+    assert list(out["score"]) == sorted(out["score"], reverse=True)
