@@ -80,3 +80,70 @@ def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+#: Deterministic subset selector for the CSV roundtrip (keeps output
+#: bounded at any SF without sampling nondeterminism).
+CSV_KEY_MOD = 97
+
+
+@register(
+    "fn_csv_parse",
+    oracle=f"""
+    WITH lines AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               CAST(l_quantity AS VARCHAR) || '|' ||
+               l_returnflag AS line
+        FROM lineitem
+        WHERE l_orderkey % {CSV_KEY_MOD} = 1
+    )
+    SELECT l_orderkey, l_linenumber, line,
+           CAST(split_part(line, '|', 1) AS BIGINT) AS p_orderkey,
+           CAST(split_part(line, '|', 2) AS INTEGER) AS p_linenumber,
+           CAST(split_part(line, '|', 3) AS DOUBLE) AS p_quantity,
+           split_part(line, '|', 4) AS p_returnflag
+    FROM lines
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("json", "codec"),
+)
+def fn_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_csv / from_csv roundtrip (ref `csvExpressions.scala`
+    CsvToStructs:57, StructsToCsv:214): serialize a struct of lineitem
+    columns to a delimited line, parse it back with an explicit schema,
+    and surface the parsed fields as top-level columns.  Both
+    directions are JVM-side (UniVocity parser) — the schema is explicit
+    because at 100 TB you never infer CSV schemas per-row."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    opts = {"sep": "|"}
+    line = F.to_csv(
+        F.struct(
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("l_quantity"),
+            F.col("l_returnflag"),
+        ),
+        opts,
+    )
+    parsed_schema = (
+        "p_orderkey BIGINT, p_linenumber INT, p_quantity DOUBLE, "
+        "p_returnflag STRING"
+    )
+    return (
+        t.lineitem.filter(F.col("l_orderkey") % CSV_KEY_MOD == 1)
+        .select("l_orderkey", "l_linenumber", line.alias("line"))
+        .withColumn("parsed", F.from_csv(F.col("line"), parsed_schema, opts))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "line",
+            F.col("parsed.p_orderkey").alias("p_orderkey"),
+            F.col("parsed.p_linenumber").alias("p_linenumber"),
+            F.col("parsed.p_quantity").alias("p_quantity"),
+            F.col("parsed.p_returnflag").alias("p_returnflag"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

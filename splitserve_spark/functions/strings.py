@@ -206,3 +206,56 @@ def fn_string_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(url, 'https?://([^/]+)', 1)        AS host,
+           regexp_extract(url, 'https?://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]id=([^&#]*)', 1)         AS q_id,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1)       AS q_lang
+    FROM (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' ||
+               CAST(doc_id AS VARCHAR) || '?id=' ||
+               CAST(doc_id AS VARCHAR) || '&lang=' || lang AS url
+        FROM documents
+    )
+    ORDER BY doc_id
+    """,
+    tags=("string",),
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url: HOST / PATH / per-key QUERY extraction (ref
+    `stringExpressions.scala` ParseUrl:1510).  URLs are synthesized
+    from document metadata so the query is self-contained; the oracle
+    mirrors parse_url's component grammar with regexes.  Zero-shuffle
+    codegen projection — exactly how URL columns are normalized before
+    host-level dedup at 100 TB."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&lang="),
+        F.col("lang"),
+    )
+    return (
+        t.documents.select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+            F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("id")).alias("q_id"),
+            F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias(
+                "q_lang"
+            ),
+        )
+        .orderBy("doc_id")
+    )

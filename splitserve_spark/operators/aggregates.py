@@ -559,3 +559,78 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)           AS n_orders,
+           bit_and(o_custkey) AS and_cust,
+           bit_or(o_custkey)  AS or_cust,
+           bit_xor(o_custkey) AS xor_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate functions bit_and / bit_or / bit_xor (ref
+    `catalyst/expressions/aggregate/bitwiseAggregates.scala:28`) —
+    used for permission-mask rollups and parity checksums.  Fully
+    map-side combinable: the shuffle carries one 3-long row per
+    (partition, status)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.bit_and("o_custkey").alias("and_cust"),
+            F.bit_or("o_custkey").alias("or_cust"),
+            F.bit_xor("o_custkey").alias("xor_cust"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_hll_sketch",
+    oracle="""
+    SELECT source,
+           count(DISTINCT doc_id) AS est_docs,
+           count(DISTINCT doc_id) AS exact_docs
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: Datasketches HLL built per
+    (source, half) partial, merged with hll_union_agg, then estimated —
+    the exact two-level rollup a 1000-executor cluster runs, where each
+    executor sketches its partition and only the ~KB sketch binaries
+    shuffle (ref approx machinery: `aggregate/HyperLogLogPlusPlus.scala:47`;
+    the datasketches functions are its modern mergeable successor).
+
+    Oracle note: a Datasketches HLL (lgK=12) stays in exact sparse mode
+    below ~3k distincts, and per-source cardinality here is ≤250 even
+    at sf0.1, so the estimate provably equals the exact distinct count
+    at verification scales — which is what makes this oracle-checkable
+    rather than rows-only.  The companion estimate-vs-exact tolerance
+    test in tests/ covers the general (non-exact) regime contract."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("source", "doc_id")
+    partials = docs.groupBy(
+        "source", (F.col("doc_id") % 2).alias("half")
+    ).agg(F.hll_sketch_agg("doc_id").alias("sk"))
+    merged = partials.groupBy("source").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_docs")
+    )
+    exact = docs.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("exact_docs")
+    )
+    return merged.join(exact, "source").orderBy("source")

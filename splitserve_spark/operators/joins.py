@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from splitserve_spark import sql_entry
 from splitserve_spark.registry import register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
@@ -510,3 +511,39 @@ def join_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY nation_name
         """
     )
+
+
+#: Identical SQL text runs on Spark and DuckDB — LATERAL is the
+#: standard correlated-table-subquery join both engines implement.
+_LATERAL_TOPN_SQL = """
+SELECT n.n_name, c.c_name, c.c_acctbal
+FROM nation n, LATERAL (
+    SELECT c_name, c_acctbal
+    FROM customer
+    WHERE c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_name
+    LIMIT 2
+) c
+ORDER BY n.n_name, c.c_acctbal DESC, c.c_name
+"""
+
+
+@register(
+    "join_lateral_topn",
+    oracle=_LATERAL_TOPN_SQL,
+    tags=("join", "sql"),
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated table subquery (SPARK-34382; analyzer rewrite
+    in `catalyst/analysis/Analyzer.scala` ResolveLateralJoin): per
+    nation, the top-2 customers by account balance, expressed as the
+    SQL-standard lateral join rather than a window + filter.
+
+    Catalyst decorrelates this into a ranked join — the same physical
+    shape as `window_topn_per_group` — so there is no per-outer-row
+    re-execution: one shuffle of customer by nationkey, a partial
+    top-k, then the 25-row nation side broadcasts.  The identical SQL
+    text is the oracle (cross-engine portability is the point).
+    """
+    ensure_parity_conf(spark)
+    return sql_entry.sql(spark, _LATERAL_TOPN_SQL, sf_dir)

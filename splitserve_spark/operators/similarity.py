@@ -669,3 +669,134 @@ def sim_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "n_vecs", "centroid_cosine")
         .orderBy("label")
     )
+
+
+# --- Product-quantization ANN -------------------------------------------
+
+#: PQ layout: the 64-dim vector splits into M subspaces of SUBDIM dims;
+#: each subspace gets a K-entry codebook, so a vector compresses to
+#: M log2(K)-bit codes (64 floats → 8 nibbles here).  Queries score
+#: candidates with an ADC (asymmetric distance computation) lookup
+#: table — M·K precomputed subdistances per query — and exact-rerank
+#: only the best RERANK candidates.
+PQ_M = 8
+PQ_SUBDIM = 8
+PQ_K = 16
+PQ_RERANK = 100
+
+
+@register("sim_pq_ann", oracle=None, priority=86,  # preferred rows-only filler
+          tags=("similarity", "pipeline", "ann", "pq"))
+def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the FAISS IndexPQ layout as DataFrame
+    joins): per-subspace codebooks from one deterministic Lloyd step,
+    vectors encoded to M codes, queries scored via an ADC lookup table,
+    exact cosine rerank of the top-RERANK.
+
+    Scale design: the encoded corpus is M tiny int columns (a 32×
+    compression of the vector column) — at 100 TB the ADC scan reads
+    ONLY codes, never raw vectors; the per-query LUT is M·K doubles,
+    broadcast; raw vectors re-attach for the RERANK rows alone via an
+    equi-join on vec_id.  Codebook training reuses the IVF trick:
+    assignment is a broadcast argmin, the update re-averages per
+    (subspace, code, pos) — both map-side combinable.
+    Approximate → recall-tested against sim_cosine_topk in tests."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    base = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+
+    def _l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    # Every vector → M subvectors (m, sv).
+    sub = base.select(
+        "vec_id",
+        F.inline(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                )
+                for m in range(PQ_M)
+            ])
+        ),
+    )
+
+    # --- codebooks: one Lloyd step from deterministic init ----------
+    init = sub.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
+    assign0 = (
+        sub.join(F.broadcast(init), "m")
+        .withColumn("dist", _l2sq(F.col("sv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "sv", "code")
+    )
+    codebook = (
+        assign0.select("m", "code", F.posexplode("sv").alias("pos", "x"))
+        .groupBy("m", "code", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("m", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("m", "code", F.transform("pc", lambda s: s["c"]).alias("cv"))
+    )
+
+    # --- encode: per (vector, subspace) the nearest codebook entry --
+    codes = (
+        sub.join(F.broadcast(codebook), "m")
+        .withColumn("dist", _l2sq(F.col("sv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+
+    # --- per-query ADC lookup table (M·K subdistances, broadcast) ---
+    qsub = sub.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv")
+    )
+    lut = (
+        qsub.join(F.broadcast(codebook), "m")
+        .select(
+            "query_id", "m", "code",
+            _l2sq(F.col("qsv"), F.col("cv")).alias("subdist"),
+        )
+    )
+
+    # --- ADC scan over codes only; keep best RERANK per query -------
+    w_adc = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    cand = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("subdist").alias("adc_dist"))
+        .withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= PQ_RERANK)
+        .select("query_id", "vec_id")
+    )
+
+    # --- exact cosine rerank of the candidates ----------------------
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        cand.join(base, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -209,3 +209,57 @@ def sink_foreach_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+#: rate-micro-batch contract: one availableNow pass over a fresh query
+#: emits exactly the first batch — rowsPerBatch rows valued 0..R-1.
+RATE_ROWS_PER_BATCH = 1000
+RATE_PARTITIONS = 4
+
+
+@register(
+    "source_rate_stream",
+    oracle=f"""
+    SELECT CAST({RATE_ROWS_PER_BATCH} AS BIGINT) AS n_rows,
+           CAST({RATE_ROWS_PER_BATCH * (RATE_ROWS_PER_BATCH - 1) // 2}
+                AS BIGINT) AS sum_value,
+           CAST(0 AS BIGINT) AS min_value,
+           CAST({RATE_ROWS_PER_BATCH - 1} AS BIGINT) AS max_value
+    """,
+    tags=("streaming", "source", "rate"),
+)
+def source_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rate-micro-batch streaming source (ref rate source
+    `execution/streaming/RateSourceProvider.scala:41`; the
+    deterministic micro-batch variant is its successor): Spark's
+    built-in load-generator source, used to soak-test streaming
+    topologies without external infrastructure.
+
+    Unlike plain `rate` (wall-clock driven), `rate-micro-batch` emits a
+    FIXED number of rows per batch with values 0..R-1, so one
+    availableNow pass is exactly reproducible and the closed-form
+    oracle (count R, sum R(R-1)/2) proves no row was lost or duplicated
+    across the 4 source partitions."""
+    ensure_parity_conf(spark)
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", RATE_ROWS_PER_BATCH)
+        .option("numPartitions", RATE_PARTITIONS)
+        .load()
+    )
+    agg = stream.groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    name = "rate_stream_agg"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -24,6 +24,8 @@ AGGS = [
     "agg_having",
     "agg_bool_and_count_if",
     "agg_sum_distinct",
+    "agg_bitwise",
+    "agg_hll_sketch",
 ]
 
 
@@ -51,3 +53,13 @@ def test_approx_aggregates_within_tolerance(spark):
         assert abs(approx_n - n) <= 0.10 * n, (flag, n, approx_n)
         p, approx_p = exact.loc[flag, "p50"], pdf.loc[flag, "approx_p50"]
         assert abs(approx_p - p) <= 0.05 * abs(p), (flag, p, approx_p)
+
+
+def test_hll_sketch_estimate_tracks_exact(spark):
+    """General-regime contract for the mergeable HLL rollup: even when
+    the sketch leaves exact sparse mode, the merged estimate must stay
+    within the lgK=12 error envelope (±2% plus small-count slack)."""
+    out = REGISTRY["agg_hll_sketch"].fn(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    err = (out["est_docs"] - out["exact_docs"]).abs()
+    assert (err <= (0.02 * out["exact_docs"]).clip(lower=1)).all()

@@ -21,6 +21,7 @@ JOINS = [
     "join_using_key",
     "join_self",
     "join_null_safe",
+    "join_lateral_topn",
 ]
 
 

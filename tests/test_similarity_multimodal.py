@@ -137,3 +137,17 @@ def test_quantize_int8_error_bound(spark):
     # scale is rounded to 6dp in the output, so allow half-ULP slack
     assert (out["max_abs_err"] <= out["scale"] / 2 + 1e-6).all()
     assert (out["mse"] <= (out["scale"] / 2 + 1e-6) ** 2).all()
+
+
+def test_pq_ann_recall(spark):
+    """PQ ANN: ADC over 4-bit codes + top-100 rerank must recover most
+    of the brute-force top-k (calibrated 0.96 on this seed/data —
+    assert with margin), and returned cosines must be exact."""
+    exact = REGISTRY["sim_cosine_topk"].fn(spark, SF_DIR).toPandas()
+    approx = REGISTRY["sim_pq_ann"].fn(spark, SF_DIR).toPandas()
+    exact_set = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_set = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"recall {recall:.2f}"
+    merged = exact.merge(approx, on=["query_id", "neighbor_id"], suffixes=("_e", "_a"))
+    assert (abs(merged["cosine_e"] - merged["cosine_a"]) < 1e-6).all()
