@@ -634,3 +634,47 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("exact_docs")
     )
     return merged.join(exact, "source").orderBy("source")
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_distinct_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "bitmap"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via bitmap-index aggregates (Spark 3.5
+    bitmap_* family; the modern exact counterpart of the HLL path, ref
+    `aggregate/HyperLogLogPlusPlus.scala:47`): keys bucket into 32k-bit
+    bitmaps (bitmap_bucket_number / bitmap_bit_position), partials
+    build per (status, bucket) with bitmap_construct_agg, buckets merge
+    with bitmap_or_agg, and the popcount sum is the EXACT distinct
+    count.
+
+    This is the two-level rollup that replaces a full
+    count(DISTINCT) shuffle at 100 TB: raw keys never move — only
+    4 KB bitmap blobs per (group, bucket) shuffle, and the merge is
+    associative, so AQE can combine partials anywhere."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    partials = (
+        t.orders.select(
+            "o_orderstatus",
+            F.bitmap_bucket_number("o_custkey").alias("bucket"),
+            F.bitmap_bit_position("o_custkey").alias("pos"),
+        )
+        .groupBy("o_orderstatus", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    return (
+        partials.groupBy("o_orderstatus", "bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm_merged"))
+        .groupBy("o_orderstatus")
+        .agg(F.sum(F.bitmap_count("bm_merged")).alias("n_distinct_cust"))
+        .orderBy("o_orderstatus")
+    )

@@ -742,3 +742,57 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOP_K)
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w
+        FROM documents
+    ), freq AS (
+        SELECT w, count(*) AS c FROM words GROUP BY w
+    ), tot AS (
+        SELECT sum(c) AS n FROM freq
+    )
+    SELECT words.doc_id,
+           CAST(count(*) AS INTEGER) AS n_tokens,
+           round(avg(-ln(freq.c / tot.n)), 6) AS avg_neg_logprob
+    FROM words JOIN freq USING (w) CROSS JOIN tot
+    GROUP BY words.doc_id
+    ORDER BY words.doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (the KenLM-perplexity proxy of
+    CCNet-style filtering): per document, the mean negative log
+    probability of its tokens under the corpus's own unigram
+    distribution.  Low = templated/common text, high = rare-token
+    noise; both tails get filtered in a real pretraining pipeline.
+
+    Plan: one explode → groupBy(word) builds the LM (vocab-sized,
+    map-side combinable); the corpus explode re-joins it on word and
+    re-aggregates per doc.  At 100 TB the LM table is O(|vocab|) —
+    broadcast it and the corpus never shuffles on word, only on doc_id
+    for the final per-doc mean; both aggs are partial-final.  All
+    JVM-side: no UDF, the log/avg run in whole-stage codegen."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    words = t.documents.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        words.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("c") / F.col("n"))), 6
+            ).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

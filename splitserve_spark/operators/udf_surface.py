@@ -347,3 +347,66 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, c.chunk_idx
         """
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           CAST(l_quantity >= 25 AS BOOLEAN) AS bulk
+    FROM lineitem
+    WHERE l_orderkey % 101 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("udf", "map-partitions", "arrow"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy sibling of mapInPandas — the UDF
+    receives pyarrow.RecordBatch objects directly, skipping the
+    Arrow→pandas conversion entirely (ref Python evaluation operators,
+    `execution/python/MapInPandasExec.scala:33`; the Arrow variant is
+    its 3.3+ twin).  The right tier for batch transforms that are pure
+    columnar arithmetic: pyarrow.compute kernels run vectorized over
+    the batch with no pandas boxing, which is also why this is the
+    fastest Python hook for the multimodal decode path.
+    """
+    ensure_parity_conf(spark)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = Tables(spark, sf_dir)
+
+    def net_price(batches):
+        for batch in batches:
+            # No rounding anywhere: the raw IEEE product of two doubles
+            # is bit-identical across engines, while round-at-2dp is
+            # ULP-fragile (pyarrow rounds half-to-even, SQL round
+            # half-away-from-zero).
+            net = pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            )
+            bulk = pc.greater_equal(batch.column("l_quantity"), pa.scalar(25.0))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("l_orderkey"),
+                    batch.column("l_linenumber"),
+                    net,
+                    bulk,
+                ],
+                names=["l_orderkey", "l_linenumber", "net_price", "bulk"],
+            )
+
+    src = t.lineitem.filter(F.col("l_orderkey") % 101 == 0).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+        "l_quantity",
+    )
+    return (
+        src.mapInArrow(
+            net_price,
+            schema="l_orderkey bigint, l_linenumber int, net_price double, "
+                   "bulk boolean",
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

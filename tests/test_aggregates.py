@@ -26,6 +26,7 @@ AGGS = [
     "agg_sum_distinct",
     "agg_bitwise",
     "agg_hll_sketch",
+    "agg_bitmap_distinct",
 ]
 
 
