@@ -249,3 +249,73 @@ def test_stratified_sample_has_window_group_limit(spark):
     """rank <= K over the per-source hash order must push down as
     WindowGroupLimit (partial top-K before the shuffle)."""
     assert_in_plan(q("sample_stratified_topk", spark), "WindowGroupLimit")
+
+
+def test_bm25_no_explode_and_stats_broadcast(spark):
+    """BM25's fixed-query path must not explode a posting list: term
+    frequencies are array-function projections, and the 1-row corpus
+    stats join back via broadcast — the corpus never shuffles."""
+    plan = physical_plan(q("text_bm25_search", spark))
+    assert "Generate" not in plan, plan  # no explode/posexplode
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_zscore_stats_join_is_broadcast(spark):
+    """The 5-row per-type stats table must broadcast back onto the
+    events scan — shuffling the fact side against it would be the
+    100 TB mistake."""
+    plan = physical_plan(q("agg_zscore_outliers", spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    """The three funnel stages chain groupBy(user_id) + join(user_id):
+    every exchange must hash on user_id only — no other key ever
+    shuffles, and no broadcast of the (large) per-user sets at scale
+    is required for correctness (AQE may still choose one at test SF).
+    """
+    plan = physical_plan(q("events_funnel", spark))
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([a-z_#0-9L, ]+?)\)", plan):
+        keys = m.group(1)
+        assert "user_id" in keys, plan
+
+
+def test_lateral_topn_decorrelates_to_ranked_join(spark):
+    """LATERAL per-nation top-2 must decorrelate to a window-ranked
+    join (one customer shuffle), NOT a per-outer-row re-execution —
+    and the 25-row nation side must broadcast."""
+    plan = physical_plan(q("join_lateral_topn", spark))
+    assert "Window" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bitmap_distinct_shuffles_bitmaps_not_keys(spark):
+    """The bitmap rollup's final aggregation must consume merged
+    bitmap blobs: no Expand (multi-distinct rewrite) and no exchanges
+    beyond the (status, bucket) → (status) pair plus the presentation
+    sort."""
+    df = q("agg_bitmap_distinct", spark)
+    plan = physical_plan(df)
+    assert "Expand" not in plan, plan
+    assert count_exchanges(df) <= 3, plan
+
+
+def test_unigram_lm_table_broadcasts(spark):
+    """The vocab-sized LM frequency table and the 1-row total must
+    broadcast — the exploded corpus shuffles only for its own
+    per-word/per-doc aggregations, never against the LM."""
+    plan = physical_plan(q("text_unigram_logprob", spark))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pq_ann_broadcasts_codebook_and_lut(spark):
+    """PQ search must broadcast the codebook and the per-query LUT;
+    the ADC join against the encoded corpus must be broadcast-probed
+    (codes never shuffle against the LUT)."""
+    plan = physical_plan(q("sim_pq_ann", spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
