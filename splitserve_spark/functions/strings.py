@@ -259,3 +259,54 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "fn_xpath",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(xml, '<lang>([^<]*)</lang>', 1)  AS x_lang,
+           regexp_extract(xml, '<src>([^<]*)</src>', 1)    AS x_src,
+           CAST(regexp_extract(xml, '<n>([0-9]+)</n>', 1) AS INTEGER)
+                                                           AS x_n,
+           CAST(regexp_extract(xml, 'id="([0-9]+)"', 1) AS VARCHAR)
+                                                           AS x_id_attr
+    FROM (
+        SELECT doc_id,
+               '<doc id="' || CAST(doc_id AS VARCHAR) || '"><lang>' ||
+               lang || '</lang><src>' || source || '</src><n>' ||
+               CAST(n_chars AS VARCHAR) || '</n></doc>' AS xml
+        FROM documents
+    )
+    ORDER BY doc_id
+    """,
+    tags=("string", "xml"),
+    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+)
+def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath extraction over XML strings (ref `xml/xpath.scala`
+    XPathString/XPathInt, registry `FunctionRegistry.scala` xpath_*):
+    element text, typed int extraction, and attribute access.  XML is
+    synthesized from document metadata so the query is self-contained;
+    the oracle mirrors each location path with a regex.  Zero-shuffle
+    JVM projection (javax.xml evaluation, no Python)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    xml = F.concat(
+        F.lit('<doc id="'), F.col("doc_id").cast("string"),
+        F.lit('"><lang>'), F.col("lang"),
+        F.lit("</lang><src>"), F.col("source"),
+        F.lit("</src><n>"), F.col("n_chars").cast("string"),
+        F.lit("</n></doc>"),
+    )
+    return (
+        t.documents.select("doc_id", xml.alias("xml"))
+        .select(
+            "doc_id",
+            F.xpath_string("xml", F.lit("/doc/lang")).alias("x_lang"),
+            F.xpath_string("xml", F.lit("/doc/src")).alias("x_src"),
+            F.xpath_int("xml", F.lit("/doc/n")).alias("x_n"),
+            F.xpath_string("xml", F.lit("/doc/@id")).alias("x_id_attr"),
+        )
+        .orderBy("doc_id")
+    )

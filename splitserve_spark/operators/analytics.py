@@ -275,3 +275,73 @@ def window_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+#: Session gap for the batch session_window rollup (events average one
+#: per user per ~10 h, so a day-scale gap yields multi-event sessions).
+SESSION_GAP_HOURS = 24
+
+
+@register(
+    "window_session_batch",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL {SESSION_GAP_HOURS} HOUR
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events
+    ), islands AS (
+        SELECT user_id, ts, value,
+               sum(boundary) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_no
+        FROM seq
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL {SESSION_GAP_HOURS} HOUR AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM islands
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+    tags=("analytics", "events", "session"),
+    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+)
+def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation in BATCH mode (ref streaming
+    session windows `SessionWindowStateStoreSaveExec`; the same
+    session_window expression group-bys in batch): per user, events
+    within a 24 h inactivity gap merge into one session row
+    [start, last + gap).
+
+    The oracle derives identical sessions with the classic
+    lag → boundary → running-sum island construction, proving the
+    built-in's merge semantics against first principles.  Plan: one
+    shuffle on user_id (session assignment is a per-partition sort
+    within it) — exactly the sessionization shape that holds at
+    100 TB, where the gap bounds state instead of history length."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    sw = F.session_window("ts", f"{SESSION_GAP_HOURS} hours")
+    return (
+        t.events.groupBy("user_id", sw)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

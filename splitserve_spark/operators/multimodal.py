@@ -316,3 +316,143 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "energy bigint, peak int"
         ),
     ).orderBy("doc_id", "frame_idx")
+
+
+# --- Real PPM (P6) image decode -------------------------------------------
+#
+# Synthetic image corpus: doc d is a w×h RGB image, w = 8 + d % 9,
+# h = 6 + d % 7, and channel c of pixel (y, x) has value
+# (d*7 + y*13 + x*5 + c*11) % 256.  The ENCODER packs real binary PPM
+# (P6) bytes; the DECODER parses header + pixel data from the bytes
+# alone; the DuckDB oracle replays the formula analytically — a header
+# or stride bug in either stage is a hash mismatch.
+
+MM_PPM_DOCS = 300
+
+
+def _ppm_bytes(doc_id: int) -> bytes:
+    w = 8 + doc_id % 9
+    h = 6 + doc_id % 7
+    px = bytes(
+        (doc_id * 7 + y * 13 + x * 5 + c * 11) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    return b"P6\n%d %d\n255\n" % (w, h) + px
+
+
+def _encode_ppm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "payload": [_ppm_bytes(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def _parse_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a binary PPM: magic, whitespace-separated header tokens
+    (width, height, maxval — comments allowed), one whitespace byte,
+    then h×w×3 raw bytes → (w, h, pixels ndarray).  Raises on
+    malformed bytes — production behavior, not a stub."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, px.reshape(h, w, 3)
+
+
+def _decode_ppm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, px = _parse_ppm(bytes(payload))
+            sums = px.astype(np.int64).sum(axis=(0, 1))
+            rows.append(
+                (
+                    int(doc_id), w, h, w * h,
+                    int(sums[0]), int(sums[1]), int(sums[2]),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "n_pixels",
+                "sum_r", "sum_g", "sum_b",
+            ],
+        )
+
+
+def _ppm_channel_sum_sql(c: int) -> str:
+    return (
+        f"CAST(list_sum(flatten(list_transform(range(0, h), y -> "
+        f"list_transform(range(0, w), x -> "
+        f"(doc_id*7 + y*13 + x*5 + {c}*11) % 256)))) AS BIGINT)"
+    )
+
+
+@register(
+    "mm_image_decode",
+    oracle=f"""
+    WITH imgs AS (
+        SELECT doc_id,
+               8 + doc_id % 9 AS w,
+               6 + doc_id % 7 AS h
+        FROM documents WHERE doc_id < {MM_PPM_DOCS}
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS INTEGER) AS n_pixels,
+           {_ppm_channel_sum_sql(0)} AS sum_r,
+           {_ppm_channel_sum_sql(1)} AS sum_g,
+           {_ppm_channel_sum_sql(2)} AS sum_b
+    FROM imgs
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "pipeline", "image"),
+    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+)
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode, second modality: binary PPM (P6) payloads are
+    parsed byte-for-byte (ASCII header tokenizer + numpy pixel-plane
+    decode) inside Arrow-batched mapInPandas, yielding per-image
+    dimensions and exact per-channel pixel sums.
+
+    Integer features on purpose: sums are exact across engines where
+    float means would be ULP-fragile.  Same scale shape as the WAV
+    path: encode and decode are both narrow mapInPandas stages —
+    perfectly partition-parallel, no shuffle until the final
+    presentation sort; at 100 TB the payload column streams through
+    Arrow batches and only the tiny feature rows come out."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    ids = t.documents.select("doc_id").filter(F.col("doc_id") < MM_PPM_DOCS)
+    payloads = ids.mapInPandas(
+        _encode_ppm_batches, schema="doc_id long, payload binary"
+    )
+    return (
+        payloads.mapInPandas(
+            _decode_ppm_batches,
+            schema="doc_id long, width int, height int, n_pixels int, "
+                   "sum_r long, sum_g long, sum_b long",
+        )
+        .orderBy("doc_id")
+    )

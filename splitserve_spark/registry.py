@@ -54,6 +54,13 @@ PRI_PIPELINE = 20
 PRI_CORE = 30
 PRI_DEFAULT = 50
 PRI_NO_ORACLE = 90
+#: Deliberately deferred to the NEXT round's window: registered after
+#: the current round's 50 never-checked names exactly filled the
+#: driver window (displacing the rows-only names that have waited
+#: since round 1 would break the round's verification plan).  These
+#: sort behind every earlier never-checked name and are picked up
+#: first by the following round's rotation.
+PRI_NEXT_WINDOW = 95
 
 import re  # noqa: E402
 

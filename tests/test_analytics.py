@@ -10,7 +10,7 @@ load_all()
 NAMES = sorted(
     n
     for n, s in REGISTRY.items()
-    if n.startswith(("events_", "agg_zscore", "window_equidepth"))
+    if n.startswith(("events_", "agg_zscore", "window_equidepth", "window_session"))
     and s.oracle is not None
 )
 
@@ -81,3 +81,24 @@ def test_bm25_scores_positive_and_sorted(spark):
     out = REGISTRY["text_bm25_search"].fn(spark, SF_DIR).toPandas()
     assert (out["score"] > 0).all()
     assert list(out["score"]) == sorted(out["score"], reverse=True)
+
+
+def test_session_batch_invariants(spark):
+    """Sessions per user are disjoint, ordered, and cover every event
+    exactly once."""
+    from splitserve_spark.tables import Tables
+
+    out = (
+        REGISTRY["window_session_batch"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+    )
+    t = Tables(spark, SF_DIR)
+    assert out["n_events"].sum() == t.events.count()
+    for _, g in out.groupby("user_id"):
+        starts = g["session_start"].tolist()
+        ends = g["session_end"].tolist()
+        # strictly ordered, non-overlapping windows
+        for i in range(1, len(g)):
+            assert starts[i] >= ends[i - 1]

@@ -10,9 +10,11 @@ def test_driver_window_composition():
     )
     w = driver_window()
     assert len(w) == DRIVER_WINDOW
+    from splitserve_spark.registry import PRI_NEXT_WINDOW
     waiting = [
         n for n in ordered_registry()
         if n not in w and n not in _DRIVER_GREEN and REGISTRY[n].oracle
+        and REGISTRY[n].priority < PRI_NEXT_WINDOW
     ]
     greens_in_window = [n for n in w if n in _DRIVER_GREEN]
     assert not (waiting and greens_in_window), (waiting, greens_in_window)
@@ -30,6 +32,7 @@ def test_driver_window_composition():
     never = [
         n for n, s in REGISTRY.items()
         if s.oracle is not None and n not in _DRIVER_VERDICTS
+        and s.priority < PRI_NEXT_WINDOW
     ]
     if len(never) + len(reds) <= DRIVER_WINDOW:
         for name in never:

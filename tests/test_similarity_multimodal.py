@@ -9,7 +9,7 @@ load_all()
 
 ORACLED = [
     "sim_cosine_topk", "sim_cosine_pairs", "sim_norms", "mm_binary_meta",
-    "sim_label_centroid_drift",
+    "sim_label_centroid_drift", "mm_image_decode",
 ]
 
 
@@ -151,3 +151,21 @@ def test_pq_ann_recall(spark):
     assert recall >= 0.5, f"recall {recall:.2f}"
     merged = exact.merge(approx, on=["query_id", "neighbor_id"], suffixes=("_e", "_a"))
     assert (abs(merged["cosine_e"] - merged["cosine_a"]) < 1e-6).all()
+
+
+def test_ppm_parser_rejects_malformed_and_honors_comments(spark):
+    """The PPM decoder is a real parser: it must accept a commented
+    header and reject non-P6 payloads."""
+    import numpy as np
+    import pytest as _pytest
+
+    from splitserve_spark.operators.multimodal import _parse_ppm, _ppm_bytes
+
+    w, h, px = _parse_ppm(b"P6\n# a comment\n2 3\n255\n" + bytes(range(18)))
+    assert (w, h) == (2, 3) and px.shape == (3, 2, 3)
+    with _pytest.raises(ValueError):
+        _parse_ppm(b"P5\n2 3\n255\n" + bytes(18))
+    # Round-trip: generator bytes parse back to the formula's values.
+    w, h, px = _parse_ppm(_ppm_bytes(7))
+    assert px[0, 0, 0] == (7 * 7) % 256
+    assert px[1, 2, 1] == (7 * 7 + 1 * 13 + 2 * 5 + 11) % 256
