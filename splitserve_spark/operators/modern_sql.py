@@ -91,6 +91,8 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    from pyspark.sql import functions as F
+
     from splitserve_spark.session import ensure_parity_conf
     from splitserve_spark.tables import Tables
 
@@ -187,6 +189,8 @@ def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles as the audit the write path needs for metrics."""
     from pyspark.sql import functions as F
 
+    from pyspark.sql import functions as F
+
     from splitserve_spark.session import ensure_parity_conf
     from splitserve_spark.tables import Tables
 
@@ -221,4 +225,54 @@ def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         merged.filter(F.col("c_custkey") % OUT_MOD == 0).orderBy("c_custkey")
+    )
+
+
+@register(
+    "fn_collation",
+    oracle="""
+    WITH mixed AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                    ELSE c_mktsegment END AS seg
+        FROM customer
+    )
+    SELECT count(DISTINCT seg)          AS n_binary_distinct,
+           count(DISTINCT lower(seg))   AS n_lcase_distinct,
+           CAST(sum(CASE WHEN lower(seg) = 'building' THEN 1 ELSE 0 END)
+                AS BIGINT)              AS n_building_ci
+    FROM mixed
+    """,
+    tags=("sql", "modern", "collation"),
+    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4.0, SPARK-46830): UTF8_LCASE makes
+    comparisons, DISTINCT, and equality case-insensitive at the TYPE
+    level — no lower() rewrites scattered through queries.  A
+    mixed-case segment column counts 2× the distinct values under
+    binary collation vs UTF8_LCASE, and a case-insensitive equality
+    matches both case variants.
+
+    The oracle models the collation with explicit lower(); at 100 TB
+    the collated comparison stays whole-stage-codegen'd JVM and
+    hash-aggregates exactly like a binary string — no extra shuffle."""
+    from pyspark.sql import functions as F
+
+    from splitserve_spark.session import ensure_parity_conf
+    from splitserve_spark.tables import Tables
+
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    mixed = t.customer.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment")
+        ).otherwise(F.col("c_mktsegment")).alias("seg")
+    )
+    ci = F.collate(F.col("seg"), "UTF8_LCASE")
+    return mixed.agg(
+        F.count_distinct(F.col("seg")).alias("n_binary_distinct"),
+        F.count_distinct(ci).alias("n_lcase_distinct"),
+        F.sum(
+            (ci == F.lit("building")).cast("int")
+        ).cast("bigint").alias("n_building_ci"),
     )
