@@ -345,3 +345,113 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS INTEGER) AS n_types_seen
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("analytics", "window"),
+    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over a window — per user, how many
+    distinct event types they have produced so far.  Spark's window
+    aggregates reject DISTINCT, so the idiomatic form is
+    size(collect_set(...)) over the frame; the oracle uses DuckDB's
+    native windowed count(DISTINCT), proving the rewrite's semantics.
+
+    The window order is made total (ts, event_id) so running values
+    are deterministic under timestamp ties.  Scale: partitioned by
+    user_id — state per partition is the per-user type set, bounded by
+    |event_type| (5), so the frame never buffers history."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.events.select(
+            "event_id",
+            "user_id",
+            F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
+        )
+        .orderBy("event_id")
+    )
+
+
+#: Top-N co-occurring part pairs reported by the basket analysis.
+BASKET_TOP_N = 20
+
+
+@register(
+    "agg_market_basket",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS support
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY support DESC, part_a, part_b
+    LIMIT {BASKET_TOP_N}
+    """,
+    tags=("analytics", "agg"),
+    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the top-20 part pairs that co-occur
+    in the same order (frequent-itemset support counting, the k=2
+    core of FPGrowth).
+
+    Scale design: NO self-join of the fact table — lines collapse to a
+    per-order sorted part set (one shuffle on orderkey, map-side
+    combinable), pairs expand *inside* each order row (k² only in the
+    per-order basket size, which is bounded), and pair support is a
+    second map-side-combinable groupBy.  This is the same
+    bucket-local pair-expansion discipline as the LSH dedup operator;
+    the oracle uses the classic self-join formulation to prove the
+    rewrite equivalent."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    baskets = (
+        t.lineitem.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("parts"),
+                        lambda a: F.transform(
+                            F.col("parts"),
+                            lambda b: F.struct(
+                                a.alias("part_a"), b.alias("part_b")
+                            ),
+                        ),
+                    )
+                ),
+                lambda s: s["part_a"] < s["part_b"],
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.select("pair.part_a", "pair.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP_N)
+    )

@@ -10,7 +10,8 @@ load_all()
 NAMES = sorted(
     n
     for n, s in REGISTRY.items()
-    if n.startswith(("events_", "agg_zscore", "window_equidepth", "window_session"))
+    if n.startswith(("events_", "agg_zscore", "window_equidepth", "window_session",
+                     "window_running", "agg_market"))
     and s.oracle is not None
 )
 
@@ -102,3 +103,17 @@ def test_session_batch_invariants(spark):
         # strictly ordered, non-overlapping windows
         for i in range(1, len(g)):
             assert starts[i] >= ends[i - 1]
+
+
+def test_market_basket_pairs_ordered_and_supported(spark):
+    out = REGISTRY["agg_market_basket"].fn(spark, SF_DIR).toPandas()
+    assert (out["part_a"] < out["part_b"]).all()
+    assert (out["support"] >= 1).all()
+    assert list(out["support"]) == sorted(out["support"], reverse=True)
+
+
+def test_running_distinct_monotone_per_user(spark):
+    out = (
+        REGISTRY["window_running_distinct"].fn(spark, SF_DIR).toPandas()
+    )
+    assert out["n_types_seen"].between(1, 5).all()
