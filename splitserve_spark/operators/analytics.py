@@ -455,3 +455,85 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "part_a", "part_b")
         .limit(BASKET_TOP_N)
     )
+
+
+#: Robust outlier cut: |x - median| > MAD_K * 1.4826 * MAD (1.4826
+#: scales MAD to the stddev of a normal distribution).
+MAD_K = 3
+MAD_SIGMA = 1.4826
+
+
+@register(
+    "agg_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med_v
+        FROM events GROUP BY event_type
+    ), mad AS (
+        SELECT e.event_type,
+               quantile_cont(abs(e.value - m.med_v), 0.5) AS mad_v
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN abs(e.value - m.med_v)
+                              > {MAD_K} * {MAD_SIGMA} * d.mad_v
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(m.med_v, 6)  AS median_value,
+           round(d.mad_v, 6)  AS mad_value
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    GROUP BY e.event_type, m.med_v, d.mad_v
+    ORDER BY e.event_type
+    """,
+    tags=("analytics", "events", "robust"),
+    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit via median absolute deviation — the
+    z-score twin (`agg_zscore_outliers`) that survives heavy-tailed
+    value distributions, where mean/stddev themselves are dragged by
+    the outliers being hunted.
+
+    Two exact-median passes (value, then |value − median|), each a
+    groupBy(event_type) whose tiny result broadcasts back over the
+    scan — the fact table is read twice but never shuffled on anything
+    wider than event_type.  At 100 TB swap the exact medians for
+    percentile_approx and the shape is unchanged."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med_v")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(
+                F.abs(F.col("value") - F.col("med_v")), F.lit(0.5)
+            ).alias("mad_v")
+        )
+    )
+    dev = F.abs(F.col("value") - F.col("med_v"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_v", "mad_v")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(dev > MAD_K * MAD_SIGMA * F.col("mad_v"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_outliers",
+            F.round("med_v", 6).alias("median_value"),
+            F.round("mad_v", 6).alias("mad_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -394,3 +394,81 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("b", "node")
         )
     return dist.select("node", F.col("dist").cast("int").alias("dist")).orderBy("node")
+
+
+#: Label-propagation iterations (semi-synchronous LPA rounds).
+LPA_ITER = 4
+#: Edge-sample modulus (same sampled component structure as CC).
+LPA_MOD = 20
+
+
+@register(
+    "graph_label_propagation",
+    oracle=None,  # iterative argmax fixpoint — not SQL-expressible;
+    tags=("graph", "community"),  # determinism + invariants in pytest
+    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (GraphX
+    breadth beyond the paper's PageRank; reference
+    `graphx/.../lib/LabelPropagation.scala:41`): every node adopts the
+    most frequent label among its neighbors each round, ties broken by
+    the smaller label — the tie-break makes the rounds fully
+    deterministic (GraphX's hashmap-order tie-break is not).
+
+    Same shuffle discipline as connected components: the symmetrized
+    edge list persists once and is the static side of every iteration;
+    per round, one join moves O(|edges|) (dst, label) messages, one
+    two-key aggregation counts votes, and a per-node argmax
+    (max_by over the vote struct — no window, map-side combinable)
+    picks the winner.  Labels are O(|nodes|) and are never broadcast-
+    hinted, so the planner shuffle-joins at cluster scale."""
+    ensure_parity_conf(spark)
+    _release_prior()
+    t = Tables(spark, sf_dir)
+    edges = (
+        t.orders.filter(F.col("o_orderkey") % LPA_MOD == 0)
+        .join(
+            t.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    sym = _persist_tracked(sym)
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ITER):
+        votes = (
+            sym.join(labels, F.col("b") == F.col("node"))
+            .groupBy("a", "label")
+            .agg(F.count("*").alias("n"))
+        )
+        # argmax with (count desc, label asc) tie-break via min_by on
+        # the orderable struct (-n, label): struct comparison is
+        # lexicographic, so minimizing picks the highest count first,
+        # then the smallest label — no per-node window sort needed,
+        # and min_by is map-side combinable.
+        labels = (
+            votes.groupBy("a")
+            .agg(
+                F.min_by(
+                    F.col("label"),
+                    F.struct((-F.col("n")).alias("nn"), F.col("label")),
+                ).alias("label")
+            )
+            .withColumnRenamed("a", "node")
+        )
+    return (
+        labels.select("node", F.col("label").alias("community"))
+        .orderBy("node")
+    )

