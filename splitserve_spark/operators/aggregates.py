@@ -678,3 +678,39 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.bitmap_count("bm_merged")).alias("n_distinct_cust"))
         .orderBy("o_orderstatus")
     )
+
+
+#: The identical SQL text runs on both engines — FILTER is the
+#: SQL:2003 standard form of conditional aggregation.
+_FILTER_CLAUSE_SQL = """
+SELECT o_orderpriority,
+       count(*)                                            AS n_orders,
+       count(*)    FILTER (WHERE o_orderstatus = 'F')      AS n_finished,
+       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4)
+                                                           AS open_value,
+       round(avg(o_totalprice) FILTER (WHERE o_totalprice > 200000), 4)
+                                                           AS avg_large
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "agg_filter_clause",
+    oracle=_FILTER_CLAUSE_SQL,
+    tags=("agg", "sql"),
+    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 FILTER clause on aggregates (ref
+    `catalyst/expressions/aggregate/interfaces.scala` AggregateExpression
+    filter field): per-aggregate predicates without CASE-WHEN
+    contortions.  The identical SQL text is the oracle.  Planning is
+    unchanged from plain aggregation — the filter evaluates inside the
+    partial agg, so rows are dropped BEFORE the shuffle (map-side), not
+    after."""
+    from splitserve_spark import sql_entry
+
+    ensure_parity_conf(spark)
+    return sql_entry.sql(spark, _FILTER_CLAUSE_SQL, sf_dir)

@@ -20,6 +20,7 @@ partitionColumn/lowerBound/upperBound parallel-scan contract.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -252,4 +253,58 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.length("value")).cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT n_regionkey AS regionkey, count(*) AS n,
+           CAST(sum(CASE WHEN has_comment THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_comment
+    FROM (
+        SELECT n_regionkey, FALSE AS has_comment FROM nation
+        UNION ALL
+        SELECT n_regionkey, TRUE  AS has_comment FROM nation
+    )
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    tags=("source", "parquet", "schema-evolution"),
+    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution via mergeSchema (ref
+    `parquet/ParquetFileFormat.scala` mergeSchemasInParallel): two
+    generations of the same table — the old files lack a column added
+    later — read back as ONE table whose unified schema null-fills the
+    missing column in old files.  The warehouse reality this models:
+    columns get added, history is never rewritten.
+
+    Footer-merge cost is per-FILE metadata, not data; at 100 TB you
+    pay it once per query planning (or amortize with a metastore
+    schema), and old row groups still prune/push down on the columns
+    they have."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    path = _roundtrip_dir(sf_dir, "schevo")
+    shutil.rmtree(path, ignore_errors=True)
+    old_gen = t.nation.select("n_nationkey", "n_regionkey")
+    new_gen = t.nation.select(
+        "n_nationkey", "n_regionkey", F.lit("added-later").alias("n_note")
+    )
+    old_gen.write.mode("overwrite").parquet(os.path.join(path, "gen=0"))
+    new_gen.write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(path)
+    return (
+        merged.groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("n_note").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_with_comment"),
+        )
+        .orderBy("regionkey")
     )

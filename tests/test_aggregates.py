@@ -27,6 +27,7 @@ AGGS = [
     "agg_bitwise",
     "agg_hll_sketch",
     "agg_bitmap_distinct",
+    "agg_filter_clause",
 ]
 
 

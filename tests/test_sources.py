@@ -15,6 +15,7 @@ NAMES = [
     "source_jdbc_roundtrip",
     "source_python_datasource",
     "source_python_stream",
+    "source_schema_evolution",
 ]
 
 
