@@ -537,3 +537,58 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type),
+                 6) AS p
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY from_type, to_type
+    """,
+    tags=("analytics", "events", "sequence"),
+    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (from_type → to_type) pair, the transition
+    count and conditional probability P(to | from).
+
+    The sequence order is total (ts, event_id) so lead() is
+    deterministic under timestamp ties.  Plan: one shuffle on user_id
+    for the lead window, then a 5×5-bounded aggregation; the
+    normalizing sum runs over the tiny aggregated matrix, not the
+    events.  The per-user window state is one row — streamable at any
+    scale."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    wn = Window.partitionBy("from_type")
+    return (
+        counts.select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(wn), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -796,3 +796,77 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Keywords reported per document by TF-IDF extraction.
+KEYWORDS_PER_DOC = 3
+
+
+@register(
+    "text_keyword_tfidf",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w
+    ), df AS (
+        SELECT w, count(*) AS df FROM tf GROUP BY w
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.w,
+               round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln(n.n_docs * 1.0 / df.df) DESC, tf.w
+               ) AS rk
+        FROM tf JOIN df USING (w) CROSS JOIN n
+    )
+    SELECT doc_id, rk AS rank, w AS keyword, tfidf
+    FROM scored
+    WHERE rk <= {KEYWORDS_PER_DOC}
+    ORDER BY doc_id, rank
+    """,
+    tags=("text", "pipeline", "keywords"),
+    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+)
+def text_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: the top-3 most characteristic terms
+    per document — the classic corpus-statistics summarizer (and the
+    feature layer under BM25, kept separate because here the OUTPUT is
+    per-doc keywords, not per-query ranks).
+
+    Plan: one explode → per-(doc, word) tf (map-side combinable), the
+    vocab-sized df table broadcasts back onto tf, and the top-3 cut is
+    a WindowGroupLimit-prunable rank partitioned by doc_id.  Raw text
+    is read once; nothing wider than (doc_id, word) ever shuffles.
+    Ties broken by term so both engines emit identical keyword sets."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    words = t.documents.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = t.documents.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "w",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("raw"),
+        )
+    )
+    wk = Window.partitionBy("doc_id").orderBy(F.col("raw").desc(), "w")
+    return (
+        scored.select(
+            "doc_id",
+            F.row_number().over(wk).alias("rank"),
+            F.col("w").alias("keyword"),
+            F.round("raw", 6).alias("tfidf"),
+        )
+        .filter(F.col("rank") <= KEYWORDS_PER_DOC)
+        .orderBy("doc_id", "rank")
+    )

@@ -319,3 +319,31 @@ def test_pq_ann_broadcasts_codebook_and_lut(spark):
     plan = physical_plan(q("sim_pq_ann", spark))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_aqe_converts_join_and_coalesces_partitions(spark):
+    """Runtime adaptivity evidence (SURVEY §4.2; AQE is the engine's
+    answer to 100 TB statistics drift): a sort-merge-planned join whose
+    build side SHRINKS below the broadcast threshold after a selective
+    filter must be converted to a broadcast join at RUNTIME, and
+    over-partitioned shuffles must be coalesced (AQEShuffleRead)."""
+    from splitserve_spark.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    small = t.orders.filter(F.col("o_totalprice") > 450000).select(
+        "o_orderkey", "o_totalprice"
+    )
+    j = (
+        t.lineitem.join(small, t.lineitem.l_orderkey == small.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    j.collect()
+    plan = _executed_plan(j)
+    assert "isFinalPlan=true" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # runtime SMJ→BHJ conversion
+    assert "AQEShuffleRead" in plan, plan  # runtime partition coalescing
