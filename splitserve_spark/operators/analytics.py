@@ -592,3 +592,84 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+#: Quantile buckets per RFM dimension (quintiles are the classic cut).
+RFM_BUCKETS = 5
+#: Reference date for recency (the corpus's last order date + 1 day).
+RFM_ASOF = "1998-08-03"
+
+
+@register(
+    "agg_rfm_segmentation",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               datediff('day', CAST(max(o_orderdate) AS DATE),
+                        DATE '{RFM_ASOF}')      AS recency_days,
+               count(*)                          AS frequency,
+               round(sum(o_totalprice), 2)       AS monetary
+        FROM orders
+        GROUP BY o_custkey
+    ), scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary,
+               ntile({RFM_BUCKETS}) OVER (ORDER BY recency_days DESC, o_custkey)
+                   AS r_score,
+               ntile({RFM_BUCKETS}) OVER (ORDER BY frequency, o_custkey)
+                   AS f_score,
+               ntile({RFM_BUCKETS}) OVER (ORDER BY monetary, o_custkey)
+                   AS m_score
+        FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           round(avg(monetary), 4) AS avg_monetary
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    tags=("analytics", "segmentation"),
+    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored into quintiles on
+    Recency (days since last order), Frequency (order count) and
+    Monetary (total spend), reported as the segment-cell census — the
+    classic CRM cube.
+
+    ntile orders carry a unique tiebreak (custkey) so bucket edges are
+    deterministic.  Plan note: the three unpartitioned ntiles are
+    single-reducer global sorts over the PER-CUSTOMER rollup (already
+    |customers|, not |orders|); at 100 TB swap them for approxQuantile
+    cut-points broadcast onto the rollup — same outputs, no global
+    sort — the exact trade documented on the equi-depth histogram."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    per_cust = t.orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ASOF).cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = per_cust.select(
+        "monetary",
+        F.ntile(RFM_BUCKETS)
+        .over(Window.orderBy(F.col("recency_days").desc(), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(RFM_BUCKETS)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .alias("f_score"),
+        F.ntile(RFM_BUCKETS)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -800,3 +800,101 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# --- Dimension-truncation (matryoshka) diagnostics ------------------------
+
+#: Prefix length for the truncated-embedding ranking comparison.
+TRUNC_DIM = 16
+
+
+@register(
+    "sim_truncation_recall",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < {N_QUERIES}
+    ), full_rank AS (
+        SELECT q.query_id, b.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qv, b.v)
+                            / (sqrt(list_dot_product(q.qv, q.qv))
+                               * sqrt(list_dot_product(b.v, b.v))) DESC,
+                            b.vec_id
+               ) AS rk
+        FROM q JOIN base b ON b.vec_id != q.query_id
+    ), trunc_rank AS (
+        SELECT q.query_id, b.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qv[1:{TRUNC_DIM}], b.v[1:{TRUNC_DIM}])
+                            / (sqrt(list_dot_product(q.qv[1:{TRUNC_DIM}],
+                                                     q.qv[1:{TRUNC_DIM}]))
+                               * sqrt(list_dot_product(b.v[1:{TRUNC_DIM}],
+                                                       b.v[1:{TRUNC_DIM}]))) DESC,
+                            b.vec_id
+               ) AS rk
+        FROM q JOIN base b ON b.vec_id != q.query_id
+    )
+    SELECT f.query_id,
+           CAST(count(*) AS INTEGER) AS n_overlap
+    FROM full_rank f JOIN trunc_rank t
+      ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+    WHERE f.rk <= {TOP_K} AND t.rk <= {TOP_K}
+    GROUP BY f.query_id
+    ORDER BY f.query_id
+    """,
+    tags=("similarity", "pipeline", "diagnostics"),
+    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+)
+def sim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation diagnostic: how many of
+    each query's full-dimension top-k neighbors survive when ranking
+    with only the first {TRUNC_DIM} of 64 dimensions — the
+    retrieval-quality measurement behind serving truncated embeddings
+    (MRL).  Output is the per-query overlap@k count, an exact integer.
+
+    Both rankings reuse the brute-force top-k shape: query set
+    broadcasts, per-query rank is a WindowGroupLimit-prunable
+    row_number.  The truncated pass reads the SAME vector column and
+    slices in-expression — no second embedding table, which is the
+    point: at 100 TB you evaluate truncation candidates without
+    re-materializing the corpus."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    base = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def ranked(vec_expr_q, vec_expr_b, name):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), "vec_id"
+        )
+        return (
+            base.join(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                _cosine(vec_expr_q, vec_expr_b).alias("cosine"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "vec_id")
+        )
+
+    full = ranked(F.col("qv"), F.col("v"), "full")
+    trunc = ranked(
+        F.slice(F.col("qv"), 1, TRUNC_DIM),
+        F.slice(F.col("v"), 1, TRUNC_DIM),
+        "trunc",
+    )
+    return (
+        full.join(trunc, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("int").alias("n_overlap"))
+        .orderBy("query_id")
+    )

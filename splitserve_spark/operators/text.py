@@ -870,3 +870,71 @@ def text_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= KEYWORDS_PER_DOC)
         .orderBy("doc_id", "rank")
     )
+
+
+#: Overlapping-window chunking: CHUNK_SIZE-word windows that slide by
+#: CHUNK_STRIDE (CHUNK_SIZE - CHUNK_STRIDE words of overlap) — the RAG
+#: / pretraining context-window prep shape.
+CHUNK_SIZE = 20
+CHUNK_STRIDE = 15
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH ws AS (
+        SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+        FROM documents
+    ), idx AS (
+        SELECT doc_id, w,
+               unnest(range(0, greatest(len(w) - {CHUNK_SIZE - CHUNK_STRIDE}, 1),
+                            {CHUNK_STRIDE})) AS start
+        FROM ws
+    )
+    SELECT doc_id,
+           CAST(start / {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           array_to_string(w[start + 1 : start + {CHUNK_SIZE}], ' ') AS chunk,
+           CAST(len(w[start + 1 : start + {CHUNK_SIZE}]) AS INTEGER) AS n_words
+    FROM idx
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("text", "pipeline", "chunking"),
+    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking, entirely in JVM built-ins —
+    the fast-path twin of `udtf_chunk_text` (which does non-overlapping
+    chunks through a Python UDTF): sequence() generates the window
+    starts, slice() cuts each window, explode emits one row per chunk.
+    No Python boundary, so at 100 TB this is whole-stage-codegen over
+    the scan with output ~len/stride rows per doc — the discipline the
+    module docstring preaches: reach for the UDTF only when built-ins
+    can't express the expansion.
+
+    Window starts step by {CHUNK_STRIDE} while windows span
+    {CHUNK_SIZE} words, so consecutive chunks share
+    {CHUNK_SIZE - CHUNK_STRIDE} words; the final start is the last one
+    that still begins a new (possibly short) window."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    w = _words(F.col("text"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(w) - F.lit(CHUNK_SIZE - CHUNK_STRIDE + 1), F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunked = t.documents.select(
+        "doc_id",
+        w.alias("w"),
+        F.explode(starts).alias("start"),
+    )
+    sl = F.slice(F.col("w"), F.col("start") + 1, CHUNK_SIZE)
+    return (
+        chunked.select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.array_join(sl, " ").alias("chunk"),
+            F.size(sl).alias("n_words"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
