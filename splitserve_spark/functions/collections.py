@@ -344,3 +344,39 @@ def fn_array_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lines", "qtys", lambda a, b: F.round(a.cast("double") * b, 2)
         )).alias("weighted"),
     ).orderBy("l_orderkey")
+
+
+@register(
+    "fn_explode_map",
+    oracle="""
+    SELECT n_nationkey,
+           e['key']   AS k,
+           e['value'] AS v
+    FROM (
+        SELECT n_nationkey,
+               map(['name', 'region'],
+                   [n_name, 'R' || CAST(n_regionkey AS VARCHAR)]) AS m
+        FROM nation
+    ), LATERAL unnest(map_entries(m)) AS t(e)
+    ORDER BY n_nationkey, k
+    """,
+    tags=("collection", "generator", "map"),
+    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+)
+def fn_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode() over a MAP column (ref `generators.scala` Explode:160
+    — the map branch emits key/value columns, not a single element
+    column): each nation's attribute map flattens to (key, value)
+    rows.  The EAV un-nesting every metadata pipeline needs; generator
+    output stays whole-stage-codegen'd JVM."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("region"), F.concat(F.lit("R"), F.col("n_regionkey").cast("string")),
+    )
+    return (
+        t.nation.select("n_nationkey", m.alias("m"))
+        .select("n_nationkey", F.explode("m").alias("k", "v"))
+        .orderBy("n_nationkey", "k")
+    )

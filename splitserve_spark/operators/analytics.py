@@ -673,3 +673,93 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+#: Conversion deadline for the windowed funnel (days between stages).
+FUNNEL_WINDOW_DAYS = 7
+
+
+@register(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t_view
+          AND e.ts <= s1.t_view + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+          AND e.ts <= s2.t_click + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+        GROUP BY e.user_id
+    )
+    SELECT 'view'     AS stage, 1 AS stage_idx, count(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 'click'    AS stage, 2 AS stage_idx, count(*) AS n_users FROM s2
+    UNION ALL
+    SELECT 'purchase' AS stage, 3 AS stage_idx, count(*) AS n_users FROM s3
+    ORDER BY stage_idx
+    """,
+    tags=("analytics", "events"),
+    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deadline-bounded funnel: each stage must convert within
+    {FUNNEL_WINDOW_DAYS} days of the previous stage's conversion —
+    how real funnel metrics are defined (an unbounded funnel
+    overcounts users who "converted" months later).
+
+    Identical plan shape to `events_funnel` (three chained
+    groupBy(user_id) + same-key joins); the deadline is a pure filter,
+    so the bound also CAPS join state in a streaming deployment — the
+    batch twin of the interval-bounded stream-stream attribution
+    join."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", "ts")
+    deadline = F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAYS")
+
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + deadline)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + deadline)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage_count(df: DataFrame, name: str, idx: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(idx).alias("stage_idx"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        stage_count(s1, "view", 1)
+        .unionAll(stage_count(s2, "click", 2))
+        .unionAll(stage_count(s3, "purchase", 3))
+        .orderBy("stage_idx")
+    )

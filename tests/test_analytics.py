@@ -117,3 +117,13 @@ def test_running_distinct_monotone_per_user(spark):
         REGISTRY["window_running_distinct"].fn(spark, SF_DIR).toPandas()
     )
     assert out["n_types_seen"].between(1, 5).all()
+
+
+def test_windowed_funnel_never_exceeds_unbounded(spark):
+    """A deadline can only lose conversions vs the unbounded funnel."""
+    unb = REGISTRY["events_funnel"].fn(spark, SF_DIR).toPandas()
+    win = REGISTRY["events_funnel_windowed"].fn(spark, SF_DIR).toPandas()
+    for stage in ("view", "click", "purchase"):
+        u = int(unb.loc[unb["stage"] == stage, "n_users"].iloc[0])
+        w = int(win.loc[win["stage"] == stage, "n_users"].iloc[0])
+        assert w <= u
