@@ -347,3 +347,23 @@ def test_aqe_converts_join_and_coalesces_partitions(spark):
     assert "isFinalPlan=true" in plan, plan
     assert "BroadcastHashJoin" in plan, plan  # runtime SMJ→BHJ conversion
     assert "AQEShuffleRead" in plan, plan  # runtime partition coalescing
+
+
+def test_tfidf_df_table_broadcasts(spark):
+    """TF-IDF's document-frequency table and corpus-size row must
+    broadcast onto the per-(doc, word) counts — the exploded corpus
+    never shuffles against the vocabulary."""
+    plan = physical_plan(q("text_keyword_tfidf", spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_chunk_overlap_is_shuffle_free_codegen(spark):
+    """Overlapping chunking must be a pure generate/project pipeline:
+    zero hash exchanges (the only exchange is the presentation sort)
+    and no Python evaluation."""
+    df = q("text_chunk_overlap", spark)
+    plan = physical_plan(df)
+    assert "Generate" in plan, plan  # the explode
+    assert "Python" not in plan, plan  # fast-path twin of the UDTF
+    assert count_exchanges(df) <= 1, plan  # orderBy only
