@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from splitserve_spark.registry import register
+from splitserve_spark.registry import PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -361,7 +361,7 @@ def fn_array_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n_nationkey, k
     """,
     tags=("collection", "generator", "map"),
-    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def fn_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode() over a MAP column (ref `generators.scala` Explode:160

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from splitserve_spark.registry import register
+from splitserve_spark.registry import PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -281,7 +281,7 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     tags=("string", "xml"),
-    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XPath extraction over XML strings (ref `xml/xpath.scala`

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from splitserve_spark.registry import register
+from splitserve_spark.registry import PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -700,7 +700,7 @@ ORDER BY o_orderpriority
     "agg_filter_clause",
     oracle=_FILTER_CLAUSE_SQL,
     tags=("agg", "sql"),
-    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL:2003 FILTER clause on aggregates (ref

@@ -16,13 +16,64 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from splitserve_spark.registry import register
+from splitserve_spark.registry import PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
 #: Ordered funnel stages: a user "converts" stage N only with an event
 #: of that type strictly after their first stage-N-1 conversion.
 FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+
+def _funnel_stages(t, deadline=None):
+    """The three-stage view→click→purchase funnel chain.  With a
+    deadline column-interval, stages 2/3 additionally require
+    conversion within that interval of the previous stage."""
+    ev = t.events.select("user_id", "event_type", "ts")
+
+    def within(prev_col):
+        cond = F.col("ts") > F.col(prev_col)
+        if deadline is not None:
+            cond = cond & (F.col("ts") <= F.col(prev_col) + deadline)
+        return cond
+
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(within("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(within("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return s1, s2, s3
+
+
+def _stage_counts(s1, s2, s3):
+    def stage_count(df, name, idx):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(idx).alias("stage_idx"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        stage_count(s1, "view", 1)
+        .unionAll(stage_count(s2, "click", 2))
+        .unionAll(stage_count(s3, "purchase", 3))
+        .orderBy("stage_idx")
+    )
 
 
 @register(
@@ -63,42 +114,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregation; funnel itself is beyond-parity.)
     """
     ensure_parity_conf(spark)
-    t = Tables(spark, sf_dir)
-    ev = t.events.select("user_id", "event_type", "ts")
-
-    s1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-
-    def stage_count(df: DataFrame, name: str, idx: int) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("stage"),
-            F.lit(idx).alias("stage_idx"),
-            F.count("*").alias("n_users"),
-        )
-
-    return (
-        stage_count(s1, "view", 1)
-        .unionAll(stage_count(s2, "click", 2))
-        .unionAll(stage_count(s3, "purchase", 3))
-        .orderBy("stage_idx")
-    )
+    return _stage_counts(*_funnel_stages(Tables(spark, sf_dir)))
 
 
 #: Retention horizon (days after a user's cohort day) kept in the
@@ -287,8 +303,11 @@ SESSION_GAP_HOURS = 24
     oracle=f"""
     WITH seq AS (
         SELECT user_id, ts, value,
+               -- >= : Spark session windows are half-open
+               -- [start, last + gap); an event at exactly the gap
+               -- boundary opens a NEW session.
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         > INTERVAL {SESSION_GAP_HOURS} HOUR
+                         >= INTERVAL {SESSION_GAP_HOURS} HOUR
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS boundary
         FROM events
@@ -310,7 +329,7 @@ SESSION_GAP_HOURS = 24
     ORDER BY user_id, session_start
     """,
     tags=("analytics", "events", "session"),
-    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window aggregation in BATCH mode (ref streaming
@@ -359,7 +378,7 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_id
     """,
     tags=("analytics", "window"),
-    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running DISTINCT count over a window — per user, how many
@@ -408,7 +427,7 @@ BASKET_TOP_N = 20
     LIMIT {BASKET_TOP_N}
     """,
     tags=("analytics", "agg"),
-    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: the top-20 part pairs that co-occur
@@ -489,7 +508,7 @@ MAD_SIGMA = 1.4826
     ORDER BY e.event_type
     """,
     tags=("analytics", "events", "robust"),
-    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier audit via median absolute deviation — the
@@ -559,7 +578,7 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY from_type, to_type
     """,
     tags=("analytics", "events", "sequence"),
-    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
@@ -629,7 +648,7 @@ RFM_ASOF = "1998-08-03"
     ORDER BY r_score, f_score, m_score
     """,
     tags=("analytics", "segmentation"),
-    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: every customer scored into quintiles on
@@ -706,7 +725,7 @@ FUNNEL_WINDOW_DAYS = 7
     ORDER BY stage_idx
     """,
     tags=("analytics", "events"),
-    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deadline-bounded funnel: each stage must convert within
@@ -720,46 +739,7 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin of the interval-bounded stream-stream attribution
     join."""
     ensure_parity_conf(spark)
-    t = Tables(spark, sf_dir)
-    ev = t.events.select("user_id", "event_type", "ts")
     deadline = F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAYS")
-
-    s1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t_view"))
-            & (F.col("ts") <= F.col("t_view") + deadline)
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t_click"))
-            & (F.col("ts") <= F.col("t_click") + deadline)
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-
-    def stage_count(df: DataFrame, name: str, idx: int) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("stage"),
-            F.lit(idx).alias("stage_idx"),
-            F.count("*").alias("n_users"),
-        )
-
-    return (
-        stage_count(s1, "view", 1)
-        .unionAll(stage_count(s2, "click", 2))
-        .unionAll(stage_count(s3, "purchase", 3))
-        .orderBy("stage_idx")
+    return _stage_counts(
+        *_funnel_stages(Tables(spark, sf_dir), deadline=deadline)
     )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from splitserve_spark.registry import register
+from splitserve_spark.registry import PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -406,7 +406,7 @@ LPA_MOD = 20
     "graph_label_propagation",
     oracle=None,  # iterative argmax fixpoint — not SQL-expressible;
     tags=("graph", "community"),  # determinism + invariants in pytest
-    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronous label propagation (GraphX

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from splitserve_spark import sql_entry
-from splitserve_spark.registry import register
+from splitserve_spark.registry import PRI_NEXT_WINDOW, register
 
 #: Binary-heap parent edge over nation keys: parent(k) = (k-1) div 2.
 #: A deterministic 25-node hierarchy derived from TESTDATA, so both
@@ -89,8 +89,6 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type.  Oracle: DuckDB json_extract, sums pinned to BIGINT
     (HUGEINT dtype hazard, VERDICT r2 item 1).
     """
-    from pyspark.sql import functions as F
-
     from pyspark.sql import functions as F
 
     from splitserve_spark.session import ensure_parity_conf
@@ -189,8 +187,6 @@ def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles as the audit the write path needs for metrics."""
     from pyspark.sql import functions as F
 
-    from pyspark.sql import functions as F
-
     from splitserve_spark.session import ensure_parity_conf
     from splitserve_spark.tables import Tables
 
@@ -243,7 +239,7 @@ def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM mixed
     """,
     tags=("sql", "modern", "collation"),
-    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String collations (Spark 4.0, SPARK-46830): UTF8_LCASE makes

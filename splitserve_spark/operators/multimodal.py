@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from splitserve_spark.registry import register
+from splitserve_spark.registry import PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -359,22 +359,29 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
     malformed bytes — production behavior, not a stub."""
     if payload[:2] != b"P6":
         raise ValueError("not a binary PPM")
+    end = len(payload)
     pos, tokens = 2, []
     while len(tokens) < 3:
-        while payload[pos : pos + 1].isspace():
+        while pos < end and payload[pos : pos + 1].isspace():
             pos += 1
+        if pos >= end:
+            raise ValueError("truncated PPM header")
         if payload[pos : pos + 1] == b"#":  # comment to end of line
-            while payload[pos : pos + 1] not in (b"\n", b""):
+            while pos < end and payload[pos : pos + 1] != b"\n":
                 pos += 1
             continue
         start = pos
-        while not payload[pos : pos + 1].isspace():
+        while pos < end and not payload[pos : pos + 1].isspace():
             pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header token")
         tokens.append(int(payload[start:pos]))
     pos += 1  # the single whitespace after maxval
     w, h, maxval = tokens
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval}")
+    if end - pos < w * h * 3:
+        raise ValueError("truncated PPM pixel data")
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return w, h, px.reshape(h, w, 3)
 
@@ -428,7 +435,7 @@ def _ppm_channel_sum_sql(c: int) -> str:
     ORDER BY doc_id
     """,
     tags=("multimodal", "pipeline", "image"),
-    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image decode, second modality: binary PPM (P6) payloads are

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from splitserve_spark.registry import register
+from splitserve_spark.registry import PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -847,7 +847,7 @@ TRUNC_DIM = 16
     ORDER BY f.query_id
     """,
     tags=("similarity", "pipeline", "diagnostics"),
-    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def sim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style dimension-truncation diagnostic: how many of
@@ -869,7 +869,7 @@ def sim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
 
-    def ranked(vec_expr_q, vec_expr_b, name):
+    def ranked(vec_expr_q, vec_expr_b):
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), "vec_id"
         )
@@ -886,11 +886,10 @@ def sim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id")
         )
 
-    full = ranked(F.col("qv"), F.col("v"), "full")
+    full = ranked(F.col("qv"), F.col("v"))
     trunc = ranked(
         F.slice(F.col("qv"), 1, TRUNC_DIM),
         F.slice(F.col("v"), 1, TRUNC_DIM),
-        "trunc",
     )
     return (
         full.join(trunc, ["query_id", "vec_id"])

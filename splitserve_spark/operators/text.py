@@ -18,7 +18,7 @@ from splitserve_spark.functions.parity_hash import (
     md5_hash60,
     md5_hash60_sql,
 )
-from splitserve_spark.registry import register
+from splitserve_spark.registry import PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -829,7 +829,7 @@ KEYWORDS_PER_DOC = 3
     ORDER BY doc_id, rank
     """,
     tags=("text", "pipeline", "keywords"),
-    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def text_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction: the top-3 most characteristic terms
@@ -899,7 +899,7 @@ CHUNK_STRIDE = 15
     ORDER BY doc_id, chunk_idx
     """,
     tags=("text", "pipeline", "chunking"),
-    priority=95,  # PRI_NEXT_WINDOW — current round's window is full
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping context-window chunking, entirely in JVM built-ins —

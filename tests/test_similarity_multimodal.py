@@ -169,3 +169,14 @@ def test_ppm_parser_rejects_malformed_and_honors_comments(spark):
     w, h, px = _parse_ppm(_ppm_bytes(7))
     assert px[0, 0, 0] == (7 * 7) % 256
     assert px[1, 2, 1] == (7 * 7 + 1 * 13 + 2 * 5 + 11) % 256
+
+
+def test_ppm_parser_raises_on_truncation(spark):
+    """Truncated header or pixel data must raise, never loop."""
+    import pytest as _pytest
+
+    from splitserve_spark.operators.multimodal import _parse_ppm
+
+    for bad in (b"P6\n2 3", b"P6\n", b"P6\n2 3\n255\n" + bytes(5)):
+        with _pytest.raises(ValueError):
+            _parse_ppm(bad)
