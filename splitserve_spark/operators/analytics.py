@@ -743,3 +743,76 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stage_counts(
         *_funnel_stages(Tables(spark, sf_dir), deadline=deadline)
     )
+
+
+@register(
+    "window_pareto_share",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT o_custkey, revenue,
+               row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rk,
+               sum(revenue) OVER (
+                   ORDER BY revenue DESC, o_custkey
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_revenue,
+               sum(revenue) OVER () AS total_revenue,
+               count(*) OVER () AS n_cust
+        FROM per_cust
+    )
+    SELECT rk, o_custkey, revenue,
+           round(cum_revenue / total_revenue, 6) AS cum_share,
+           round(rk * 1.0 / n_cust, 6)           AS cust_frac
+    FROM ranked
+    WHERE cum_revenue / total_revenue <= 0.5
+       OR rk = 1
+    ORDER BY rk
+    """,
+    tags=("analytics", "window"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def window_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration curve: the smallest set of customers whose
+    cumulative revenue reaches 50% of the total — "what fraction of
+    customers drives half the business".  Output is one row per
+    customer inside the 50% set with their cumulative share and the
+    running customer fraction.
+
+    The running sum is an unpartitioned window over the PER-CUSTOMER
+    rollup (|customers| rows, not |orders|); the same
+    global-sort-ceiling note as the equi-depth histogram applies, and
+    the same approxQuantile swap fixes it at extreme scale."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    per_cust = t.orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w_run = (
+        Window.orderBy(F.col("revenue").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    ranked = per_cust.select(
+        "o_custkey",
+        "revenue",
+        F.row_number()
+        .over(Window.orderBy(F.col("revenue").desc(), "o_custkey"))
+        .alias("rk"),
+        F.sum("revenue").over(w_run).alias("cum_revenue"),
+        F.sum("revenue").over(w_all).alias("total_revenue"),
+        F.count("*").over(w_all).alias("n_cust"),
+    )
+    share = F.col("cum_revenue") / F.col("total_revenue")
+    return (
+        ranked.filter((share <= 0.5) | (F.col("rk") == 1))
+        .select(
+            "rk",
+            "o_custkey",
+            "revenue",
+            F.round(share, 6).alias("cum_share"),
+            F.round(F.col("rk") / F.col("n_cust"), 6).alias("cust_frac"),
+        )
+        .orderBy("rk")
+    )

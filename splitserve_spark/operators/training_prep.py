@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from splitserve_spark.registry import register
+from splitserve_spark.registry import PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -542,4 +542,143 @@ def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents.select("source", "doc_id", rn.alias("rn"))
         .filter(F.col("rn") <= STRAT_K)
         .orderBy("source", "rn")
+    )
+
+
+#: Temperature exponent for source re-weighting (the multilingual-LM
+#: convention: p_s ∝ n_s^alpha flattens the source distribution).
+MIX_TEMPERATURE_ALPHA = 0.3
+
+
+@register(
+    "mix_temperature_weights",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), powered AS (
+        SELECT source, n_docs,
+               pow(n_docs, {MIX_TEMPERATURE_ALPHA}) AS raw_w
+        FROM counts
+    )
+    SELECT source, n_docs,
+           round(raw_w / sum(raw_w) OVER (), 8)          AS sample_prob,
+           round(raw_w / sum(raw_w) OVER ()
+                 / (n_docs * 1.0 / sum(n_docs) OVER ()), 6) AS upweight
+    FROM powered
+    ORDER BY source
+    """,
+    tags=("pipeline", "mixing"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (p_s ∝ n_s^α, α=0.3 — the
+    multilingual-LM sampling convention): per source, the re-scaled
+    sampling probability and its up/down-weight factor vs the natural
+    frequency.  α→0 flattens toward uniform, α=1 keeps natural
+    proportions; the factor column is what a sampler multiplies into
+    per-document weights.
+
+    One groupBy(source) makes the table O(|sources|); the window
+    normalizations run over that tiny aggregate, never the corpus."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    counts = t.documents.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w_all = Window.partitionBy()
+    raw_w = F.pow(F.col("n_docs"), F.lit(MIX_TEMPERATURE_ALPHA))
+    nat = F.col("n_docs") / F.sum("n_docs").over(w_all)
+    prob = raw_w / F.sum(raw_w).over(w_all)
+    return (
+        counts.select(
+            "source",
+            "n_docs",
+            F.round(prob, 8).alias("sample_prob"),
+            F.round(prob / nat, 6).alias("upweight"),
+        )
+        .orderBy("source")
+    )
+
+
+#: PII regexes shared by the Spark detector and the DuckDB oracle
+#: (RE2/Java-compatible subset: no lookaround).
+PII_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+"
+PII_PHONE_RE = "555-[0-9]{4}"
+
+
+@register(
+    "pii_detect_stats",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, source,
+               text ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                             4, '0')
+                    ELSE '' END AS text2
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN regexp_matches(text2, '{PII_EMAIL_RE}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_email,
+           CAST(sum(CASE WHEN regexp_matches(text2, '{PII_PHONE_RE}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_phone,
+           CAST(sum(len(regexp_extract_all(text2, '{PII_EMAIL_RE}')))
+                AS BIGINT) AS total_emails
+    FROM aug
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline", "privacy", "text"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def pii_detect_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection audit — the measurement half of the privacy
+    pipeline (pii_pseudonymize is the remediation half): per source,
+    how many documents contain email/phone-shaped spans and the total
+    span count.  The corpus has no real PII, so deterministic
+    synthetic spans are injected first (doc_id-keyed, like the URL and
+    XML synthesizers) — the DETECTOR only sees the text.
+
+    Pure regexp projections + one map-side-combinable rollup; the
+    regexes avoid lookaround so Java and RE2-style engines agree.  At
+    100 TB this is the scan-side audit you run before and after the
+    pseudonymization rewrite."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    text2 = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    aug = t.documents.select("doc_id", "source", text2.alias("text2"))
+    has_email = F.regexp_count("text2", F.lit(PII_EMAIL_RE)) > 0
+    has_phone = F.regexp_count("text2", F.lit(PII_PHONE_RE)) > 0
+    return (
+        aug.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(has_email.cast("int")).cast("bigint").alias("n_with_email"),
+            F.sum(has_phone.cast("int")).cast("bigint").alias("n_with_phone"),
+            F.sum(F.regexp_count("text2", F.lit(PII_EMAIL_RE)))
+            .cast("bigint")
+            .alias("total_emails"),
+        )
+        .orderBy("source")
     )

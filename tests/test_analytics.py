@@ -11,7 +11,7 @@ NAMES = sorted(
     n
     for n, s in REGISTRY.items()
     if n.startswith(("events_", "agg_zscore", "window_equidepth", "window_session",
-                     "window_running", "agg_market", "agg_mad", "agg_rfm"))
+                     "window_running", "agg_market", "agg_mad", "agg_rfm", "window_pareto"))
     and s.oracle is not None
 )
 

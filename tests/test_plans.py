@@ -367,3 +367,28 @@ def test_chunk_overlap_is_shuffle_free_codegen(spark):
     assert "Generate" in plan, plan  # the explode
     assert "Python" not in plan, plan  # fast-path twin of the UDTF
     assert count_exchanges(df) <= 1, plan  # orderBy only
+
+
+def test_dynamic_partition_pruning_engages(spark, tmp_path):
+    """DPP (SURVEY §4.2; `execution/dynamicpruning/`): joining a
+    nationkey-partitioned fact against a filtered dimension must
+    inject a dynamicpruning subquery into the fact scan, so only the
+    matching partition directories are read — the runtime twin of
+    static partition pruning, and the difference between reading 1/25
+    and 25/25 of a 100 TB fact table."""
+    from splitserve_spark.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    path = str(tmp_path / "dpp_fact")
+    fact = (
+        t.orders.join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_nationkey")
+    )
+    fact.write.mode("overwrite").partitionBy("c_nationkey").parquet(path)
+    pf = spark.read.parquet(path)
+    dim = t.nation.filter(F.col("n_name") == "NATION_3")
+    j = pf.join(dim, pf.c_nationkey == dim.n_nationkey).agg(
+        F.sum("o_totalprice").alias("s")
+    )
+    plan = _executed_plan(j)
+    assert "dynamicpruning" in plan.lower(), plan

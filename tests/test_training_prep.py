@@ -82,7 +82,7 @@ def test_mix_quota_has_window_group_limit(spark):
 
 MANIFEST_ORACLED = [
     "split_train_eval", "filter_reason_codes", "mix_importance_weights",
-    "text_token_histogram",
+    "text_token_histogram", "mix_temperature_weights", "pii_detect_stats",
 ]
 
 
@@ -124,3 +124,16 @@ def test_token_histogram_covers_corpus(spark):
     ).fetchone()[0]
     assert out["n_docs"].sum() == n
     assert (out["bin_lo"] % 10 == 0).all()
+
+
+def test_temperature_weights_normalize_and_flatten(spark):
+    """Sampling probabilities sum to 1 and alpha<1 pulls every source
+    toward uniform (upweight >= 1 for below-average sources)."""
+    import math
+
+    out = REGISTRY["mix_temperature_weights"].fn(spark, SF_DIR).toPandas()
+    assert math.isclose(out["sample_prob"].sum(), 1.0, abs_tol=1e-6)
+    mean_n = out["n_docs"].mean()
+    small = out[out["n_docs"] < mean_n]
+    if len(small):
+        assert (small["upweight"] >= 1.0 - 1e-9).all()
