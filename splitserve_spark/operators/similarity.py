@@ -897,3 +897,101 @@ def sim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("int").alias("n_overlap"))
         .orderBy("query_id")
     )
+
+
+@register(
+    "sim_centroid_classifier",
+    oracle="""
+    WITH comps AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings
+    ), centroids AS (
+        SELECT label AS c_label, pos, avg(x) AS c
+        FROM comps GROUP BY label, pos
+    ), dists AS (
+        SELECT comps.vec_id, comps.label, centroids.c_label,
+               sum((comps.x - centroids.c) * (comps.x - centroids.c)) AS d2
+        FROM comps JOIN centroids ON comps.pos = centroids.pos
+        GROUP BY comps.vec_id, comps.label, centroids.c_label
+    ), assigned AS (
+        SELECT vec_id, label, c_label AS predicted
+        FROM dists
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2, c_label
+        ) = 1
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           CAST(sum(CASE WHEN predicted = label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN predicted = label THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS accuracy
+    FROM assigned
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("similarity", "pipeline", "ml-eval"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def sim_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification eval (Rocchio): per-label
+    centroids from the labeled embeddings, every vector re-assigned to
+    its nearest centroid, per-label accuracy reported — the standard
+    embedding-quality probe (random synthetic vectors sit near chance;
+    clustered real embeddings score high, and a DROP in this metric is
+    the regression alarm in an embedding pipeline).
+
+    Plan: centroid update reuses the IVF posexplode → groupBy(label,
+    pos) shape; assignment is a broadcast argmin over the K=10
+    centroid rows via min_by on the (distance, label) struct — no
+    window, map-side combinable; the confusion rollup is O(K).  The
+    oracle replays it with generate_subscripts/unnest (DuckDB lacks
+    WITH ORDINALITY)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    base = t.embeddings.select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    centroids = (
+        base.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy(F.col("label").alias("c_label"), F.col("pos"))
+        .agg(F.avg("x").alias("c"))
+        .groupBy("c_label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("c_label", F.transform("pc", lambda s: s["c"]).alias("cv"))
+    )
+
+    def _l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    assigned = (
+        base.join(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            _l2sq(F.col("v"), F.col("cv")).alias("d2"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min_by(
+                F.col("c_label"), F.struct(F.col("d2"), F.col("c_label"))
+            ).alias("predicted")
+        )
+    )
+    correct = (F.col("predicted") == F.col("label")).cast("int")
+    return (
+        assigned.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(correct).cast("bigint").alias("n_correct"),
+            F.round(F.sum(correct) / F.count("*"), 6).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
