@@ -816,3 +816,90 @@ def window_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+#: Bot heuristics: flag users whose busiest hour exceeds BOT_MAX_PER_H
+#: events, or whose median inter-event gap is under BOT_MIN_GAP_MIN.
+BOT_MAX_PER_H = 4
+BOT_MIN_GAP_MIN = 90
+
+
+@register(
+    "events_bot_detection",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT user_id, count(*) AS n_in_hour
+        FROM events
+        GROUP BY user_id, date_trunc('hour', ts)
+    ), burst AS (
+        SELECT user_id, max(n_in_hour) AS max_per_hour
+        FROM hourly GROUP BY user_id
+    ), gaps AS (
+        SELECT user_id,
+               epoch(ts - lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) / 60.0
+                   AS gap_min
+        FROM events
+    ), gapstats AS (
+        SELECT user_id,
+               quantile_cont(gap_min, 0.5) AS median_gap_min
+        FROM gaps WHERE gap_min IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT b.user_id, b.max_per_hour,
+           round(g.median_gap_min, 4) AS median_gap_min,
+           CAST(b.max_per_hour > {BOT_MAX_PER_H}
+                OR g.median_gap_min < {BOT_MIN_GAP_MIN} AS BOOLEAN)
+               AS flagged
+    FROM burst b JOIN gapstats g ON b.user_id = g.user_id
+    ORDER BY b.user_id
+    """,
+    tags=("analytics", "events", "abuse"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse heuristics per user: burstiness (max events in any
+    hour) and cadence (median inter-event gap) with a combined flag —
+    the two cheapest signals an event pipeline screens before letting
+    traffic into metrics or training data.
+
+    Plan: the burst side is two stacked map-side-combinable groupBys
+    (user×hour, then user); the cadence side is one lag window over
+    (user, ts).  All three shuffles hash on user_id → exchange reuse.
+    Both signals are O(1) state per user streaming."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_id", "ts")
+    burst = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n_in_hour"))
+        .groupBy("user_id")
+        .agg(F.max("n_in_hour").alias("max_per_hour"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        # timestamp→double keeps the microsecond fraction
+        # (unix_timestamp truncates to whole seconds and diverges from
+        # the oracle's epoch(interval)).
+        (
+            (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double"))
+            / 60.0
+        ).alias("gap_min"),
+    ).filter(F.col("gap_min").isNotNull())
+    gapstats = gaps.groupBy("user_id").agg(
+        F.percentile("gap_min", F.lit(0.5)).alias("median_gap_min")
+    )
+    flagged = (F.col("max_per_hour") > BOT_MAX_PER_H) | (
+        F.col("median_gap_min") < BOT_MIN_GAP_MIN
+    )
+    return (
+        burst.join(gapstats, "user_id")
+        .select(
+            "user_id",
+            "max_per_hour",
+            F.round("median_gap_min", 4).alias("median_gap_min"),
+            flagged.alias("flagged"),
+        )
+        .orderBy("user_id")
+    )

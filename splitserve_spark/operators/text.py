@@ -938,3 +938,105 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, source,
+               unnest(string_split_regex(trim(text), ' +')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w FROM words
+        GROUP BY w ORDER BY count(*) DESC, w LIMIT {VOCAB_SIZE}
+    )
+    SELECT source,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS oov_rate
+    FROM words LEFT JOIN vocab ON words.w = vocab.w
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "pipeline", "tokenize"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: the OOV rate per source against
+    the corpus's own top-{VOCAB_SIZE} vocabulary — the go/no-go check
+    before committing a tokenizer to a new data source (an OOV spike
+    on one source means its text distribution diverges).
+
+    Plan: one explode feeds BOTH the vocabulary rollup and the probe;
+    the {VOCAB_SIZE}-row vocab broadcasts into a left join (same
+    discipline as text_tokenize_ids), and the per-source rollup is
+    map-side combinable.  At 100 TB the vocab is a fixed artifact —
+    this query is one corpus scan."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    words = t.documents.select(
+        "source", F.explode(_words(F.col("text"))).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(VOCAB_SIZE)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    oov = F.col("in_vocab").isNull().cast("int")
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("n_oov"),
+            F.round(F.sum(oov) / F.count("*"), 6).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_length_profile",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(quantile_cont(n_chars, 0.5)  AS DOUBLE) AS p50_chars,
+           CAST(quantile_cont(n_chars, 0.9)  AS DOUBLE) AS p90_chars,
+           CAST(quantile_cont(n_chars, 0.99) AS DOUBLE) AS p99_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "pipeline", "profiling"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def text_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length percentile profile (p50/p90/p99 +
+    extremes) — the first table in every corpus intake report, and the
+    input to truncation/packing budget decisions.
+
+    Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`); one map-side-combinable groupBy.  At
+    100 TB swap to percentile_approx for one-pass sketching — the
+    stat_approx_quantile twin documents that trade."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.percentile("n_chars", F.lit(0.5)).alias("p50_chars"),
+            F.percentile("n_chars", F.lit(0.9)).alias("p90_chars"),
+            F.percentile("n_chars", F.lit(0.99)).alias("p99_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
