@@ -272,3 +272,47 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ci == F.lit("building")).cast("int")
         ).cast("bigint").alias("n_building_ci"),
     )
+
+
+#: Spark 4.0 SQL pipe syntax (SPARK-49555): the same logical query as
+#: the oracle below, written as a left-to-right pipeline.
+_PIPE_SQL = """
+FROM orders
+|> WHERE o_orderstatus = 'F'
+|> AGGREGATE count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_value
+   GROUP BY o_orderpriority
+|> WHERE n_orders > 0
+|> ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    HAVING count(*) > 0
+    ORDER BY o_orderpriority
+    """,
+    tags=("sql", "modern", "pipe"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0, SPARK-49555): `FROM t |> WHERE …
+    |> AGGREGATE … |> ORDER BY` — queries written as left-to-right
+    dataflow instead of inside-out SQL.  Catalyst resolves each pipe
+    stage to the identical logical plan as the classic form, so the
+    physical plan (partial→final agg, one shuffle) is unchanged; the
+    oracle is the classic-form equivalent, proving the two surfaces
+    agree."""
+    from splitserve_spark.session import ensure_parity_conf
+
+    ensure_parity_conf(spark)
+    return sql_entry.sql(spark, _PIPE_SQL, sf_dir)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from splitserve_spark.registry import register
+from splitserve_spark.registry import PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -263,4 +263,55 @@ def qds95_both_sites_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").alias("order_count"),
             F.round(F.sum("o_totalprice"), 4).alias("total_price"),
         )
+    )
+
+
+@register(
+    "qds3_brand_revenue",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS sales_year,
+           p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part   ON l_partkey  = p_partkey
+    WHERE p_type = 'PROMO'
+    GROUP BY sales_year, p_brand
+    ORDER BY sales_year, revenue DESC, p_brand
+    """,
+    tags=("tpcds", "beyond-quartet"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def qds3_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q3 plan shape beyond the paper's quartet (TPC-DS spec
+    query 3: brand revenue by year for one manufacturer): fact ⋈ date
+    ⋈ item with a selective dimension predicate, grouped on
+    (year, brand).  On this schema the date dim is derived from
+    o_orderdate, item maps to part, and the Q3 manufacturer predicate
+    maps to the p_type='PROMO' slice (this schema has no p_mfgr).
+
+    The shape's point at scale: the `p_mfgr` predicate makes the item
+    side small → broadcast; the orders join carries only (orderkey,
+    orderdate).  Grouping keys are low-cardinality so the partial agg
+    collapses the fact stream before the single shuffle."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    item = t.part.filter(F.col("p_type") == "PROMO").select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        t.lineitem.join(
+            t.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(item), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.year("o_orderdate").alias("sales_year"), F.col("p_brand")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy("sales_year", F.col("revenue").desc(), "p_brand")
     )

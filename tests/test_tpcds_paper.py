@@ -12,6 +12,7 @@ QDS = [
     "qds16_multi_site_no_returns",
     "qds94_web_no_returns",
     "qds95_both_sites_view",
+    "qds3_brand_revenue",
 ]
 
 
