@@ -627,7 +627,11 @@ RFM_ASOF = "1998-08-03"
                datediff('day', CAST(max(o_orderdate) AS DATE),
                         DATE '{RFM_ASOF}')      AS recency_days,
                count(*)                          AS frequency,
-               round(sum(o_totalprice), 2)       AS monetary
+               -- decimal sum: order-independent exact cents, so the
+               -- per-cell average below divides EXACT values and both
+               -- engines agree bit-for-bit.
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                                 AS monetary
         FROM orders
         GROUP BY o_custkey
     ), scored AS (
@@ -642,7 +646,8 @@ RFM_ASOF = "1998-08-03"
     )
     SELECT r_score, f_score, m_score,
            count(*) AS n_customers,
-           round(avg(monetary), 4) AS avg_monetary
+           round(CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4) AS avg_monetary
     FROM scored
     GROUP BY r_score, f_score, m_score
     ORDER BY r_score, f_score, m_score
@@ -670,7 +675,9 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").cast("date"),
         ).alias("recency_days"),
         F.count("*").alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
     )
     scored = per_cust.select(
         "monetary",
@@ -688,7 +695,12 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+            F.round(
+                F.sum(F.col("monetary").cast("decimal(18,2)"))
+                .cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_monetary"),
         )
         .orderBy("r_score", "f_score", "m_score")
     )
