@@ -714,3 +714,62 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_parity_conf(spark)
     return sql_entry.sql(spark, _FILTER_CLAUSE_SQL, sf_dir)
+
+
+#: Equi-width histogram bin count.
+EQWIDTH_BINS = 20
+
+
+@register(
+    "agg_equiwidth_histogram",
+    oracle=f"""
+    WITH stats AS (
+        SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        FROM lineitem
+    )
+    SELECT CAST(least(floor((l_extendedprice - s.lo)
+                            / ((s.hi - s.lo) / {EQWIDTH_BINS})),
+                      {EQWIDTH_BINS - 1}) AS INTEGER) AS bin,
+           count(*) AS n_rows,
+           round(min(l_extendedprice), 2) AS bin_min,
+           round(max(l_extendedprice), 2) AS bin_max
+    FROM lineitem CROSS JOIN stats s
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    tags=("agg", "histogram"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def agg_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-WIDTH histogram of lineitem prices — the fixed-bin twin of
+    the ntile equi-depth histogram, and the shape optimizer statistics
+    collectors use.  Unlike ntile there is NO global sort: the 1-row
+    min/max broadcasts back over the scan and binning is a pure
+    projection, so this version IS the 100 TB-safe one.
+
+    Bin arithmetic (floor((v-lo)/step), top edge clamped into the last
+    bin) is identical IEEE on both engines — no rounding needed for
+    parity."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_extendedprice")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    step = (F.col("hi") - F.col("lo")) / EQWIDTH_BINS
+    bin_col = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("lo")) / step),
+        F.lit(EQWIDTH_BINS - 1),
+    ).cast("int")
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .select(bin_col.alias("bin"), "l_extendedprice")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("bin_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("bin_max"),
+        )
+        .orderBy("bin")
+    )

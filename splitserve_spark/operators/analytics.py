@@ -915,3 +915,154 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+#: Rolling active-user horizons (days, inclusive of the current day).
+WAU_DAYS = 7
+MAU_DAYS = 30
+
+
+@register(
+    "events_dau_wau_mau",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM du
+    ), wau AS (
+        SELECT d.day, count(DISTINCT du.user_id) AS wau
+        FROM days d JOIN du
+          ON du.day <= d.day
+         AND du.day > d.day - INTERVAL {WAU_DAYS} DAY
+        GROUP BY d.day
+    ), mau AS (
+        SELECT d.day, count(DISTINCT du.user_id) AS mau
+        FROM days d JOIN du
+          ON du.day <= d.day
+         AND du.day > d.day - INTERVAL {MAU_DAYS} DAY
+        GROUP BY d.day
+    ), dau AS (
+        SELECT day, count(*) AS dau FROM du GROUP BY day
+    )
+    SELECT dau.day, dau.dau, wau.wau, mau.mau,
+           round(dau.dau * 1.0 / mau.mau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day JOIN mau ON dau.day = mau.day
+    ORDER BY dau.day
+    """,
+    tags=("analytics", "events", "engagement"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU + stickiness (DAU/MAU) per day — THE product
+    engagement dashboard row.
+
+    Scale design: no count(DISTINCT) over a sliding range (which would
+    re-scan the window per day).  The (day, user) distinct pairs are
+    built once; each pair then *contributes itself forward* into every
+    horizon day it is active for, via a sequence() explode bounded by
+    the horizon (≤30 rows per pair), and the rolling distinct becomes
+    a plain groupBy(day) count(DISTINCT user) over the contributed
+    rows.  Shuffles hash on day; state never exceeds
+    |users| × horizon.  The oracle uses the equivalent range self-join
+    formulation."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    du = (
+        t.events.select(
+            F.col("ts").cast("date").alias("day"), "user_id"
+        ).distinct()
+    )
+    days = du.select("day").distinct()
+
+    def rolling(horizon: int, name: str) -> DataFrame:
+        contrib = du.select(
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.date_add(F.col("day"), horizon - 1),
+                )
+            ).alias("day_h"),
+            "user_id",
+        )
+        return (
+            contrib.join(
+                F.broadcast(days), contrib.day_h == days.day
+            )
+            .groupBy(F.col("day_h").alias(f"{name}_day"))
+            .agg(F.count_distinct("user_id").alias(name))
+        )
+
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    wau = rolling(WAU_DAYS, "wau")
+    mau = rolling(MAU_DAYS, "mau")
+    return (
+        dau.join(wau, dau.day == wau.wau_day)
+        .join(mau, dau.day == mau.mau_day)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "orders_seasonality",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER)  AS y,
+               CAST(month(o_orderdate) AS INTEGER) AS m,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        GROUP BY y, m
+    )
+    SELECT y, m, n_orders, revenue,
+           round((revenue - lag(revenue, 12) OVER (ORDER BY y, m))
+                 / lag(revenue, 12) OVER (ORDER BY y, m) * 100, 4)
+               AS yoy_pct
+    FROM monthly
+    ORDER BY y, m
+    """,
+    tags=("analytics", "timeseries"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order/revenue time series with year-over-year growth —
+    the reporting staple behind every finance dashboard.  lag(12) over
+    the (year, month) series compares each month with the same month
+    a year earlier; revenue sums exact decimal cents so the growth
+    ratio is bit-identical across engines.
+
+    Plan: one map-side-combinable groupBy collapses the fact table to
+    |months| rows; the lag window runs over that tiny series (an
+    unpartitioned window over dozens of rows — not a scale concern)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    monthly = t.orders.groupBy(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    w = Window.orderBy("y", "m")
+    prior = F.lag("revenue", 12).over(w)
+    return (
+        monthly.select(
+            "y",
+            "m",
+            "n_orders",
+            "revenue",
+            F.round((F.col("revenue") - prior) / prior * 100, 4).alias(
+                "yoy_pct"
+            ),
+        )
+        .orderBy("y", "m")
+    )

@@ -32,7 +32,7 @@ from splitserve_spark.functions.parity_hash import (
     perm_hash,
     perm_hash_sql,
 )
-from splitserve_spark.registry import register
+from splitserve_spark.registry import PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -540,4 +540,62 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
         .orderBy("doc_id")
+    )
+
+
+#: Containment threshold: fraction of A's tokens that appear in B.
+CONTAINMENT_TAU = 0.8
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_distinct(string_split(regexp_replace(trim(lower(text)),
+                           ' +', ' ', 'g'), ' ')) AS toks
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(a.toks), 6) AS containment
+    FROM w a JOIN w b ON a.doc_id != b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / len(a.toks) >= {CONTAINMENT_TAU}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "pipeline", "containment"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set CONTAINMENT C(A,B) = |A∩B| / |A| on the same fenced
+    block as the Jaccard ground truth — the asymmetric near-dup
+    measure that catches quotes and subset documents, which symmetric
+    Jaccard misses (a short doc fully quoted inside a long one has
+    high containment but low Jaccard).  Both directions are emitted
+    because C(A,B) ≠ C(B,A).
+
+    The O(n²) join is intentionally fenced (doc_id < 150); at scale
+    the candidate pairs come from the MinHash-LSH index and only
+    candidates get the exact containment confirm — the same
+    mine-then-confirm discipline as dedup_minhash_lsh."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    w = t.documents.filter(F.col("doc_id") < 150).select(
+        "doc_id",
+        F.array_distinct(F.split(_norm(F.col("text")), " ")).alias("toks"),
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("t_a"))
+    b = w.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("t_b"))
+    containment = F.size(F.array_intersect("t_a", "t_b")).cast(
+        "double"
+    ) / F.size("t_a")
+    return (
+        a.join(b, F.col("doc_a") != F.col("doc_b"))
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= CONTAINMENT_TAU)
+        .select(
+            "doc_a", "doc_b", F.round("containment", 6).alias("containment")
+        )
+        .orderBy("doc_a", "doc_b")
     )

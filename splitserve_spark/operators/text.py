@@ -1040,3 +1040,59 @@ def text_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Collocations reported by the bigram miner.
+NGRAM_TOP_K = 25
+
+
+@register(
+    "text_bigram_topk",
+    oracle=f"""
+    WITH ws AS (
+        SELECT string_split_regex(trim(text), ' +') AS w FROM documents
+    ), bigrams AS (
+        SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS bg
+        FROM ws WHERE len(w) >= 2
+    )
+    SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS n
+    FROM bigrams
+    GROUP BY w1, w2
+    ORDER BY n DESC, w1, w2
+    LIMIT {NGRAM_TOP_K}
+    """,
+    tags=("text", "pipeline", "collocations"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-25 bigram collocations — the n-gram statistics
+    layer under phrase mining and the repetition/boilerplate
+    detectors (which consume exactly this shape at n=3).
+
+    Bigrams pair adjacent words with zip_with over two slices of the
+    SAME split array — a narrow JVM projection, no self-join; the
+    count rollup is map-side combinable and the top-k is a
+    TakeOrdered, so nothing but (word-pair, count) rows ever shuffle."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    w = _words(F.col("text"))
+    bigrams = (
+        t.documents.select(w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("w"), 1, F.size("w") - 1),
+                    F.slice(F.col("w"), 2, F.size("w") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+    )
+    return (
+        bigrams.select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(NGRAM_TOP_K)
+    )

@@ -28,6 +28,7 @@ AGGS = [
     "agg_hll_sketch",
     "agg_bitmap_distinct",
     "agg_filter_clause",
+    "agg_equiwidth_histogram",
 ]
 
 

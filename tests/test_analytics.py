@@ -127,3 +127,11 @@ def test_windowed_funnel_never_exceeds_unbounded(spark):
         u = int(unb.loc[unb["stage"] == stage, "n_users"].iloc[0])
         w = int(win.loc[win["stage"] == stage, "n_users"].iloc[0])
         assert w <= u
+
+
+def test_dau_wau_mau_monotone(spark):
+    """WAU ≥ DAU, MAU ≥ WAU per day, and stickiness ∈ (0, 1]."""
+    out = REGISTRY["events_dau_wau_mau"].fn(spark, SF_DIR).toPandas()
+    assert (out["wau"] >= out["dau"]).all()
+    assert (out["mau"] >= out["wau"]).all()
+    assert ((out["stickiness"] > 0) & (out["stickiness"] <= 1)).all()
