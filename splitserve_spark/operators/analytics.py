@@ -1066,3 +1066,66 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("y", "m")
     )
+
+
+#: Rolling window length (days) for the moving-baseline anomaly score.
+ROLL_DAYS = 7
+
+
+@register(
+    "window_moving_zscore",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM events
+        GROUP BY day
+    )
+    SELECT day, n_events, total,
+           round(avg(total) OVER w, 4)        AS roll_mean,
+           round(stddev_samp(total) OVER w, 4) AS roll_std,
+           round((total - avg(total) OVER w)
+                 / nullif(stddev_samp(total) OVER w, 0), 4) AS roll_z
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN {ROLL_DAYS - 1} PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY day
+    """,
+    tags=("analytics", "timeseries", "anomaly"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def window_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-baseline anomaly score on the daily event-value series:
+    each day scored against its own trailing 7-day mean/stddev — the
+    rolling twin of the global z-score audit, and the alert rule
+    behind most metric monitors.
+
+    The fact table collapses to |days| rows first (map-side
+    combinable, exact decimal sums); the ROWS frame runs over that
+    tiny series.  Frames are row-based with a total (day) order, so
+    both engines window identically."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(ROLL_DAYS - 1), 0)
+    mean = F.avg("total").over(w)
+    std = F.stddev_samp("total").over(w)
+    return (
+        daily.select(
+            "day",
+            "n_events",
+            "total",
+            F.round(mean, 4).alias("roll_mean"),
+            F.round(std, 4).alias("roll_std"),
+            F.round((F.col("total") - mean) / F.nullif(std, F.lit(0)), 4).alias(
+                "roll_z"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -1096,3 +1096,72 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "w1", "w2")
         .limit(NGRAM_TOP_K)
     )
+
+
+@register(
+    "text_source_drift_jsd",
+    oracle="""
+    WITH words AS (
+        SELECT source, unnest(string_split_regex(trim(text), ' +')) AS w
+        FROM documents
+    ), sw AS (
+        SELECT source, w, count(*) AS c FROM words GROUP BY source, w
+    ), stot AS (
+        SELECT source, sum(c) AS n FROM sw GROUP BY source
+    ), corpus AS (
+        SELECT w, sum(c) AS c FROM sw GROUP BY w
+    ), ctot AS (
+        SELECT sum(c) AS n FROM corpus
+    ), terms AS (
+        SELECT sw.source,
+               sw.c * 1.0 / stot.n          AS p,
+               corpus.c * 1.0 / ctot.n      AS q
+        FROM sw
+        JOIN stot   ON sw.source = stot.source
+        JOIN corpus ON sw.w = corpus.w
+        CROSS JOIN ctot
+    )
+    SELECT source,
+           round(sum(0.5 * p * ln(p / ((p + q) / 2))
+                   + 0.5 * q * ln(q / ((p + q) / 2))), 6) AS jsd_observed
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "pipeline", "drift"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def text_source_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per source, the Jensen-Shannon
+    divergence between the source's word distribution and the whole
+    corpus's — the alarm that fires when one ingest source starts
+    sending different content (JSD is symmetric and bounded, so one
+    threshold works for every source).
+
+    Terms restrict to words the source actually emits (its support);
+    the corpus-side tail contributes through the corpus half of each
+    summand, so the observed statistic is exact over p's support and
+    deterministic.  Plan: per-(source, word) counts are map-side
+    combinable, the vocab-sized corpus distribution broadcasts back,
+    and the final sum shuffles only O(|sources|) rows."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    words = t.documents.select(
+        "source", F.explode(_words(F.col("text"))).alias("w")
+    )
+    sw = words.groupBy("source", "w").agg(F.count("*").alias("c"))
+    stot = sw.groupBy("source").agg(F.sum("c").alias("n_s"))
+    corpus = sw.groupBy("w").agg(F.sum("c").alias("c_all"))
+    ctot = corpus.agg(F.sum("c_all").alias("n_all"))
+    p = F.col("c") / F.col("n_s")
+    q = F.col("c_all") / F.col("n_all")
+    m = (p + q) / 2
+    summand = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    return (
+        sw.join(stot, "source")
+        .join(F.broadcast(corpus), "w")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(F.round(F.sum(summand), 6).alias("jsd_observed"))
+        .orderBy("source")
+    )
