@@ -392,3 +392,30 @@ def test_dynamic_partition_pruning_engages(spark, tmp_path):
     )
     plan = _executed_plan(j)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_no_unfenced_cartesian_anywhere(spark):
+    """Global scale guard: NO batch-relational query in the registry
+    may plan a CartesianProduct at test SF.  Every pairwise operator
+    (jaccard/containment ground truth, cosine pairs, ANN, BM25 stats
+    attach) must either fence with an explicit predicate that planners
+    turn into a join, or broadcast a bounded side (which plans
+    BroadcastNestedLoopJoin, not CartesianProduct).  Non-relational
+    surfaces (streaming, sinks, DDL side effects, RDD demos, iterative
+    drivers) are exercised by their own suites and skipped here."""
+    from splitserve_spark.registry import REGISTRY, load_all
+
+    load_all()
+    skip_prefixes = (
+        "stream_", "source_", "sink_", "ddl_", "rdd_", "workload_pi",
+        "ml_kmeans", "graph_", "merge_", "mm_", "udtf_", "udf_",
+        "stat_observe",
+    )
+    offenders = []
+    for name, spec in sorted(REGISTRY.items()):
+        if name.startswith(skip_prefixes):
+            continue
+        plan = physical_plan(spec.fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
