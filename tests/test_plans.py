@@ -419,3 +419,27 @@ def test_no_unfenced_cartesian_anywhere(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_no_row_python_outside_designated_slow_path(spark):
+    """Global UDF-tier guard: the ONLY registry plan allowed to contain
+    row-at-a-time Python evaluation (BatchEvalPython) is
+    `udf_python_row`, the deliberate slow-path demo.  Everything else
+    that crosses into Python must go through Arrow (pandas UDFs,
+    mapInPandas/mapInArrow → ArrowEvalPython / MapInPandas nodes) —
+    the 10-100× rule the module docstrings promise."""
+    from splitserve_spark.registry import REGISTRY, load_all
+
+    load_all()
+    skip_prefixes = (
+        "stream_", "source_", "sink_", "ddl_", "rdd_", "workload_pi",
+        "ml_kmeans", "graph_", "merge_", "mm_", "udtf_",
+    )
+    offenders = []
+    for name, spec in sorted(REGISTRY.items()):
+        if name.startswith(skip_prefixes) or name == "udf_python_row":
+            continue
+        plan = physical_plan(spec.fn(spark, SF_DIR))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
