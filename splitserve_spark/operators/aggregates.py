@@ -773,3 +773,58 @@ def agg_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+    WITH cell AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS c
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ), tot AS (
+        SELECT o_orderstatus, sum(c) AS n FROM cell GROUP BY o_orderstatus
+    )
+    SELECT cell.o_orderstatus,
+           CAST(tot.n AS BIGINT) AS n_orders,
+           CAST(count(*) AS INTEGER) AS n_priorities,
+           round(-sum((cell.c * 1.0 / tot.n) * ln(cell.c * 1.0 / tot.n)), 6)
+               AS entropy_nats
+    FROM cell JOIN tot ON cell.o_orderstatus = tot.o_orderstatus
+    GROUP BY cell.o_orderstatus, tot.n
+    ORDER BY cell.o_orderstatus
+    """,
+    tags=("agg", "stats"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the order-priority distribution within each
+    order status — the categorical-balance diagnostic (uniform
+    priorities → ln(5) ≈ 1.609 nats; a skewed status shows up as an
+    entropy drop).  The same rollup a data-quality monitor runs over
+    label columns before training.
+
+    Two stacked map-side-combinable groupBys collapse the fact table
+    to |status × priority| cells before any math; the entropy sum runs
+    over that tiny cell table."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    cell = t.orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("c")
+    )
+    tot = cell.groupBy("o_orderstatus").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        cell.join(tot, "o_orderstatus")
+        .groupBy("o_orderstatus", "n")
+        .agg(
+            F.count("*").cast("int").alias("n_priorities"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("n").cast("bigint").alias("n_orders"),
+            "n_priorities",
+            "entropy_nats",
+        )
+        .orderBy("o_orderstatus")
+    )

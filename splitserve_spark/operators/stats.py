@@ -17,8 +17,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from splitserve_spark.registry import register
+from splitserve_spark.registry import PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -182,4 +183,85 @@ def stat_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(m["rows_scanned"], float(m["qty_scanned"]), rows_kept)],
         "rows_scanned bigint, qty_scanned double, rows_kept bigint",
+    )
+
+
+#: The two samples for the KS test: event values of these two types.
+KS_TYPE_A = "view"
+KS_TYPE_B = "purchase"
+
+
+@register(
+    "stat_ks_two_sample",
+    oracle=f"""
+    WITH pooled AS (
+        SELECT value, event_type FROM events
+        WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+    ), counts AS (
+        SELECT
+            sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS na,
+            sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS nb
+        FROM pooled
+    ), cdfs AS (
+        SELECT value,
+               sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END)
+                   OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ca,
+               sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END)
+                   OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cb
+        FROM pooled
+    )
+    SELECT CAST(c.na AS BIGINT) AS n_a, CAST(c.nb AS BIGINT) AS n_b,
+           round(max(abs(cdfs.ca * 1.0 / c.na - cdfs.cb * 1.0 / c.nb)), 6)
+               AS ks_d
+    FROM cdfs CROSS JOIN counts c
+    GROUP BY c.na, c.nb
+    """,
+    tags=("stats", "hypothesis"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two event types: D = max |F_a(x) − F_b(x)| over
+    the pooled sample — the standard distribution-shift test between
+    two cohorts (pyspark.ml exposes only the one-sample variant;
+    this is the two-sample test as a DataFrame program).
+
+    Running empirical CDFs come from one cumulative window over the
+    pooled sort; values are continuous doubles (ties absent in this
+    corpus; with ties the sup over the pooled points still bounds D).
+    Scale note: the global sort is the textbook formulation — at
+    100 TB approximate with equi-depth quantile sketches per side and
+    take the max gap over the merged cut points."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    pooled = t.events.filter(
+        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+    ).select("value", "event_type")
+    counts = pooled.agg(
+        F.sum((F.col("event_type") == KS_TYPE_A).cast("int")).alias("n_a"),
+        F.sum((F.col("event_type") == KS_TYPE_B).cast("int")).alias("n_b"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cdfs = pooled.select(
+        F.sum((F.col("event_type") == KS_TYPE_A).cast("int"))
+        .over(w)
+        .alias("ca"),
+        F.sum((F.col("event_type") == KS_TYPE_B).cast("int"))
+        .over(w)
+        .alias("cb"),
+    )
+    return (
+        cdfs.crossJoin(F.broadcast(counts))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca") / F.col("n_a")
+                        - F.col("cb") / F.col("n_b")
+                    )
+                ),
+                6,
+            ).alias("ks_d")
+        )
     )

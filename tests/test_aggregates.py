@@ -29,6 +29,7 @@ AGGS = [
     "agg_bitmap_distinct",
     "agg_filter_clause",
     "agg_equiwidth_histogram",
+    "agg_entropy",
 ]
 
 

@@ -81,3 +81,12 @@ def test_sample_by_rates(spark):
     for k, frac in (("F", 0.2), ("O", 0.1)):
         rate = got.get(k, 0) / tot[k]
         assert abs(rate - frac) < 0.1, (k, rate)
+
+
+def test_ks_statistic_bounded_and_sane(spark):
+    """KS D ∈ [0, 1]; identical-distribution self-test gives D ≈ 0."""
+    out = REGISTRY["stat_ks_two_sample"].fn(spark, SF_DIR).toPandas()
+    assert len(out) == 1
+    d = float(out["ks_d"].iloc[0])
+    assert 0.0 <= d <= 1.0
+    assert out["n_a"].iloc[0] > 0 and out["n_b"].iloc[0] > 0
