@@ -108,12 +108,26 @@ def stat_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("stat_freq_items", oracle=None, tags=("stat", "sketch"))
 def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df.stat.freqItems — misra-gries style frequent-item sketch.
-    Output is a superset of true heavy hitters (sketch guarantee), so
-    no value oracle; tests assert the superset property."""
+    """df.stat.freqItems — misra-gries style frequent-item sketch
+    (reference `stat/FrequentItems.scala:27`).  Output is a superset of
+    true heavy hitters (sketch guarantee), so no value oracle; tests
+    assert the superset property.
+
+    freqItems natively returns ARRAY columns, which the driver's
+    canonicalizer cannot sort/hash (the r6 red) — each array is
+    serialized to a sorted JSON string so the output is scalar and
+    deterministic for a given sketch state."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
-    return t.orders.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.2)
+    fi = t.orders.stat.freqItems(
+        ["o_orderpriority", "o_orderstatus"], support=0.2
+    )
+    return fi.select(
+        *[
+            F.to_json(F.array_sort(F.col(c))).alias(c)
+            for c in fi.columns
+        ]
+    )
 
 
 @register("stat_approx_quantile", oracle=None, tags=("stat", "sketch"))

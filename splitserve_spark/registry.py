@@ -92,10 +92,28 @@ import pathlib as _pathlib  # noqa: E402
 _REPO_ROOT = _pathlib.Path(__file__).resolve().parent.parent
 
 
-def _load_driver_verdicts() -> dict[str, bool]:
-    """name → latest driver verdict (True=green) across all committed
-    CORRECTNESS_r*.json files, in round order (r01 < r02 < …)."""
+def verdict_ok(v: dict) -> bool:
+    """The driver-verdict pass rule, shared by the registry loader and
+    tests/test_registry.py (one predicate — they can't drift apart):
+    err == 'no_oracle' is the driver's weaker rows-only check (pass =
+    it ran and produced a row count); any other err is red; otherwise
+    hash_match wins when present, else rows_match."""
+    err = v.get("err")
+    if err == "no_oracle":
+        return v.get("spark_rows") is not None
+    if err is not None:
+        return False
+    if v.get("hash_match") is not None:
+        return bool(v["hash_match"])
+    return bool(v.get("rows_match"))
+
+
+def _load_driver_verdicts() -> tuple[dict[str, bool], frozenset]:
+    """(name → latest driver verdict, names whose latest PASS was the
+    weaker rows-only check) across all committed CORRECTNESS_r*.json
+    files, in round order (r01 < r02 < …)."""
     latest: dict[str, bool] = {}
+    rows_only: dict[str, bool] = {}
     for path in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
         try:
             results = _json.loads(path.read_text())
@@ -106,22 +124,14 @@ def _load_driver_verdicts() -> dict[str, bool]:
         for name, v in results.items():
             if not isinstance(v, dict):
                 continue
-            err = v.get("err")
-            if err == "no_oracle":
-                # Driver's weaker rows-only check: pass = it ran and
-                # produced a row count.
-                ok = v.get("spark_rows") is not None
-            elif err is not None:
-                ok = False
-            elif v.get("hash_match") is not None:
-                ok = bool(v["hash_match"])
-            else:
-                ok = bool(v.get("rows_match"))
-            latest[name] = ok
-    return latest
+            latest[name] = verdict_ok(v)
+            rows_only[name] = v.get("err") == "no_oracle"
+    return latest, frozenset(
+        n for n, ro in rows_only.items() if ro and latest.get(n)
+    )
 
 
-_DRIVER_VERDICTS = _load_driver_verdicts()
+_DRIVER_VERDICTS, _DRIVER_ROWS_ONLY = _load_driver_verdicts()
 #: Every name the driver has EVER checked (green or red).
 _DRIVER_CHECKED = frozenset(_DRIVER_VERDICTS)
 #: Names whose latest driver verdict passed — rotate behind never-checked.
@@ -167,6 +177,17 @@ def register(
 DRIVER_WINDOW = 50
 
 
+def _settled(spec: QuerySpec) -> bool:
+    """True when the driver's latest verdict fully certifies this spec:
+    a green hash verdict, or a rows-only pass for a query that still
+    has no oracle.  A query whose only green was the weaker rows-only
+    check but which NOW carries an oracle (upgraded this round) is NOT
+    settled — it re-enters the window for a value-checked verdict."""
+    if spec.name not in _DRIVER_GREEN:
+        return False
+    return not (spec.name in _DRIVER_ROWS_ONLY and spec.oracle is not None)
+
+
 def ordered_registry() -> dict[str, QuerySpec]:
     """Registry in driver-facing order: never-driver-verified queries
     first (by priority tier, then registration sequence), already-green
@@ -178,7 +199,7 @@ def ordered_registry() -> dict[str, QuerySpec]:
         spec.name: spec
         for spec in sorted(
             REGISTRY.values(),
-            key=lambda s: (s.name in _DRIVER_GREEN, s.priority, s.seq),
+            key=lambda s: (_settled(s), s.priority, s.seq),
         )
     }
 

@@ -186,6 +186,15 @@ def check_query(spark, name: str, sf_dir: str = SF_DIR_ORACLE,
     spark_pdf = spec.fn(spark, sf_dir).toPandas()
     if spec.oracle is None:
         assert spark_pdf is not None
+        if strict:
+            # The driver canonicalizes (sorts/hashes) rows-only outputs
+            # too — an array/struct column crashes it even without an
+            # oracle (the stat_freq_items r6 red).
+            bad = hazard_columns(spark_pdf)
+            assert not bad, (
+                f"{name}: driver-unhashable output columns {bad} in a "
+                "rows-only query (serialize arrays with to_json/array_join)"
+            )
         return
     con = duck_connection(sf_dir)
     try:

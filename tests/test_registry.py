@@ -5,18 +5,21 @@ def test_driver_window_composition():
     occupies a slot while never-verified oracle-backed queries wait, and
     every currently-red query re-enters the window to re-verify."""
     from splitserve_spark.registry import (
-        DRIVER_WINDOW, REGISTRY, _DRIVER_GREEN, _DRIVER_VERDICTS,
+        DRIVER_WINDOW, REGISTRY, _DRIVER_VERDICTS, _settled,
         driver_window, ordered_registry,
     )
     w = driver_window()
     assert len(w) == DRIVER_WINDOW
     from splitserve_spark.registry import PRI_NEXT_WINDOW
+    # "settled" = latest driver verdict fully certifies the spec (a
+    # rows-only green upgraded with an oracle is NOT settled — it must
+    # re-enter the window for a value-checked verdict).
     waiting = [
         n for n in ordered_registry()
-        if n not in w and n not in _DRIVER_GREEN and REGISTRY[n].oracle
+        if n not in w and not _settled(REGISTRY[n]) and REGISTRY[n].oracle
         and REGISTRY[n].priority < PRI_NEXT_WINDOW
     ]
-    greens_in_window = [n for n in w if n in _DRIVER_GREEN]
+    greens_in_window = [n for n in w if _settled(REGISTRY[n])]
     assert not (waiting and greens_in_window), (waiting, greens_in_window)
     # A no-oracle entry (rows-only verdict) may occupy a slot only when
     # no oracle-backed unverified query is left waiting outside.
@@ -46,20 +49,24 @@ def test_driver_green_derived_from_evidence():
     import pathlib
 
     from splitserve_spark.registry import (
-        _DRIVER_GREEN, _DRIVER_VERDICTS, _REPO_ROOT,
+        _DRIVER_GREEN, _DRIVER_VERDICTS, _REPO_ROOT, verdict_ok,
     )
     files = sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json"))
     assert files, "evidence files missing from repo root"
-    # Spot-check latest-wins: q12 was red in r2 (HUGEINT dtype), fixed
-    # and green in r3/r4 — derived set must reflect the LATEST verdict.
+    # Latest-wins: the derived verdict for every name in the newest
+    # evidence file must equal that file's verdict under the SHARED
+    # pass rule (verdict_ok — including the err=='no_oracle' rows-only
+    # convention the r6 close-out broke against).
     last = json.loads(files[-1].read_text())
     for name, v in last.items():
-        expected = (
-            v.get("err") is None
-            and (v.get("hash_match") if v.get("hash_match") is not None
-                 else v.get("rows_match"))
-        )
-        assert _DRIVER_VERDICTS[name] == bool(expected), name
+        assert _DRIVER_VERDICTS[name] == verdict_ok(v), name
+    # Spot-check the rows-only branch concretely: a no_oracle entry
+    # with a row count is a PASS, an entry with a real error is not.
+    assert verdict_ok({"err": "no_oracle", "spark_rows": 7})
+    assert not verdict_ok({"err": "no_oracle", "spark_rows": None})
+    assert not verdict_ok({"err": "Traceback ...", "spark_rows": None})
+    assert verdict_ok({"err": None, "hash_match": True, "rows_match": True})
+    assert not verdict_ok({"err": None, "hash_match": False, "rows_match": True})
     assert _DRIVER_GREEN == frozenset(
         n for n, ok in _DRIVER_VERDICTS.items() if ok
     )

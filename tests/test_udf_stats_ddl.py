@@ -38,9 +38,13 @@ def test_oracle_match(spark, name):
 
 
 def test_freq_items_superset(spark):
-    """freqItems must return a superset of true items above support."""
+    """freqItems must return a superset of true items above support.
+    The registered query serializes each sketch array to a sorted JSON
+    string (driver-hashable scalars) — parse it back here."""
+    import json
+
     out = REGISTRY["stat_freq_items"].fn(spark, SF_DIR).collect()[0]
-    freq_prio = set(out["o_orderpriority_freqItems"])
+    freq_prio = set(json.loads(out["o_orderpriority_freqItems"]))
     from splitserve_spark.tables import Tables
 
     t = Tables(spark, SF_DIR)
