@@ -771,11 +771,15 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution.  Low = templated/common text, high = rare-token
     noise; both tails get filtered in a real pretraining pipeline.
 
-    Plan: one explode → groupBy(word) builds the LM (vocab-sized,
-    map-side combinable); the corpus explode re-joins it on word and
-    re-aggregates per doc.  At 100 TB the LM table is O(|vocab|) —
-    broadcast it and the corpus never shuffles on word, only on doc_id
-    for the final per-doc mean; both aggs are partial-final.  All
+    Plan: one explode → groupBy(word) builds the LM (map-side
+    combinable); the corpus explode re-joins it on word and
+    re-aggregates per doc.  The LM side carries NO broadcast hint: on a
+    100 TB web corpus the full distinct-token table is 10⁸–10⁹ rows
+    (Heaps' law — typos, ids, URLs), so a forced broadcast would OOM
+    executors; the planner/AQE broadcasts it when it measures small and
+    falls back to a shuffled equi-join when it isn't (the PageRank
+    de-hint playbook; selection rule `SparkStrategies.scala:116-120`).
+    The 1-row total IS hint-broadcast — bounded by construction.  All
     JVM-side: no UDF, the log/avg run in whole-stage codegen."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
@@ -785,8 +789,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = words.groupBy("w").agg(F.count("*").alias("c"))
     tot = freq.agg(F.sum("c").cast("double").alias("n"))
     return (
-        words.join(F.broadcast(freq), "w")
-        .crossJoin(F.broadcast(tot))
+        _attach_unigram_lm(words, freq, tot)
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("int").alias("n_tokens"),
@@ -796,6 +799,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _attach_unigram_lm(words: DataFrame, freq: DataFrame, tot: DataFrame) -> DataFrame:
+    """Attach per-word LM frequency + the 1-row total to the exploded
+    corpus.  The word-frequency side is deliberately NOT hint-broadcast
+    (unbounded vocab at scale); only the single-row total is."""
+    return words.join(freq, "w").crossJoin(F.broadcast(tot))
 
 
 #: Keywords reported per document by TF-IDF extraction.
@@ -838,9 +848,13 @@ def text_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc keywords, not per-query ranks).
 
     Plan: one explode → per-(doc, word) tf (map-side combinable), the
-    vocab-sized df table broadcasts back onto tf, and the top-3 cut is
-    a WindowGroupLimit-prunable rank partitioned by doc_id.  Raw text
-    is read once; nothing wider than (doc_id, word) ever shuffles.
+    df table joins back onto tf UNHINTED — the full document-frequency
+    table is vocab-sized only in the Heaps'-law sense (10⁸–10⁹ distinct
+    tokens on a 100 TB web corpus), so the planner/AQE decides between
+    broadcast (small corpora) and a shuffled equi-join (at scale)
+    instead of a forced multi-GB broadcast.  The top-3 cut is a
+    WindowGroupLimit-prunable rank partitioned by doc_id.  Raw text is
+    read once; nothing wider than (doc_id, word) ever shuffles.
     Ties broken by term so both engines emit identical keyword sets."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
@@ -850,15 +864,7 @@ def text_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     df = tf.groupBy("w").agg(F.count("*").alias("df"))
     n_docs = t.documents.agg(F.count("*").alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(df), "w")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "w",
-            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("raw"),
-        )
-    )
+    scored = _score_tfidf(tf, df, n_docs)
     wk = Window.partitionBy("doc_id").orderBy(F.col("raw").desc(), "w")
     return (
         scored.select(
@@ -869,6 +875,21 @@ def text_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= KEYWORDS_PER_DOC)
         .orderBy("doc_id", "rank")
+    )
+
+
+def _score_tfidf(tf: DataFrame, df: DataFrame, n_docs: DataFrame) -> DataFrame:
+    """tf·idf score per (doc, word).  The document-frequency side joins
+    UNHINTED (unbounded vocab at scale — planner/AQE picks the join);
+    only the 1-row corpus count is hint-broadcast."""
+    return (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "w",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("raw"),
+        )
     )
 
 
@@ -1142,8 +1163,11 @@ def text_source_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-side tail contributes through the corpus half of each
     summand, so the observed statistic is exact over p's support and
     deterministic.  Plan: per-(source, word) counts are map-side
-    combinable, the vocab-sized corpus distribution broadcasts back,
-    and the final sum shuffles only O(|sources|) rows."""
+    combinable; the corpus-wide distribution joins back UNHINTED — the
+    full distinct-token table is 10⁸–10⁹ rows on a 100 TB web corpus
+    (Heaps' law), so a forced broadcast would OOM executors; the
+    planner/AQE broadcasts it only when it measures small.  The final
+    sum shuffles only O(|sources|) rows."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     words = t.documents.select(
@@ -1158,10 +1182,21 @@ def text_source_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (p + q) / 2
     summand = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
     return (
-        sw.join(stot, "source")
-        .join(F.broadcast(corpus), "w")
-        .crossJoin(F.broadcast(ctot))
+        _attach_corpus_dist(sw, stot, corpus, ctot)
         .groupBy("source")
         .agg(F.round(F.sum(summand), 6).alias("jsd_observed"))
         .orderBy("source")
+    )
+
+
+def _attach_corpus_dist(
+    sw: DataFrame, stot: DataFrame, corpus: DataFrame, ctot: DataFrame
+) -> DataFrame:
+    """Join per-(source, word) counts with per-source totals, the
+    corpus word distribution (UNHINTED — unbounded vocab at scale) and
+    the 1-row corpus total (hint-broadcast, bounded)."""
+    return (
+        sw.join(stot, "source")
+        .join(corpus, "w")
+        .crossJoin(F.broadcast(ctot))
     )

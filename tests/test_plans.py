@@ -304,12 +304,33 @@ def test_bitmap_distinct_shuffles_bitmaps_not_keys(spark):
     assert count_exchanges(df) <= 3, plan
 
 
-def test_unigram_lm_table_broadcasts(spark):
-    """The vocab-sized LM frequency table and the 1-row total must
-    broadcast — the exploded corpus shuffles only for its own
-    per-word/per-doc aggregations, never against the LM."""
-    plan = physical_plan(q("text_unigram_logprob", spark))
-    assert "BroadcastHashJoin" in plan, plan
+def _big_words(spark, n=20_000_000):
+    """Synthetic exploded corpus large enough that size estimates beat
+    the broadcast threshold: n (doc_id, word) rows over a 5M vocab."""
+    return spark.range(n).select(
+        (F.col("id") % 100_000).alias("doc_id"),
+        (F.col("id") % 97).alias("source"),
+        F.concat(F.lit("w"), F.col("id") % 5_000_000).alias("w"),
+    )
+
+
+def test_unigram_lm_not_broadcast_at_scale(spark):
+    """The LM word-frequency table is the FULL distinct-token
+    distribution — 10⁸-10⁹ rows on a 100 TB web corpus (Heaps' law), so
+    it must NOT be force-broadcast (the r6 verdict's uncapped-vocab
+    defect class).  With a large synthetic corpus the planner must pick
+    a shuffle-based equi-join for the word probe; only the 1-row total
+    may broadcast (BNLJ).  At small SFs AQE still converts to broadcast
+    at runtime — that conversion is asserted separately
+    (test_aqe_converts_join_and_coalesces_partitions)."""
+    from splitserve_spark.operators.text import _attach_unigram_lm
+
+    words = _big_words(spark).select("doc_id", "w")
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("n"))
+    plan = physical_plan(_attach_unigram_lm(words, freq, tot))
+    assert "BroadcastHashJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
 
 
 def test_pq_ann_broadcasts_codebook_and_lut(spark):
@@ -349,13 +370,37 @@ def test_aqe_converts_join_and_coalesces_partitions(spark):
     assert "AQEShuffleRead" in plan, plan  # runtime partition coalescing
 
 
-def test_tfidf_df_table_broadcasts(spark):
-    """TF-IDF's document-frequency table and corpus-size row must
-    broadcast onto the per-(doc, word) counts — the exploded corpus
-    never shuffles against the vocabulary."""
-    plan = physical_plan(q("text_keyword_tfidf", spark))
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+def test_tfidf_df_table_not_broadcast_at_scale(spark):
+    """TF-IDF's document-frequency table is the full vocabulary — it
+    must NOT be force-broadcast (same defect class as the unigram LM).
+    With a large synthetic corpus the planner must shuffle-join the df
+    probe; only the 1-row corpus count may broadcast."""
+    from splitserve_spark.operators.text import _score_tfidf
+
+    words = _big_words(spark).select("doc_id", "w")
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = words.agg(F.count_distinct("doc_id").alias("n_docs"))
+    plan = physical_plan(_score_tfidf(tf, dfreq, n_docs))
+    assert "BroadcastHashJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+
+def test_jsd_corpus_dist_not_broadcast_at_scale(spark):
+    """Source-drift JSD's corpus word distribution is the full
+    vocabulary — same rule: shuffle-join at scale, no forced
+    broadcast."""
+    from splitserve_spark.operators.text import _attach_corpus_dist
+
+    words = _big_words(spark).select("source", "w")
+    sw = words.groupBy("source", "w").agg(F.count("*").alias("c"))
+    stot = sw.groupBy("source").agg(F.sum("c").alias("n_s"))
+    corpus = sw.groupBy("w").agg(F.sum("c").alias("c_all"))
+    ctot = corpus.agg(F.sum("c_all").alias("n_all"))
+    plan = physical_plan(_attach_corpus_dist(sw, stot, corpus, ctot))
+    # The corpus-side word probe must be shuffle-based; the per-source
+    # totals side is O(|sources|) and MAY broadcast.
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
 
 
 def test_chunk_overlap_is_shuffle_free_codegen(spark):
