@@ -595,13 +595,21 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sparse-exact regime fence for the HLL oracle: lgK=12 Datasketches
+#: HLL is exactly equal to count(DISTINCT) below ~3k distincts per
+#: group; doc_id < 40000 caps per-source cardinality at 2000 under the
+#: corpus's round-robin source assignment (no-op at shipped SFs).
+HLL_FENCE_MAX_ID = 40_000
+
+
 @register(
     "agg_hll_sketch",
-    oracle="""
+    oracle=f"""
     SELECT source,
            count(DISTINCT doc_id) AS est_docs,
            count(DISTINCT doc_id) AS exact_docs
     FROM documents
+    WHERE doc_id < {HLL_FENCE_MAX_ID}
     GROUP BY source
     ORDER BY source
     """,
@@ -616,14 +624,21 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the datasketches functions are its modern mergeable successor).
 
     Oracle note: a Datasketches HLL (lgK=12) stays in exact sparse mode
-    below ~3k distincts, and per-source cardinality here is ≤250 even
-    at sf0.1, so the estimate provably equals the exact distinct count
-    at verification scales — which is what makes this oracle-checkable
-    rather than rows-only.  The companion estimate-vs-exact tolerance
-    test in tests/ covers the general (non-exact) regime contract."""
+    below ~3k distincts.  The regime is GUARDED IN CODE, not by the
+    current SF ceiling: the fence doc_id < {HLL_FENCE_MAX_ID} caps
+    per-source cardinality at {HLL_FENCE_MAX_ID}/20 = 2000 under the
+    corpus's round-robin source assignment (a no-op at every shipped
+    SF, where max doc_id ≈ 5k), so the estimate provably equals the
+    exact distinct count at ANY scale factor — which is what makes
+    this oracle-checkable rather than rows-only.  tests/ additionally
+    assert the fenced per-source cardinality sits inside the sparse
+    bound, and the companion estimate-vs-exact tolerance test covers
+    the general (non-exact) regime contract."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
-    docs = t.documents.select("source", "doc_id")
+    docs = t.documents.filter(F.col("doc_id") < HLL_FENCE_MAX_ID).select(
+        "source", "doc_id"
+    )
     partials = docs.groupBy(
         "source", (F.col("doc_id") % 2).alias("half")
     ).agg(F.hll_sketch_agg("doc_id").alias("sk"))

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from splitserve_spark.operators.prefix_rank import ntile_from_rank, with_global_prefix
 from splitserve_spark.registry import PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
@@ -262,27 +263,31 @@ HISTOGRAM_BUCKETS = 10
     tags=("analytics", "window"),
 )
 def window_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth histogram of lineitem prices via ntile: 10 buckets of
-    equal row count with per-bucket min/max/mean — the quantile-bucket
-    summary a feature-engineering pipeline uses for binning.
+    """Equi-depth histogram of lineitem prices — ntile semantics with
+    per-bucket min/max/mean, the quantile-bucket summary a
+    feature-engineering pipeline uses for binning.
 
-    The ntile order key is made total (price, orderkey, linenumber) so
-    bucket assignment is deterministic in both engines.  Plan note: an
-    unpartitioned ntile is a single-reducer global sort — correct but
-    the known scale ceiling of exact equi-depth binning; at 100 TB the
-    approximate twin is `approxQuantile`/`stat_approx_quantile`, kept
-    separately in the registry.  (Ref window machinery:
-    `sql/core/.../WindowExec.scala:87`.)
+    The rank order is total (price, orderkey, linenumber) so bucket
+    assignment is deterministic in both engines.  Scale design: the
+    oracle's unpartitioned ntile is a single-reducer global sort
+    (`WindowExec.scala:82`); the registered form instead computes the
+    EXACT global rank with approx-quantile range buckets + partitioned
+    local ranks + broadcast bucket offsets (prefix_rank.py), then maps
+    rank → ntile bucket arithmetically — identical output, every task
+    sorting ~1/32 of the data.
     """
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    ranked = t.lineitem.select(
-        "l_extendedprice",
-        F.ntile(HISTOGRAM_BUCKETS).over(w).alias("bucket"),
+    rows = t.lineitem.select("l_extendedprice", "l_orderkey", "l_linenumber")
+    ranked, n, _ = with_global_prefix(
+        rows, "l_extendedprice", ["l_orderkey", "l_linenumber"]
     )
     return (
-        ranked.groupBy("bucket")
+        ranked.select(
+            "l_extendedprice",
+            ntile_from_rank(F.col("_rank"), n, HISTOGRAM_BUCKETS).alias("bucket"),
+        )
+        .groupBy("bucket")
         .agg(
             F.count("*").alias("n_rows"),
             F.round(F.min("l_extendedprice"), 2).alias("lo"),
@@ -662,11 +667,15 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic CRM cube.
 
     ntile orders carry a unique tiebreak (custkey) so bucket edges are
-    deterministic.  Plan note: the three unpartitioned ntiles are
-    single-reducer global sorts over the PER-CUSTOMER rollup (already
-    |customers|, not |orders|); at 100 TB swap them for approxQuantile
-    cut-points broadcast onto the rollup — same outputs, no global
-    sort — the exact trade documented on the equi-depth histogram."""
+    deterministic.  Scale design: the oracle's three unpartitioned
+    ntiles are single-reducer global sorts over the per-customer
+    rollup; the registered form computes each score from the EXACT
+    distributed global rank (prefix_rank.py: approx-quantile range
+    buckets + partitioned local ranks + broadcast offsets) mapped to
+    the ntile bucket arithmetically — identical output, no global
+    sort.  The three score tables re-join on custkey (hash joins on
+    the rollup), still strictly cheaper than three single-reducer
+    sorts of it."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     per_cust = t.orders.groupBy("o_custkey").agg(
@@ -678,18 +687,23 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("monetary"),
-    )
-    scored = per_cust.select(
-        "monetary",
-        F.ntile(RFM_BUCKETS)
-        .over(Window.orderBy(F.col("recency_days").desc(), "o_custkey"))
-        .alias("r_score"),
-        F.ntile(RFM_BUCKETS)
-        .over(Window.orderBy("frequency", "o_custkey"))
-        .alias("f_score"),
-        F.ntile(RFM_BUCKETS)
-        .over(Window.orderBy("monetary", "o_custkey"))
-        .alias("m_score"),
+    ).persist()
+
+    def score(sort_expr, out_name: str) -> DataFrame:
+        keyed = per_cust.select(
+            "o_custkey", sort_expr.cast("double").alias("_sort")
+        )
+        ranked, n, _ = with_global_prefix(keyed, "_sort", ["o_custkey"])
+        return ranked.select(
+            "o_custkey",
+            ntile_from_rank(F.col("_rank"), n, RFM_BUCKETS).alias(out_name),
+        )
+
+    scored = (
+        per_cust.select("o_custkey", "monetary")
+        .join(score(-F.col("recency_days"), "r_score"), "o_custkey")
+        .join(score(F.col("frequency"), "f_score"), "o_custkey")
+        .join(score(F.col("monetary"), "m_score"), "o_custkey")
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -766,11 +780,15 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ranked AS (
         SELECT o_custkey, revenue,
                row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rk,
-               sum(revenue) OVER (
+               -- decimal running sum: exact and order/grouping
+               -- independent, so the engine's bucketed prefix-sum
+               -- decomposition matches bit-for-bit.
+               CAST(sum(CAST(revenue AS DECIMAL(18,2))) OVER (
                    ORDER BY revenue DESC, o_custkey
                    ROWS UNBOUNDED PRECEDING
-               ) AS cum_revenue,
-               sum(revenue) OVER () AS total_revenue,
+               ) AS DOUBLE) AS cum_revenue,
+               CAST(sum(CAST(revenue AS DECIMAL(18,2))) OVER ()
+                    AS DOUBLE) AS total_revenue,
                count(*) OVER () AS n_cust
         FROM per_cust
     )
@@ -792,39 +810,38 @@ def window_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer inside the 50% set with their cumulative share and the
     running customer fraction.
 
-    The running sum is an unpartitioned window over the PER-CUSTOMER
-    rollup (|customers| rows, not |orders|); the same
-    global-sort-ceiling note as the equi-depth histogram applies, and
-    the same approxQuantile swap fixes it at extreme scale."""
+    Scale design: the oracle's unpartitioned running-sum window is a
+    single-reducer global sort over the per-customer rollup; the
+    registered form computes rank AND running revenue with the
+    distributed prefix decomposition (prefix_rank.py) — the running
+    sum is carried as DECIMAL(18,2) (exact, order-independent) so the
+    bucketed partial sums match the oracle's sequential window sum
+    bit-for-bit, and the grand total / customer count come back as
+    driver-side exact constants instead of a Window.partitionBy()
+    global window."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     per_cust = t.orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("revenue")
     )
-    w_run = (
-        Window.orderBy(F.col("revenue").desc(), "o_custkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed = per_cust.withColumn("_neg_rev", -F.col("revenue"))
+    ranked, n_cust, totals = with_global_prefix(
+        keyed,
+        "_neg_rev",
+        ["o_custkey"],
+        sums={"cum_rev": F.col("revenue").cast("decimal(18,2)")},
     )
-    w_all = Window.partitionBy()
-    ranked = per_cust.select(
-        "o_custkey",
-        "revenue",
-        F.row_number()
-        .over(Window.orderBy(F.col("revenue").desc(), "o_custkey"))
-        .alias("rk"),
-        F.sum("revenue").over(w_run).alias("cum_revenue"),
-        F.sum("revenue").over(w_all).alias("total_revenue"),
-        F.count("*").over(w_all).alias("n_cust"),
-    )
-    share = F.col("cum_revenue") / F.col("total_revenue")
+    total_revenue = F.lit(float(totals["cum_rev"]))
+    share = F.col("cum_rev").cast("double") / total_revenue
     return (
-        ranked.filter((share <= 0.5) | (F.col("rk") == 1))
+        ranked.withColumnRenamed("_rank", "rk")
+        .filter((share <= 0.5) | (F.col("rk") == 1))
         .select(
             "rk",
             "o_custkey",
             "revenue",
             F.round(share, 6).alias("cum_share"),
-            F.round(F.col("rk") / F.col("n_cust"), 6).alias("cust_frac"),
+            F.round(F.col("rk") / F.lit(float(n_cust)), 6).alias("cust_frac"),
         )
         .orderBy("rk")
     )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from splitserve_spark.operators.prefix_rank import with_global_prefix
 from splitserve_spark.registry import PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
@@ -211,18 +212,22 @@ KS_TYPE_B = "purchase"
     WITH pooled AS (
         SELECT value, event_type FROM events
         WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
-    ), counts AS (
-        SELECT
-            sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS na,
-            sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS nb
-        FROM pooled
-    ), cdfs AS (
+    ), byval AS (
+        -- aggregate per DISTINCT value first: the statistic becomes
+        -- tie-independent (within-tie row order can differ between
+        -- engines; per-value count deltas cannot).
         SELECT value,
                sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END)
-                   OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ca,
+                   AS a,
                sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END)
-                   OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cb
-        FROM pooled
+                   AS b
+        FROM pooled GROUP BY value
+    ), counts AS (
+        SELECT sum(a) AS na, sum(b) AS nb FROM byval
+    ), cdfs AS (
+        SELECT sum(a) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ca,
+               sum(b) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cb
+        FROM byval
     )
     SELECT CAST(c.na AS BIGINT) AS n_a, CAST(c.nb AS BIGINT) AS n_b,
            round(max(abs(cdfs.ca * 1.0 / c.na - cdfs.cb * 1.0 / c.nb)), 6)
@@ -231,7 +236,7 @@ KS_TYPE_B = "purchase"
     GROUP BY c.na, c.nb
     """,
     tags=("stats", "hypothesis"),
-    priority=PRI_NEXT_WINDOW,  # current round's window is full
+    priority=PRI_NEXT_WINDOW,  # never driver-checked: re-verify first
 )
 def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic between the value
@@ -240,42 +245,39 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     two cohorts (pyspark.ml exposes only the one-sample variant;
     this is the two-sample test as a DataFrame program).
 
-    Running empirical CDFs come from one cumulative window over the
-    pooled sort; values are continuous doubles (ties absent in this
-    corpus; with ties the sup over the pooled points still bounds D).
-    Scale note: the global sort is the textbook formulation — at
-    100 TB approximate with equi-depth quantile sketches per side and
-    take the max gap over the merged cut points."""
+    Counts aggregate per DISTINCT value first (groupBy — map-side
+    combinable, and the statistic becomes tie-independent: D is the
+    sup over value boundaries, where within-tie row order cannot
+    matter).  The running CDFs then come from the distributed exact
+    prefix-sum (prefix_rank.py: approx-quantile range buckets +
+    partitioned cumulative windows + broadcast bucket offsets) — no
+    single-reducer global sort anywhere, and the integer count sums
+    make the decomposition bit-identical to the oracle's sequential
+    window."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     pooled = t.events.filter(
         F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
     ).select("value", "event_type")
-    counts = pooled.agg(
-        F.sum((F.col("event_type") == KS_TYPE_A).cast("int")).alias("n_a"),
-        F.sum((F.col("event_type") == KS_TYPE_B).cast("int")).alias("n_b"),
+    byval = pooled.groupBy("value").agg(
+        F.sum((F.col("event_type") == KS_TYPE_A).cast("long")).alias("a"),
+        F.sum((F.col("event_type") == KS_TYPE_B).cast("long")).alias("b"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cdfs = pooled.select(
-        F.sum((F.col("event_type") == KS_TYPE_A).cast("int"))
-        .over(w)
-        .alias("ca"),
-        F.sum((F.col("event_type") == KS_TYPE_B).cast("int"))
-        .over(w)
-        .alias("cb"),
+    cdfs, _, totals = with_global_prefix(
+        byval, "value", sums={"ca": F.col("a"), "cb": F.col("b")}
     )
-    return (
-        cdfs.crossJoin(F.broadcast(counts))
-        .groupBy("n_a", "n_b")
-        .agg(
-            F.round(
-                F.max(
-                    F.abs(
-                        F.col("ca") / F.col("n_a")
-                        - F.col("cb") / F.col("n_b")
-                    )
-                ),
-                6,
-            ).alias("ks_d")
-        )
+    n_a, n_b = int(totals["ca"]), int(totals["cb"])
+    return cdfs.agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca") / F.lit(n_a) - F.col("cb") / F.lit(n_b)
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+    ).select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        "ks_d",
     )

@@ -61,3 +61,46 @@ def count_exchanges(df: DataFrame) -> int:
         for line in plan.splitlines()
         if re.search(r"(?<![A-Za-z])Exchange\b", line)
     )
+
+
+def unpartitioned_window_nodes(df: DataFrame) -> list[str]:
+    """Window nodes whose partition spec is EMPTY — Spark moves every
+    row to a single partition for these (`WindowExec.scala:82`
+    requires AllTuples when the spec is empty), the classic
+    100 TB-scale ceiling the distributed prefix decomposition
+    (operators/prefix_rank.py) exists to avoid.
+
+    Plan text shapes (simple mode):
+      Window [exprs], [partSpec], [orderSpec]   — partitioned (3 groups)
+      Window [exprs], [partSpec]                — partitioned, unordered
+      Window [exprs], [orderSpec]               — GLOBAL ordered
+      Window [exprs]                            — GLOBAL unordered
+    The two 2-group shapes disambiguate by content: an order spec
+    always prints sort directions (ASC/DESC), a partition spec never
+    does.  WindowGroupLimit nodes are not Window nodes and are
+    skipped."""
+    out = []
+    for raw in physical_plan(df, mode="simple").splitlines():
+        line = raw.strip().lstrip(":+- ").strip()
+        if not line.startswith("Window "):
+            continue
+        body = line[len("Window "):]
+        groups: list[str] = []
+        depth = 0
+        for ch in body:
+            if ch == "[":
+                if depth == 0:
+                    groups.append("")
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            elif depth == 1:
+                groups[-1] += ch
+        if len(groups) >= 3:
+            continue  # partitioned + ordered
+        if len(groups) == 2 and not (
+            " ASC" in groups[1] or " DESC" in groups[1]
+        ):
+            continue  # partitioned, unordered
+        out.append(line)
+    return out

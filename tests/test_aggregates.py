@@ -67,3 +67,26 @@ def test_hll_sketch_estimate_tracks_exact(spark):
     assert len(out) > 0
     err = (out["est_docs"] - out["exact_docs"]).abs()
     assert (err <= (0.02 * out["exact_docs"]).clip(lower=1)).all()
+
+
+def test_hll_fence_keeps_sparse_exact_regime(spark):
+    """The in-code fence (doc_id < HLL_FENCE_MAX_ID) must keep every
+    per-source cardinality inside the lgK=12 sparse-exact bound (~3k),
+    the regime in which the oracle's estimate == exact equality holds
+    at ANY scale factor."""
+    from pyspark.sql import functions as F
+
+    from splitserve_spark.operators.aggregates import HLL_FENCE_MAX_ID
+    from splitserve_spark.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    per_source = (
+        t.documents.filter(F.col("doc_id") < HLL_FENCE_MAX_ID)
+        .groupBy("source")
+        .agg(F.count_distinct("doc_id").alias("n"))
+        .toPandas()
+    )
+    assert (per_source["n"] < 3000).all(), per_source
+    # And the fence math itself: 40000 ids round-robined over the 20
+    # sources can never exceed 2000 per source.
+    assert HLL_FENCE_MAX_ID // 20 <= 2000

@@ -7,11 +7,12 @@ from tests.oracle_utils import SF_DIR, check_query
 
 load_all()
 
+# Select by module, not by name prefix — a hand-maintained prefix list
+# silently missed orders_seasonality / window_moving_zscore (r6 advice).
 NAMES = sorted(
     n
     for n, s in REGISTRY.items()
-    if n.startswith(("events_", "agg_zscore", "window_equidepth", "window_session",
-                     "window_running", "agg_market", "agg_mad", "agg_rfm", "window_pareto"))
+    if s.fn.__module__ == "splitserve_spark.operators.analytics"
     and s.oracle is not None
 )
 
@@ -135,3 +136,47 @@ def test_dau_wau_mau_monotone(spark):
     assert (out["wau"] >= out["dau"]).all()
     assert (out["mau"] >= out["wau"]).all()
     assert ((out["stickiness"] > 0) & (out["stickiness"] <= 1)).all()
+
+
+def test_global_prefix_matches_single_reducer_window(spark):
+    """with_global_prefix must reproduce the single-reducer global
+    window bit-for-bit: rank == row_number over the global sort,
+    running sum == cumulative window sum, ntile_from_rank == ntile —
+    on data with duplicate sort values and enough rows to span many
+    range buckets."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from splitserve_spark.operators.prefix_rank import (
+        ntile_from_rank, with_global_prefix,
+    )
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 997).cast("double").alias("v"),  # duplicates
+        (F.col("id") % 13).cast("long").alias("x"),
+    )
+    got, n, totals = with_global_prefix(
+        df, "v", ["k"], sums={"cum_x": F.col("x")}, n_buckets=16
+    )
+    assert n == 10_000 and int(totals["cum_x"]) == sum(i % 13 for i in range(10_000))
+    w = Window.orderBy("v", "k")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = df.select(
+        "k",
+        F.row_number().over(w).alias("_rank"),
+        F.sum("x").over(wf).alias("cum_x"),
+        F.ntile(7).over(w).alias("nt"),
+    )
+    joined = (
+        got.select("k", "_rank", "cum_x",
+                   ntile_from_rank(F.col("_rank"), n, 7).alias("nt_got"))
+        .join(want.withColumnRenamed("_rank", "rank_want")
+                  .withColumnRenamed("cum_x", "cum_want"), "k")
+    )
+    bad = joined.filter(
+        (F.col("_rank") != F.col("rank_want"))
+        | (F.col("cum_x") != F.col("cum_want"))
+        | (F.col("nt_got") != F.col("nt"))
+    ).count()
+    assert bad == 0

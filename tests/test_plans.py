@@ -466,6 +466,46 @@ def test_no_unfenced_cartesian_anywhere(spark):
     assert not offenders, offenders
 
 
+#: Queries allowed to plan an UNPARTITIONED window because its input is
+#: bounded BY CONSTRUCTION (not merely small at test SF) — each entry
+#: names the bound.  Everything else must use partitioned windows or
+#: the distributed prefix decomposition (operators/prefix_rank.py).
+UNPARTITIONED_WINDOW_ALLOWED = {
+    "mix_importance_weights": "window over the per-source aggregate, O(|sources|)",
+    "mix_temperature_weights": "window over the per-source aggregate, O(|sources|)",
+    "orders_seasonality": "window over the per-(year,month) aggregate, bounded by the calendar",
+    "window_moving_zscore": "window over the per-day aggregate, bounded by the calendar",
+    "text_tokenize_ids": "id-assignment window over the top-V vocab AFTER .limit(512)",
+}
+
+
+def test_no_unpartitioned_window_anywhere(spark):
+    """Global scale guard (the r6 verdict's single-reducer-window
+    class): no batch-relational registry query may plan a Window with
+    an empty partition spec over unbounded input — Spark moves ALL
+    rows to one partition for these (WindowExec.scala:82).  The four
+    r6 offenders (KS, equi-depth histogram, RFM, Pareto) now use the
+    exact distributed prefix decomposition instead; the allow-list
+    above names the only inputs bounded by construction."""
+    from splitserve_spark.plans.inspect import unpartitioned_window_nodes
+    from splitserve_spark.registry import REGISTRY, load_all
+
+    load_all()
+    skip_prefixes = (
+        "stream_", "source_", "sink_", "ddl_", "rdd_", "workload_pi",
+        "ml_kmeans", "graph_", "merge_", "mm_", "udtf_", "udf_",
+        "stat_observe",
+    )
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if name.startswith(skip_prefixes) or name in UNPARTITIONED_WINDOW_ALLOWED:
+            continue
+        nodes = unpartitioned_window_nodes(spec.fn(spark, SF_DIR))
+        if nodes:
+            offenders[name] = nodes[0][:160]
+    assert not offenders, offenders
+
+
 def test_no_row_python_outside_designated_slow_path(spark):
     """Global UDF-tier guard: the ONLY registry plan allowed to contain
     row-at-a-time Python evaluation (BatchEvalPython) is
