@@ -7,7 +7,7 @@ queries()      — every registered operator query from SURVEY.md §2 plus
                  joins/aggregates/windows/setops/subqueries, scalar
                  functions, UDF surface, stats, DDL, RDD ops, streaming,
                  dedup/similarity/text/multimodal, graph/ML workloads).
-oracle_sql()   — matching DuckDB SQL per query (258 entries; None-oracle
+oracle_sql()   — matching DuckDB SQL per query (264 entries; None-oracle
                  queries omitted → driver records a rows-only check).
 
 The two counts above are asserted against len(REGISTRY) in

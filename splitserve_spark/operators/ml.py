@@ -59,13 +59,61 @@ def _lloyd_centroids(spark, sf_dir) -> list[list[float]]:
     return [r.v for r in rows]
 
 
-@register("ml_kmeans_lloyd", oracle=None, tags=("ml", "workload", "iterative"))
+def _lloyd_oracle(iters: int) -> str:
+    """DuckDB oracle for ml_kmeans_lloyd: the same fixed-init Lloyd
+    iteration unrolled `iters` times as chained CTEs (assign by
+    distance with ties to the lower cell id → per-dimension centroid
+    means → COALESCE keeps a previous centroid if its cell empties,
+    mirroring the Spark driver loop's dict.get fallback)."""
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {K})",
+    ]
+    for it in range(iters):
+        parts.append(f"""a{it} AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+            FROM e CROSS JOIN c{it} c) s
+          WHERE rn = 1)""")
+        parts.append(f"""m{it} AS (
+          SELECT cid, list(m ORDER BY pos) AS cv FROM (
+            SELECT cid, pos, avg(x) AS m FROM (
+              SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+              FROM a{it}) u
+            GROUP BY cid, pos) g
+          GROUP BY cid)""")
+        parts.append(f"""c{it + 1} AS (
+          SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+          FROM c{it} p LEFT JOIN m{it} n ON p.cid = n.cid)""")
+    return f"""
+    WITH {",".join(parts)}
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster, round(dist, 6) AS dist
+    FROM (
+      SELECT e.vec_id, c.cid, list_distance(e.v, c.cv) AS dist,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+      FROM e CROSS JOIN c{iters} c) s
+    WHERE rn = 1
+    ORDER BY vec_id
+    """
+
+
+@register(
+    "ml_kmeans_lloyd",
+    oracle=_lloyd_oracle(LLOYD_ITER),
+    tags=("ml", "workload", "iterative"),
+)
 def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-DataFrame Lloyd's algorithm, fixed init (first K vectors),
     LLOYD_ITER iterations.  Per iteration: one broadcast of K centroids
     + one groupBy over assignments — per-dimension sums via posexplode,
-    so the shuffle carries K·dim cells, not raw vectors.  Deterministic;
-    verified against a numpy reference in tests."""
+    so the shuffle carries K·dim cells, not raw vectors.  Deterministic
+    (argmin ties go to the lowest cell id on both engines), so it is
+    value-checked against an unrolled-CTE SQL replica of the whole
+    iteration (the r6 'upgrade rows-only entries' task) in addition to
+    the numpy reference in tests."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     data = t.embeddings.select(

@@ -140,37 +140,66 @@ def rdd_sort_zip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank_idx")
 
 
+#: Sample count for the RDD Pi estimate (shared with the oracle SQL).
+PI_RDD_N = 100_000
+PI_RDD_PARTS = 8
+
+
 @register(
     "workload_pi_rdd",
-    oracle=None,
+    oracle=f"""
+    WITH pts AS (
+      SELECT i,
+             (('0x' || substr(md5('x' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000) / 1000000.0 AS x,
+             (('0x' || substr(md5('y' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000) / 1000000.0 AS y
+      FROM range(0, {PI_RDD_N}) t(i)
+    )
+    SELECT CAST(sum(CASE WHEN x*x + y*y < 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits,
+           round(4.0 * sum(CASE WHEN x*x + y*y < 1.0 THEN 1 ELSE 0 END)
+                 / count(*), 6) AS pi_estimate
+    FROM pts
+    """,
     tags=("rdd", "workload"),
 )
 def workload_pi_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SparkPi as the reference runs it (examples/src/main/python/pi.py):
-    parallelize → map → reduce, RDD form.  Seeded per-partition RNG →
-    deterministic estimate; tests assert |π̂ - π| < 0.05 (the DataFrame
-    twin `workload_pi` is the engine's preferred form)."""
+    parallelize → map → reduce, RDD form — but with the same
+    md5-derived quasi-Monte-Carlo points as the DataFrame twin
+    `workload_pi` instead of a per-partition Mersenne RNG, so the hit
+    count is partitioning-independent and EXACTLY oracle-checkable
+    (hashlib.md5 in the Python worker == DuckDB's md5; the r6 'upgrade
+    rows-only entries' task).  Each of the {PI_RDD_PARTS} partitions
+    samples its own contiguous id range — the map/reduce shape is
+    unchanged."""
     ensure_parity_conf(spark)
-    import random
-
-    n = 100_000
-    parts = 8
 
     def sample(split):
-        rng = random.Random(42 + split)
+        import hashlib
+
+        lo = split * (PI_RDD_N // PI_RDD_PARTS)
+        hi = PI_RDD_N if split == PI_RDD_PARTS - 1 else lo + PI_RDD_N // PI_RDD_PARTS
         hits = 0
-        for _ in range(n // parts):
-            x, y = rng.random(), rng.random()
-            if x * x + y * y <= 1.0:
+        for i in range(lo, hi):
+            x = (int(hashlib.md5(f"x{i}".encode()).hexdigest()[:15], 16)
+                 % 1_000_000) / 1_000_000.0
+            y = (int(hashlib.md5(f"y{i}".encode()).hexdigest()[:15], 16)
+                 % 1_000_000) / 1_000_000.0
+            if x * x + y * y < 1.0:
                 hits += 1
         yield hits
 
     hits = (
-        spark.sparkContext.parallelize(range(parts), parts)
+        spark.sparkContext.parallelize(range(PI_RDD_PARTS), PI_RDD_PARTS)
         .mapPartitionsWithIndex(lambda i, _: sample(i))
         .reduce(lambda a, b: a + b)
     )
-    return spark.createDataFrame([(4.0 * hits / n,)], "pi_estimate double")
+    return spark.createDataFrame(
+        [(hits, round(4.0 * hits / PI_RDD_N, 6))],
+        "hits bigint, pi_estimate double",
+    )
 
 
 @register(

@@ -30,6 +30,8 @@ from splitserve_spark.tables import Tables
 #: Number of probe vectors (lowest vec_ids double as the query set).
 N_QUERIES = 5
 TOP_K = 5
+#: Embedding dimensionality of the corpus (TESTDATA.md: fixed array<float>).
+EMB_DIM = 64
 
 
 def _dot(a, b):
@@ -205,17 +207,82 @@ DEDUP_LSH_BITS = 6
 
 
 def _dedup_hyperplanes(dim: int) -> list[list[list[float]]]:
-    import numpy as np
+    """Deterministic Rademacher (±1) planes via md5 parity — same
+    construction as the ANN index (_hyperplanes), salted 'dd:' so the
+    two indexes stay independent, and reproducible inside DuckDB for
+    the value-checking oracle."""
+    import hashlib
 
-    rng = np.random.default_rng(42)
-    return rng.standard_normal((DEDUP_LSH_TABLES, DEDUP_LSH_BITS, dim)).tolist()
+    def sign(t: int, b: int, d: int) -> float:
+        h = int(hashlib.md5(f"dd:{t}:{b}:{d}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 1 else -1.0
+
+    return [
+        [[sign(t, b, d) for d in range(dim)] for b in range(DEDUP_LSH_BITS)]
+        for t in range(DEDUP_LSH_TABLES)
+    ]
+
+
+def _dedup_lsh_oracle() -> str:
+    """DuckDB replica of dedup_embedding_lsh: identical signatures
+    (md5-parity Rademacher planes, salt 'dd:'), identical bucket-join
+    candidate mining, identical exact-cosine confirm + keep-first
+    aggregation."""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < {DEDUP_LSH_MAX_ID}),
+    planes AS (
+      SELECT t.t, b.b, d.d,
+             CASE WHEN ('0x' || substr(md5('dd:' || t.t::VARCHAR || ':' ||
+                        b.b::VARCHAR || ':' || d.d::VARCHAR), 1, 15))::BIGINT
+                       % 2 = 1
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM range(0, {DEDUP_LSH_TABLES}) t(t)
+      CROSS JOIN range(0, {DEDUP_LSH_BITS}) b(b)
+      CROSS JOIN range(0, {EMB_DIM}) d(d)
+    ),
+    sigs AS (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN dot >= 0
+                           THEN (1 << ({DEDUP_LSH_BITS} - 1 - b))
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM (
+        SELECT e.vec_id, p.t, p.b, sum(p.s * e.v[p.d + 1]) AS dot
+        FROM e CROSS JOIN planes p
+        GROUP BY 1, 2, 3) c
+      GROUP BY vec_id, t
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS earlier_id, b.vec_id AS dup_id
+      FROM sigs a JOIN sigs b ON a.t = b.t AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    ),
+    confirmed AS (
+      SELECT c.earlier_id, c.dup_id,
+             list_cosine_similarity(ea.v, eb.v) AS cos
+      FROM cands c
+      JOIN e ea ON ea.vec_id = c.earlier_id
+      JOIN e eb ON eb.vec_id = c.dup_id
+      WHERE list_cosine_similarity(ea.v, eb.v) >= {NEAR_DUP_TAU}
+    )
+    SELECT dup_id, min(earlier_id) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_near,
+           round(max(cos), 6) AS max_cos
+    FROM confirmed
+    GROUP BY dup_id
+    ORDER BY dup_id
+    """
+
+
+#: Fence for the dedup demo block (matches dedup_embedding_cosine's
+#: pair-mining scale notes).
+DEDUP_LSH_MAX_ID = 300
 
 
 @register(
     "dedup_embedding_lsh",
-    oracle=None,  # approximate (recall-tested vs dedup_embedding_cosine)
+    oracle=_dedup_lsh_oracle(),
     tags=("similarity", "pipeline", "dedup", "lsh"),
-    priority=84,  # preferred rows-only filler: flagship scale path, new r5
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-candidate form of embedding near-dedup — the scale path that
@@ -235,14 +302,16 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB stage 2's join shuffles only (tbl, bucket, id) triples —
     ~L rows per vector — and bucket-local pair expansion replaces the
     all-pairs pass; n_near/keeper_id reflect FOUND pairs (recall < 1
-    on adversarially-random data; see tests/test_similarity_multimodal.py)."""
+    on adversarially-random data; see tests/test_similarity_multimodal.py).
+    The planes are md5-parity Rademacher vectors, so the whole
+    mine→confirm→keep-first pipeline is value-checked against a SQL
+    replica (upgraded from the former rows-only check)."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
-    e = t.embeddings.filter(F.col("vec_id") < 300).select(
+    e = t.embeddings.filter(F.col("vec_id") < DEDUP_LSH_MAX_ID).select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    dim = len(t.embeddings.select("embedding").first()[0])
-    planes = _dedup_hyperplanes(dim)
+    planes = _dedup_hyperplanes(EMB_DIM)
 
     def table_sig(v, table: int):
         sig = F.lit(0)
@@ -301,14 +370,83 @@ N_BITS = 10
 
 
 def _hyperplanes(dim: int) -> list[list[list[float]]]:
-    """Deterministic pseudo-random hyperplanes, shape (L, B, dim)."""
-    import numpy as np
+    """Deterministic Rademacher (±1) hyperplanes, shape (L, B, dim):
+    component sign = parity of the md5-derived 60-bit hash of
+    "t:b:d" — the same digest DuckDB computes, so the oracle can
+    reproduce every signature without shipping 5120 float literals.
+    Sign-random-projection with ±1 components is a standard cosine-LSH
+    family (the projection direction is still uniform over the
+    hypercube diagonals)."""
+    import hashlib
 
-    rng = np.random.default_rng(42)
-    return rng.standard_normal((N_TABLES, N_BITS, dim)).tolist()
+    def sign(t: int, b: int, d: int) -> float:
+        h = int(hashlib.md5(f"{t}:{b}:{d}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 1 else -1.0
+
+    return [
+        [[sign(t, b, d) for d in range(dim)] for b in range(N_BITS)]
+        for t in range(N_TABLES)
+    ]
 
 
-@register("sim_lsh_ann", oracle=None, priority=85,  # preferred rows-only filler
+def _lsh_ann_oracle() -> str:
+    """DuckDB replica of sim_lsh_ann: identical Rademacher signatures
+    (md5 parity), identical probe set (exact bucket + every 1-bit
+    flip), exact cosine re-rank, ties to the lower neighbor_id."""
+    bit_weight = f"(1 << ({N_BITS} - 1 - p.b))"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes AS (
+      SELECT t.t, b.b, d.d,
+             CASE WHEN ('0x' || substr(md5(t.t::VARCHAR || ':' ||
+                        b.b::VARCHAR || ':' || d.d::VARCHAR), 1, 15))::BIGINT
+                       % 2 = 1
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM range(0, {N_TABLES}) t(t)
+      CROSS JOIN range(0, {N_BITS}) b(b)
+      CROSS JOIN range(0, {EMB_DIM}) d(d)
+    ),
+    sigs AS (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN dot >= 0 THEN {bit_weight.replace('p.b', 'b')}
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM (
+        SELECT e.vec_id, p.t, p.b, sum(p.s * e.v[p.d + 1]) AS dot
+        FROM e CROSS JOIN planes p
+        GROUP BY 1, 2, 3) c
+      GROUP BY vec_id, t
+    ),
+    probes AS (
+      SELECT s.vec_id AS query_id, s.t,
+             CASE WHEN f.j < 0 THEN s.bucket
+                  ELSE xor(s.bucket, 1 << f.j) END AS bucket
+      FROM sigs s CROSS JOIN range(-1, {N_BITS}) f(j)
+      WHERE s.vec_id < {N_QUERIES}
+    ),
+    cands AS (
+      SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+      FROM probes p JOIN sigs s ON p.t = s.t AND p.bucket = s.bucket
+      WHERE s.vec_id != p.query_id
+    ),
+    ranked AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_cosine_similarity(q.v, n.v) AS cosine,
+             row_number() OVER (
+               PARTITION BY c.query_id
+               ORDER BY list_cosine_similarity(q.v, n.v) DESC, c.neighbor_id
+             ) AS rank
+      FROM cands c
+      JOIN e q ON q.vec_id = c.query_id
+      JOIN e n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@register("sim_lsh_ann", oracle=_lsh_ann_oracle(),
           tags=("similarity", "pipeline", "ann", "lsh"))
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: per table, a B-bit sign signature;
@@ -317,11 +455,15 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB signatures are computed in the scan projection and
     candidate generation is an equi-join on (table, bucket) — no
-    all-pairs pass.  Approximate → no SQL oracle; tests measure recall
-    against sim_cosine_topk."""
+    all-pairs pass.  The hyperplanes are md5-parity Rademacher vectors
+    (same digests on both engines), so the WHOLE pipeline — signatures,
+    multiprobe buckets, candidate set, re-rank — is value-checked
+    against a SQL replica (the r6 'upgrade rows-only entries' task)
+    instead of the former rows-only count; recall vs sim_cosine_topk
+    stays property-tested."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
-    dim = len(t.embeddings.select("embedding").first()[0])
+    dim = EMB_DIM
     planes = _hyperplanes(dim)
 
     def table_sig(v, table: int):
@@ -404,7 +546,60 @@ N_CELLS = 16
 N_PROBE = 4
 
 
-@register("sim_ivf_ann", oracle=None, priority=86,  # preferred rows-only filler
+def _ivf_ann_oracle() -> str:
+    """DuckDB replica of sim_ivf_ann: same deterministic one-step
+    Lloyd quantizer (init = C lowest vec_ids, argmin ties to the lower
+    cell id), same P-probe selection, same exact cosine re-rank."""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    i0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CELLS}),
+    a0 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, i.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, i.cv), i.cid) AS rn
+        FROM e CROSS JOIN i0 i) s
+      WHERE rn = 1),
+    m0 AS (
+      SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        SELECT cid, pos, avg(x) AS m FROM (
+          SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+          FROM a0) u
+        GROUP BY cid, pos) g
+      GROUP BY cid),
+    cells AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        FROM e CROSS JOIN m0 c) s
+      WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id < {N_QUERIES}),
+    probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_distance(q.qv, c.cv), c.cid) AS rn
+        FROM q CROSS JOIN m0 c) s
+      WHERE rn <= {N_PROBE}),
+    ranked AS (
+      SELECT p.query_id, cells.vec_id AS neighbor_id,
+             list_cosine_similarity(p.qv, cells.v) AS cosine,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY list_cosine_similarity(p.qv, cells.v) DESC,
+                        cells.vec_id) AS rank
+      FROM cells JOIN probes p ON cells.cid = p.cid
+      WHERE cells.vec_id != p.query_id)
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@register("sim_ivf_ann", oracle=_ivf_ann_oracle(),
           tags=("similarity", "pipeline", "ann", "ivf"))
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse k-means quantizer partitions
@@ -417,7 +612,11 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     component via posexplode → groupBy(cell, pos).  At 100 TB the cell
     index is a partitioned table keyed by cell_id, so a probe reads
     P/C of the data — the classic FAISS-style layout as a Spark join.
-    Approximate → recall-tested against sim_cosine_topk in tests."""
+    Deterministic end-to-end (argmin/probe/rank ties all break on
+    ids), so it is value-checked against a SQL replica of the full
+    quantize→probe→re-rank pipeline (the r6 'upgrade rows-only
+    entries' task); recall vs sim_cosine_topk stays
+    property-tested."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     base = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
