@@ -402,11 +402,42 @@ LPA_ITER = 4
 LPA_MOD = 20
 
 
+def _lpa_oracle(iters: int) -> str:
+    """DuckDB replica of graph_label_propagation: the deterministic
+    tie-break (count desc, then smaller label) makes every round — and
+    therefore the whole fixed-iteration run — SQL-expressible as
+    unrolled CTEs, the same pattern as the ml_kmeans_lloyd oracle."""
+    parts = [
+        f"""edges AS (
+          SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderkey % {LPA_MOD} = 0)""",
+        """sym AS (SELECT src AS a, dst AS b FROM edges
+                   UNION SELECT dst, src FROM edges)""",
+        "l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym)",
+    ]
+    for it in range(iters):
+        parts.append(f"""v{it} AS (
+          SELECT s.a, l.label, count(*) AS n
+          FROM sym s JOIN l{it} l ON s.b = l.node
+          GROUP BY 1, 2)""")
+        parts.append(f"""l{it + 1} AS (
+          SELECT a AS node, label FROM (
+            SELECT a, label,
+                   row_number() OVER (PARTITION BY a
+                     ORDER BY n DESC, label) AS rn
+            FROM v{it}) s
+          WHERE rn = 1)""")
+    return f"""
+    WITH {",".join(parts)}
+    SELECT node, label AS community FROM l{iters} ORDER BY node
+    """
+
+
 @register(
     "graph_label_propagation",
-    oracle=None,  # iterative argmax fixpoint — not SQL-expressible;
+    oracle=_lpa_oracle(LPA_ITER),
     tags=("graph", "community"),  # determinism + invariants in pytest
-    priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronous label propagation (GraphX

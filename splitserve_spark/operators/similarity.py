@@ -884,7 +884,82 @@ PQ_K = 16
 PQ_RERANK = 100
 
 
-@register("sim_pq_ann", oracle=None, priority=86,  # preferred rows-only filler
+def _pq_ann_oracle() -> str:
+    """DuckDB replica of sim_pq_ann: per-subspace one-step Lloyd
+    codebooks, encode, ADC lookup, top-RERANK cut, exact cosine
+    rerank.  Distances are SQUARED on both engines (matching Spark's
+    _l2sq fold; sqrt could collapse adjacent doubles and flip a
+    tie-break), and every ordering carries an id tiebreak."""
+    l2sq = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+    def d2(a, b, d=PQ_SUBDIM):
+        return l2sq.format(a=a, b=b, d=d)
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (
+      SELECT vec_id, m.m,
+             v[m.m * {PQ_SUBDIM} + 1 : m.m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+      FROM e CROSS JOIN range(0, {PQ_M}) m(m)
+    ),
+    init AS (SELECT m, CAST(vec_id AS INTEGER) AS code, sv AS cv
+             FROM sub WHERE vec_id < {PQ_K}),
+    a0 AS (
+      SELECT vec_id, m, sv, code FROM (
+        SELECT s.vec_id, s.m, s.sv, i.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {d2('s.sv', 'i.cv')}, i.code) AS rn
+        FROM sub s JOIN init i ON s.m = i.m) t
+      WHERE rn = 1),
+    cb AS (
+      SELECT m, code, list(c ORDER BY pos) AS cv FROM (
+        SELECT m, code, pos, avg(x) AS c FROM (
+          SELECT m, code, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos
+          FROM a0) u
+        GROUP BY m, code, pos) g
+      GROUP BY m, code),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {d2('s.sv', 'c.cv')}, c.code) AS rn
+        FROM sub s JOIN cb c ON s.m = c.m) t
+      WHERE rn = 1),
+    lut AS (
+      SELECT q.vec_id AS query_id, q.m, c.code,
+             {d2('q.sv', 'c.cv')} AS subdist
+      FROM sub q JOIN cb c ON q.m = c.m
+      WHERE q.vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT l.query_id, c.vec_id, sum(l.subdist) AS adc_dist,
+               row_number() OVER (PARTITION BY l.query_id
+                 ORDER BY sum(l.subdist), c.vec_id) AS rn
+        FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+        WHERE l.query_id != c.vec_id
+        GROUP BY l.query_id, c.vec_id) t
+      WHERE rn <= {PQ_RERANK}),
+    ranked AS (
+      SELECT cand.query_id, cand.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, n.v) AS cosine,
+             row_number() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY list_cosine_similarity(q.v, n.v) DESC,
+                        cand.vec_id) AS rank
+      FROM cand
+      JOIN e q ON q.vec_id = cand.query_id
+      JOIN e n ON n.vec_id = cand.vec_id)
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@register("sim_pq_ann", oracle=_pq_ann_oracle(),
           tags=("similarity", "pipeline", "ann", "pq"))
 def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the FAISS IndexPQ layout as DataFrame
