@@ -466,6 +466,20 @@ def test_no_unfenced_cartesian_anywhere(spark):
     assert not offenders, offenders
 
 
+def test_prefix_rank_plans_broadcast_offsets_and_partitioned_windows(spark):
+    """The distributed prefix decomposition must keep its shape: the
+    ≤32-row bucket-offset table joins back via BROADCAST (an offsets
+    shuffle join would re-shuffle the data a third time), and every
+    Window in the plan is partitioned (by the range-bucket id)."""
+    from splitserve_spark.plans.inspect import unpartitioned_window_nodes
+
+    for name in ("window_equidepth_histogram", "window_pareto_share"):
+        df = q(name, spark)
+        plan = physical_plan(df)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert not unpartitioned_window_nodes(df), name
+
+
 #: Queries allowed to plan an UNPARTITIONED window because its input is
 #: bounded BY CONSTRUCTION (not merely small at test SF) — each entry
 #: names the bound.  Everything else must use partitioned windows or
