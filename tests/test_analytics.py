@@ -180,3 +180,26 @@ def test_global_prefix_matches_single_reducer_window(spark):
         | (F.col("nt_got") != F.col("nt"))
     ).count()
     assert bad == 0
+
+
+def test_global_prefix_edge_cases(spark):
+    """Degenerate inputs: a single distinct sort value (no cut points
+    → one bucket) and an empty frame must not crash and must keep the
+    rank contract."""
+    from pyspark.sql import functions as F
+
+    from splitserve_spark.operators.prefix_rank import with_global_prefix
+
+    const = spark.range(100).select(
+        F.lit(1.0).alias("v"), F.col("id").alias("k")
+    )
+    got, n, _ = with_global_prefix(const, "v", ["k"])
+    assert n == 100
+    ranks = [r["_rank"] for r in got.orderBy("k").collect()]
+    assert ranks == list(range(1, 101))
+
+    empty = const.filter(F.col("k") < 0)
+    got_e, n_e, totals_e = with_global_prefix(
+        empty, "v", ["k"], sums={"s": F.col("k")}
+    )
+    assert n_e == 0 and got_e.count() == 0 and int(totals_e["s"]) == 0
