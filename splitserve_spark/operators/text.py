@@ -1200,3 +1200,88 @@ def _attach_corpus_dist(
         .join(corpus, "w")
         .crossJoin(F.broadcast(ctot))
     )
+
+
+#: Inverted-index demo: common-term threshold (fraction of corpus) and
+#: the per-term posting-head length the index row carries inline.
+IDX_MIN_DF_FRAC = 0.2
+IDX_POSTINGS_HEAD = 20
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w
+        FROM documents
+    ), tf AS (
+        SELECT w, doc_id, count(*) AS tf FROM words GROUP BY 1, 2
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), p AS (
+        SELECT w, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+               array_to_string(
+                   (list(doc_id || ':' || tf ORDER BY doc_id))
+                       [1:{IDX_POSTINGS_HEAD}], ' ') AS postings_head
+        FROM tf GROUP BY w
+    )
+    SELECT w AS term, CAST(df AS BIGINT) AS df, total_tf, postings_head
+    FROM p CROSS JOIN n
+    WHERE df >= {IDX_MIN_DF_FRAC} * n_docs
+    ORDER BY term
+    """,
+    tags=("text", "pipeline", "index"),
+    priority=PRI_NEXT_WINDOW,  # don't displace the r7 backlog window
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index (posting-list) build — the materialization
+    text_bm25_search's docstring promises for ad-hoc many-term queries
+    at scale: per term, its document frequency, total term frequency,
+    and the head of its doc_id-sorted posting list ('doc:tf' pairs).
+
+    Output fences to terms with df ≥ {IDX_MIN_DF_FRAC} of the corpus
+    (the high-df shard a query planner keeps hot; rare terms live in
+    cold shards) and carries only the first {IDX_POSTINGS_HEAD}
+    postings inline — a real index pages the tail, and an unbounded
+    string column would be the stop-word scale bug.
+
+    Plan: explode → (term, doc) tf → per-term rollup, both map-side
+    combinable; the posting head is array_sort + slice over the
+    collected list (no window), and the 1-row corpus count broadcasts
+    for the relative-df fence.  Nothing wider than (term, doc, tf)
+    ever shuffles."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    words = t.documents.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("w")
+    )
+    tf = words.groupBy("w", "doc_id").agg(F.count("*").alias("tf"))
+    n_docs = t.documents.agg(F.count("*").alias("n_docs"))
+    postings = F.array_join(
+        F.slice(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                lambda s: F.concat(
+                    s["doc_id"].cast("string"),
+                    F.lit(":"),
+                    s["tf"].cast("string"),
+                ),
+            ),
+            1,
+            IDX_POSTINGS_HEAD,
+        ),
+        " ",
+    )
+    p = tf.groupBy("w").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("total_tf"),
+        postings.alias("postings_head"),
+    )
+    return (
+        p.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") >= IDX_MIN_DF_FRAC * F.col("n_docs"))
+        .select(
+            F.col("w").alias("term"), "df", "total_tf", "postings_head"
+        )
+        .orderBy("term")
+    )

@@ -682,3 +682,74 @@ def pii_detect_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Weighted-sample size for the A-ES reservoir demo.
+ARES_K = 100
+
+
+@register(
+    "sample_weighted_ares",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), ' +')) AS weight
+        FROM documents
+    ), keyed AS (
+        SELECT doc_id, weight,
+               -ln(((('0x' || substr(md5('ares:' || CAST(doc_id AS VARCHAR)),
+                       1, 15))::BIGINT % 1000000) + 1) / 1000001.0)
+                   / weight AS k
+        FROM w WHERE weight >= 1
+    )
+    SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+           round(k, 6) AS sample_key
+    FROM keyed
+    ORDER BY k, doc_id
+    LIMIT {ARES_K}
+    """,
+    tags=("pipeline", "sampling"),
+    priority=PRI_NEXT_WINDOW,  # don't displace the r7 backlog window
+)
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each document draws an exponential race key
+    k = -ln(u)/w — here weighted by token count, the 'sample long
+    documents proportionally more' pretraining recipe — and the sample
+    is the K smallest keys.  u comes from the md5-derived 60-bit hash
+    (deterministic AND identical in DuckDB), so unlike rand()-based
+    sampling the draw is partitioning-independent and exactly
+    oracle-checkable.
+
+    Scale design: the key is a pure scan projection and the K-smallest
+    cut is orderBy+limit — Spark plans TakeOrderedAndProject (per-
+    partition partial top-K, only K rows per partition reach the
+    driver-side merge), so the corpus never globally sorts and never
+    shuffles.  This is THE scale-safe form of weighted sampling: a
+    100 TB corpus yields K rows with one pass and no exchange."""
+    ensure_parity_conf(spark)
+    from splitserve_spark.functions.parity_hash import md5_hash60
+
+    t = Tables(spark, sf_dir)
+    weight = F.size(F.split(F.trim(F.col("text")), " +"))
+    u = (
+        (md5_hash60(F.concat(F.lit("ares:"), F.col("doc_id").cast("string")))
+         % 1_000_000) + 1
+    ) / 1_000_001.0
+    keyed = (
+        t.documents.select(
+            "doc_id",
+            weight.cast("bigint").alias("weight"),
+            (-F.log(u)).alias("_negln"),
+        )
+        .filter(F.col("weight") >= 1)
+        .select(
+            "doc_id", "weight",
+            (F.col("_negln") / F.col("weight")).alias("k"),
+        )
+    )
+    return (
+        keyed.orderBy("k", "doc_id")
+        .limit(ARES_K)
+        .select("doc_id", "weight", F.round("k", 6).alias("sample_key"))
+    )

@@ -466,6 +466,29 @@ def test_no_unfenced_cartesian_anywhere(spark):
     assert not offenders, offenders
 
 
+def test_weighted_sample_is_take_ordered(spark):
+    """A-ES weighted sampling must plan TakeOrderedAndProject — a
+    global Sort before the limit would mean the corpus range-shuffles
+    for a K-row answer."""
+    df = q("sample_weighted_ares", spark)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert count_exchanges(df) == 0, plan
+
+
+def test_inverted_index_shuffles_only_term_keys(spark):
+    """Posting-list build: two map-side-combinable aggregations plus
+    the presentation sort — no window, no Python, and the 1-row corpus
+    count joins via broadcast (BNLJ), never a shuffle."""
+    df = q("text_inverted_index", spark)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "Python" not in plan, plan
+    # (w,doc) agg + (w) agg + presentation sort + the 1-row corpus
+    # count's SinglePartition exchange (moves #partitions partial rows).
+    assert count_exchanges(df) <= 4, plan
+
+
 def test_prefix_rank_plans_broadcast_offsets_and_partitioned_windows(spark):
     """The distributed prefix decomposition must keep its shape: the
     ≤32-row bucket-offset table joins back via BROADCAST (an offsets

@@ -7,10 +7,18 @@ from tests.oracle_utils import SF_DIR, check_query
 
 load_all()
 
-ORACLED = [
-    "pii_pseudonymize", "text_boilerplate", "pack_sequences",
-    "mix_domains_quota", "sample_stratified_topk",
-]
+# Module-based selection (minus the manifest set parametrized below)
+# so new registrations in this module can't silently miss coverage.
+_MANIFEST = {
+    "split_train_eval", "filter_reason_codes", "mix_importance_weights",
+    "text_token_histogram", "mix_temperature_weights", "pii_detect_stats",
+}
+ORACLED = sorted(
+    n
+    for n, s in REGISTRY.items()
+    if s.fn.__module__ == "splitserve_spark.operators.training_prep"
+    and s.oracle is not None and n not in _MANIFEST
+)
 
 
 @pytest.mark.parametrize("name", ORACLED)
@@ -80,10 +88,7 @@ def test_mix_quota_has_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
-MANIFEST_ORACLED = [
-    "split_train_eval", "filter_reason_codes", "mix_importance_weights",
-    "text_token_histogram", "mix_temperature_weights", "pii_detect_stats",
-]
+MANIFEST_ORACLED = sorted(_MANIFEST)
 
 
 @pytest.mark.parametrize("name", MANIFEST_ORACLED)
