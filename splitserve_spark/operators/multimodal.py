@@ -463,3 +463,99 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: ViT-style patch grid: square patch edge in pixels.  Only FULL
+#: patches are emitted (the ViT convention — ragged edges are cropped).
+MM_PATCH = 4
+
+
+def _patch_ppm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """payload → one row per full MM_PATCH×MM_PATCH patch with exact
+    integer per-channel sums (numpy block reduction, Arrow-batched)."""
+    p = MM_PATCH
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "py": [], "px": [],
+            "sum_r": [], "sum_g": [], "sum_b": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, pixels = _parse_ppm(bytes(payload))
+            for py in range(h // p):
+                for px in range(w // p):
+                    block = pixels[
+                        py * p : (py + 1) * p, px * p : (px + 1) * p, :
+                    ].astype(np.int64)
+                    sums = block.sum(axis=(0, 1))
+                    out["doc_id"].append(int(doc_id))
+                    out["py"].append(py)
+                    out["px"].append(px)
+                    out["sum_r"].append(int(sums[0]))
+                    out["sum_g"].append(int(sums[1]))
+                    out["sum_b"].append(int(sums[2]))
+        yield pd.DataFrame(out)
+
+
+def _ppm_patch_sum_sql(c: int) -> str:
+    p = MM_PATCH
+    return (
+        f"CAST(list_sum(flatten(list_transform("
+        f"range(py * {p}, py * {p} + {p}), y -> "
+        f"list_transform(range(px * {p}, px * {p} + {p}), x -> "
+        f"(doc_id*7 + y*13 + x*5 + {c}*11) % 256)))) AS BIGINT)"
+    )
+
+
+@register(
+    "mm_image_patches",
+    oracle=f"""
+    WITH imgs AS (
+        SELECT doc_id,
+               8 + doc_id % 9 AS w,
+               6 + doc_id % 7 AS h
+        FROM documents WHERE doc_id < {MM_PPM_DOCS}
+    ), grid AS (
+        SELECT i.doc_id, i.w, i.h, pys.py, pxs.px
+        FROM imgs i
+        CROSS JOIN range(0, 8) pys(py)
+        CROSS JOIN range(0, 8) pxs(px)
+        WHERE pys.py < i.h // {MM_PATCH} AND pxs.px < i.w // {MM_PATCH}
+    )
+    SELECT doc_id, CAST(py AS INTEGER) AS py, CAST(px AS INTEGER) AS px,
+           {_ppm_patch_sum_sql(0)} AS sum_r,
+           {_ppm_patch_sum_sql(1)} AS sum_g,
+           {_ppm_patch_sum_sql(2)} AS sum_b
+    FROM grid
+    ORDER BY doc_id, py, px
+    """,
+    tags=("multimodal", "pipeline", "image", "patches"),
+    priority=PRI_NEXT_WINDOW,  # don't displace the r7 backlog window
+)
+def mm_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patchification: every decoded image is cut into the
+    full {MM_PATCH}×{MM_PATCH} patch grid (ragged edges cropped, the
+    ViT convention) and each patch emits exact integer per-channel
+    sums — the patch-embedding input prep of an image-pretraining
+    pipeline, one row per (image, patch-row, patch-col).
+
+    Same Arrow discipline as mm_image_decode: the real PPM byte parser
+    runs inside mapInPandas, patches reduce with a numpy block sum,
+    and only tiny patch-feature rows leave Python.  No shuffle before
+    the presentation sort — at 100 TB this is a pure scan→decode→emit
+    pipeline whose output is ~(HW/P²) small rows per image.  The
+    oracle replays the synthetic pixel formula analytically over the
+    same grid."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    ids = t.documents.select("doc_id").filter(F.col("doc_id") < MM_PPM_DOCS)
+    payloads = ids.mapInPandas(
+        _encode_ppm_batches, schema="doc_id long, payload binary"
+    )
+    return (
+        payloads.mapInPandas(
+            _patch_ppm_batches,
+            schema="doc_id long, py int, px int, "
+                   "sum_r long, sum_g long, sum_b long",
+        )
+        .orderBy("doc_id", "py", "px")
+    )

@@ -296,3 +296,67 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_b).cast("long").alias("n_b"),
         "ks_d",
     )
+
+
+#: Support threshold for the exact heavy-hitters rollup (matches the
+#: freqItems sketch demo so the two are directly comparable).
+HH_SUPPORT = 0.2
+
+
+@register(
+    "stat_heavy_hitters_exact",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n_rows FROM orders),
+    u AS (
+        SELECT 'o_orderpriority' AS col, o_orderpriority AS item,
+               count(*) AS cnt
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'o_orderstatus', o_orderstatus, count(*)
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT col, item, CAST(cnt AS BIGINT) AS cnt,
+           round(cnt * 1.0 / n.n_rows, 6) AS frac
+    FROM u CROSS JOIN n
+    WHERE cnt >= {HH_SUPPORT} * n.n_rows
+    ORDER BY col, item
+    """,
+    tags=("stat", "heavy-hitters"),
+    priority=PRI_NEXT_WINDOW,  # don't displace the r7 backlog window
+)
+def stat_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters — the value-checked twin of the
+    `stat_freq_items` sketch (reference `stat/FrequentItems.scala:27`):
+    items covering ≥ {HH_SUPPORT} of the orders table per column, with
+    exact counts and support fractions.  The sketch returns a superset
+    with one pass and O(1/support) memory; this two-level exact rollup
+    is what you run when the item domain is bounded (statuses,
+    priorities, country codes) and the report must be auditable.
+
+    Plan: one map-side-combinable groupBy per column (partial counts
+    combine before the shuffle, so each column shuffles at most
+    |domain| rows per partition), a unionByName of the tiny rollups,
+    and the 1-row table count broadcast back for the relative
+    threshold.  The fact table is scanned twice but never shuffled —
+    at 100 TB each scan emits only its column's partial counts."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    n = t.orders.agg(F.count("*").alias("n_rows"))
+
+    def hh(col: str) -> DataFrame:
+        return (
+            t.orders.groupBy(F.col(col).alias("item"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.lit(col).alias("col"), "item", "cnt")
+        )
+
+    u = hh("o_orderpriority").unionByName(hh("o_orderstatus"))
+    return (
+        u.crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") >= HH_SUPPORT * F.col("n_rows"))
+        .select(
+            "col", "item", "cnt",
+            F.round(F.col("cnt") / F.col("n_rows"), 6).alias("frac"),
+        )
+        .orderBy("col", "item")
+    )

@@ -103,3 +103,16 @@ def test_ks_statistic_bounded_and_sane(spark):
     d = float(out["ks_d"].iloc[0])
     assert 0.0 <= d <= 1.0
     assert out["n_a"].iloc[0] > 0 and out["n_b"].iloc[0] > 0
+
+
+def test_freq_items_sketch_superset_of_exact_twin(spark):
+    """Family coherence: the freqItems sketch (superset guarantee) must
+    contain every item the EXACT heavy-hitters twin reports."""
+    import json
+
+    sk = REGISTRY["stat_freq_items"].fn(spark, SF_DIR).collect()[0]
+    exact = REGISTRY["stat_heavy_hitters_exact"].fn(spark, SF_DIR).toPandas()
+    for col in ("o_orderpriority", "o_orderstatus"):
+        sketch_items = set(json.loads(sk[f"{col}_freqItems"]))
+        exact_items = set(exact.loc[exact["col"] == col, "item"])
+        assert exact_items <= sketch_items, (col, exact_items, sketch_items)
