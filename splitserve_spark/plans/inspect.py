@@ -79,8 +79,15 @@ def unpartitioned_window_nodes(df: DataFrame) -> list[str]:
     always prints sort directions (ASC/DESC), a partition spec never
     does.  WindowGroupLimit nodes are not Window nodes and are
     skipped."""
+    return unpartitioned_window_nodes_in(physical_plan(df, mode="simple"))
+
+
+def unpartitioned_window_nodes_in(plan: str) -> list[str]:
+    """String-level form of unpartitioned_window_nodes for callers
+    that already hold the `simple` plan text (the registry-wide guards
+    share one plan per query instead of re-planning per guard)."""
     out = []
-    for raw in physical_plan(df, mode="simple").splitlines():
+    for raw in plan.splitlines():
         line = raw.strip().lstrip(":+- ").strip()
         if not line.startswith("Window "):
             continue

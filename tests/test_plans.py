@@ -439,7 +439,7 @@ def test_dynamic_partition_pruning_engages(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
 
 
-def test_no_unfenced_cartesian_anywhere(spark):
+def test_no_unfenced_cartesian_anywhere(registry_simple_plans):
     """Global scale guard: NO batch-relational query in the registry
     may plan a CartesianProduct at test SF.  Every pairwise operator
     (jaccard/containment ground truth, cosine pairs, ANN, BM25 stats
@@ -448,21 +448,12 @@ def test_no_unfenced_cartesian_anywhere(spark):
     BroadcastNestedLoopJoin, not CartesianProduct).  Non-relational
     surfaces (streaming, sinks, DDL side effects, RDD demos, iterative
     drivers) are exercised by their own suites and skipped here."""
-    from splitserve_spark.registry import REGISTRY, load_all
-
-    load_all()
-    skip_prefixes = (
-        "stream_", "source_", "sink_", "ddl_", "rdd_", "workload_pi",
-        "ml_kmeans", "graph_", "merge_", "mm_", "udtf_", "udf_",
-        "stat_observe",
-    )
-    offenders = []
-    for name, spec in sorted(REGISTRY.items()):
-        if name.startswith(skip_prefixes):
-            continue
-        plan = physical_plan(spec.fn(spark, SF_DIR))
-        if "CartesianProduct" in plan:
-            offenders.append(name)
+    offenders = [
+        name
+        for name, plan in registry_simple_plans.items()
+        if not name.startswith(("udf_", "stat_observe"))
+        and "CartesianProduct" in plan
+    ]
     assert not offenders, offenders
 
 
@@ -516,7 +507,36 @@ UNPARTITIONED_WINDOW_ALLOWED = {
 }
 
 
-def test_no_unpartitioned_window_anywhere(spark):
+#: Non-relational surfaces exercised by their own suites; the
+#: registry-wide plan guards skip these (side-effecting, streaming, or
+#: iterative-driver queries whose plans aren't one batch DAG).
+GUARD_SKIP_PREFIXES = (
+    "stream_", "source_", "sink_", "ddl_", "rdd_", "workload_pi",
+    "ml_kmeans", "graph_", "merge_", "mm_", "udtf_",
+)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def registry_simple_plans(spark):
+    """One `simple` physical plan per guard-eligible registry query,
+    shared by the three registry-wide guards below — several queries
+    are eager (driver-side approxQuantile/collect steps), so planning
+    each once instead of once per guard is a real suite-time win."""
+    from splitserve_spark.registry import REGISTRY, load_all
+
+    load_all()
+    plans = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if name.startswith(GUARD_SKIP_PREFIXES):
+            continue
+        plans[name] = physical_plan(spec.fn(spark, SF_DIR), mode="simple")
+    return plans
+
+
+def test_no_unpartitioned_window_anywhere(registry_simple_plans):
     """Global scale guard (the r6 verdict's single-reducer-window
     class): no batch-relational registry query may plan a Window with
     an empty partition spec over unbounded input — Spark moves ALL
@@ -524,44 +544,30 @@ def test_no_unpartitioned_window_anywhere(spark):
     r6 offenders (KS, equi-depth histogram, RFM, Pareto) now use the
     exact distributed prefix decomposition instead; the allow-list
     above names the only inputs bounded by construction."""
-    from splitserve_spark.plans.inspect import unpartitioned_window_nodes
-    from splitserve_spark.registry import REGISTRY, load_all
+    from splitserve_spark.plans.inspect import unpartitioned_window_nodes_in
 
-    load_all()
-    skip_prefixes = (
-        "stream_", "source_", "sink_", "ddl_", "rdd_", "workload_pi",
-        "ml_kmeans", "graph_", "merge_", "mm_", "udtf_", "udf_",
-        "stat_observe",
-    )
     offenders = {}
-    for name, spec in sorted(REGISTRY.items()):
-        if name.startswith(skip_prefixes) or name in UNPARTITIONED_WINDOW_ALLOWED:
+    for name, plan in registry_simple_plans.items():
+        if name.startswith(("udf_", "stat_observe")):
             continue
-        nodes = unpartitioned_window_nodes(spec.fn(spark, SF_DIR))
+        if name in UNPARTITIONED_WINDOW_ALLOWED:
+            continue
+        nodes = unpartitioned_window_nodes_in(plan)
         if nodes:
             offenders[name] = nodes[0][:160]
     assert not offenders, offenders
 
 
-def test_no_row_python_outside_designated_slow_path(spark):
+def test_no_row_python_outside_designated_slow_path(registry_simple_plans):
     """Global UDF-tier guard: the ONLY registry plan allowed to contain
     row-at-a-time Python evaluation (BatchEvalPython) is
     `udf_python_row`, the deliberate slow-path demo.  Everything else
     that crosses into Python must go through Arrow (pandas UDFs,
     mapInPandas/mapInArrow → ArrowEvalPython / MapInPandas nodes) —
     the 10-100× rule the module docstrings promise."""
-    from splitserve_spark.registry import REGISTRY, load_all
-
-    load_all()
-    skip_prefixes = (
-        "stream_", "source_", "sink_", "ddl_", "rdd_", "workload_pi",
-        "ml_kmeans", "graph_", "merge_", "mm_", "udtf_",
-    )
-    offenders = []
-    for name, spec in sorted(REGISTRY.items()):
-        if name.startswith(skip_prefixes) or name == "udf_python_row":
-            continue
-        plan = physical_plan(spec.fn(spark, SF_DIR))
-        if "BatchEvalPython" in plan:
-            offenders.append(name)
+    offenders = [
+        name
+        for name, plan in registry_simple_plans.items()
+        if name != "udf_python_row" and "BatchEvalPython" in plan
+    ]
     assert not offenders, offenders
