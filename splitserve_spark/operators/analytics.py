@@ -678,16 +678,21 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts of it."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
-    per_cust = t.orders.groupBy("o_custkey").agg(
-        F.datediff(
-            F.lit(RFM_ASOF).cast("date"),
-            F.max("o_orderdate").cast("date"),
-        ).alias("recency_days"),
-        F.count("*").alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("monetary"),
-    ).persist()
+    from splitserve_spark.operators.graph import _persist_tracked, _release_prior
+
+    _release_prior()  # free the previous invocation's cached rollup
+    per_cust = _persist_tracked(
+        t.orders.groupBy("o_custkey").agg(
+            F.datediff(
+                F.lit(RFM_ASOF).cast("date"),
+                F.max("o_orderdate").cast("date"),
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
 
     def score(sort_expr, out_name: str) -> DataFrame:
         keyed = per_cust.select(
