@@ -503,3 +503,119 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.select("node", F.col("label").alias("community"))
         .orderBy("node")
     )
+
+
+#: Weighted-SSSP knobs: Bellman-Ford relaxation rounds, seed count,
+#: and the edge-sample modulus (distinct from the BFS/LPA samples so
+#: the two shortest-path queries exercise different graphs).
+SSSP_ITER = 5
+SSSP_SOURCES = 2
+SSSP_MOD = 15
+
+
+@register(
+    "graph_sssp_weighted",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderkey % {SSSP_MOD} = 0
+    ),
+    wedges AS (
+      SELECT 'c' || ck AS src, 's' || sk AS dst,
+             1 + (ck * 3 + sk) % 7 AS w
+      FROM pairs
+    ),
+    sym AS (
+      SELECT src AS a, dst AS b, w FROM wedges
+      UNION SELECT dst, src, w FROM wedges
+      UNION SELECT src, src, 0 FROM wedges
+      UNION SELECT dst, dst, 0 FROM wedges
+    ),
+    sources AS (
+      SELECT a AS node FROM sym WHERE a LIKE 'c%'
+      GROUP BY a ORDER BY a LIMIT {SSSP_SOURCES}
+    ),
+    lab AS (
+      SELECT 0 AS iter, node, 0 AS dist FROM sources
+      UNION ALL
+      SELECT l.iter + 1, s.b AS node, min(l.dist + s.w) AS dist
+      FROM lab l JOIN sym s ON s.a = l.node
+      WHERE l.iter < {SSSP_ITER}
+      GROUP BY l.iter + 1, s.b
+    )
+    SELECT node, CAST(dist AS INTEGER) AS dist
+    FROM lab WHERE iter = {SSSP_ITER}
+    ORDER BY node
+    """,
+    tags=("graph", "workload", "iterative"),
+    priority=PRI_NEXT_WINDOW + 1,  # strictly last: round-6 debt clears first
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single/multi-source shortest paths — the classic Pregel
+    SSSP program (reference `graphx/.../Pregel.scala:112` apply(), and
+    `graphx/.../lib/ShortestPaths.scala:53` run() generalized from
+    hop-count to non-unit edge weights):
+    dist'(v) = min over edges (u,v,w) of dist(u)+w, {SSSP_ITER} fixed
+    Bellman-Ford rounds from the {SSSP_SOURCES} lexicographically-first
+    customer nodes.
+
+    Differs from graph_bfs_levels in both sample (orderkey % {SSSP_MOD})
+    and metric: edge weight w = 1 + (custkey*3 + suppkey) % 7 is a
+    deterministic function of the endpoint pair, so the cheapest route
+    is NOT the fewest-hops route and the two queries' answers diverge.
+    The weight-0 self-loop keeps settled nodes alive through each
+    min-aggregate round (same trick as BFS/PageRank), making Spark loop
+    and recursive-CTE oracle structurally identical.
+
+    Scale notes: the weighted symmetric edge list persists once and is
+    the static side of every round; each round shuffles only O(frontier)
+    (node, dist) pairs through one join + one min-aggregate (map-side
+    combinable).  No broadcast hints — the planner picks broadcast at
+    test SF and shuffle-join at cluster scale, the same discipline the
+    r6 PageRank de-hint established."""
+    ensure_parity_conf(spark)
+    _release_prior()
+    t = Tables(spark, sf_dir)
+    pairs = (
+        t.orders.filter(F.col("o_orderkey") % SSSP_MOD == 0)
+        .join(
+            t.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
+        )
+        .distinct()
+    )
+    wedges = pairs.select(
+        F.concat(F.lit("c"), F.col("ck")).alias("src"),
+        F.concat(F.lit("s"), F.col("sk")).alias("dst"),
+        (1 + (F.col("ck") * 3 + F.col("sk")) % 7).alias("w"),
+    )
+    sym = _persist_tracked(
+        wedges.select(F.col("src").alias("a"), F.col("dst").alias("b"), "w")
+        .union(wedges.select("dst", "src", "w"))
+        .union(wedges.select("src", "src", F.lit(0)))
+        .union(wedges.select("dst", "dst", F.lit(0)))
+        .distinct()
+    )
+    dist = (
+        sym.filter(F.col("a").startswith("c"))
+        .select(F.col("a").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(SSSP_SOURCES)
+        .withColumn("dist", F.lit(0))
+    )
+    for _ in range(SSSP_ITER):
+        dist = (
+            sym.join(dist, F.col("a") == F.col("node"))
+            .groupBy("b")
+            .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
+            .withColumnRenamed("b", "node")
+        )
+    return dist.select(
+        "node", F.col("dist").cast("int").alias("dist")
+    ).orderBy("node")

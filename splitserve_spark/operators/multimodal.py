@@ -559,3 +559,115 @@ def mm_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "py", "px")
     )
+
+
+#: Audio front-end frame geometry: non-overlapping AUDIO_FRAME-sample
+#: analysis windows (trailing partial frame dropped, the standard
+#: hop==window STFT grid).
+AUDIO_FRAME = 16
+
+
+def _audio_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """payload → per-frame (energy, zero_crossings, peak) rows.  All
+    features are INTEGER-exact (sum of squares, sign-change count,
+    max |x|) so the cross-engine hash has no float rounding surface."""
+    for pdf in batches:
+        doc_ids, frame_ids, energies, zcs, peaks = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _, _, samples = _parse_wav(bytes(payload))
+            for f in range(len(samples) // AUDIO_FRAME):
+                seg = samples[f * AUDIO_FRAME : (f + 1) * AUDIO_FRAME].astype(
+                    np.int64
+                )
+                doc_ids.append(int(doc_id))
+                frame_ids.append(f)
+                energies.append(int((seg * seg).sum()))
+                zcs.append(int(((seg[:-1] * seg[1:]) < 0).sum()))
+                peaks.append(int(np.abs(seg).max()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "frame_id": pd.Series(frame_ids, dtype="int32"),
+                "energy": pd.Series(energies, dtype="int64"),
+                "zero_crossings": pd.Series(zcs, dtype="int32"),
+                "peak": pd.Series(peaks, dtype="int32"),
+            }
+        )
+
+
+@register(
+    "mm_audio_features",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, 50 + doc_id % 32 AS n
+      FROM documents WHERE doc_id < {MM_WAV_DOCS}
+    ), s AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n),
+               i -> ((doc_id * 31 + i * 17) % 2048) - 1024) AS samples
+      FROM d
+    ), f AS (
+      SELECT doc_id, samples,
+             unnest(range(0, n // {AUDIO_FRAME})) AS frame_id
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(frame_id AS INTEGER) AS frame_id,
+           CAST(list_sum(list_transform(
+                  range(frame_id * {AUDIO_FRAME},
+                        frame_id * {AUDIO_FRAME} + {AUDIO_FRAME}),
+                  i -> samples[i + 1] * samples[i + 1])) AS BIGINT)
+             AS energy,
+           CAST(list_sum(list_transform(
+                  range(frame_id * {AUDIO_FRAME},
+                        frame_id * {AUDIO_FRAME} + {AUDIO_FRAME} - 1),
+                  i -> CASE WHEN samples[i + 1] * samples[i + 2] < 0
+                            THEN 1 ELSE 0 END)) AS INTEGER)
+             AS zero_crossings,
+           CAST(list_max(list_transform(
+                  range(frame_id * {AUDIO_FRAME},
+                        frame_id * {AUDIO_FRAME} + {AUDIO_FRAME}),
+                  i -> abs(samples[i + 1]))) AS INTEGER)
+             AS peak
+    FROM f
+    ORDER BY doc_id, frame_id
+    """,
+    tags=("multimodal", "pipeline", "feature-extract"),
+    priority=PRI_NEXT_WINDOW + 1,  # strictly last: round-6 debt clears first
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FRAME audio feature extraction — the speech-pipeline
+    front-end that turns decoded PCM into fixed-grid analysis frames
+    (energy, zero-crossing count, peak), i.e. the feature-extract verb
+    between mm_decode_features (whole-payload stats) and
+    mm_frame_sample (frame selection).  Reference analogue: the typed
+    mapPartitions pipeline (`execution/objects.scala:174`) feeding
+    BatchEvalPythonExec (`execution/python/BatchEvalPythonExec.scala:63`);
+    swap the framing kernel for librosa/torchaudio STFT when real
+    codecs are present (see `decode_media`).
+
+    Every emitted feature is integer-exact: energy = Σx² (int64),
+    zero_crossings = #{{i : x_i·x_{{i+1}} < 0}}, peak = max|x| — no
+    float rounding surface, so the DuckDB oracle (which replays the
+    synthesis formula analytically, never seeing the bytes) must match
+    bit-for-bit through the RIFF encode→parse roundtrip.
+
+    Scale notes: 1:N row expansion happens INSIDE the Arrow batch
+    (one mapInPandas pass, no explode-then-shuffle); the plan is
+    scan → encode → feature-extract with zero exchanges before the
+    final presentation sort.  At 100 TB the frame rows inherit the
+    input partitioning, and the sort is the queryable-output
+    convention, not part of the pipeline."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id").filter(F.col("doc_id") < MM_WAV_DOCS)
+    wav = docs.mapInPandas(
+        _encode_wav_batches, schema="doc_id bigint, payload binary"
+    )
+    return wav.mapInPandas(
+        _audio_feature_batches,
+        schema=(
+            "doc_id bigint, frame_id int, energy bigint, "
+            "zero_crossings int, peak int"
+        ),
+    ).orderBy("doc_id", "frame_id")

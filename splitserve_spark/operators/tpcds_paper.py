@@ -315,3 +315,72 @@ def qds3_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sales_year", F.col("revenue").desc(), "p_brand")
     )
+
+
+@register(
+    "qds7_demographic_item_avgs",
+    oracle="""
+    SELECT p_brand,
+           round(avg(l_quantity), 4)      AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4)      AS avg_disc,
+           round(avg(l_tax), 4)           AS avg_tax
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN part     ON l_partkey  = p_partkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND year(o_orderdate) = 1995
+      AND (p_type = 'PROMO' OR p_size < 10)
+    GROUP BY p_brand
+    ORDER BY p_brand
+    LIMIT 100
+    """,
+    tags=("tpcds", "beyond-quartet"),
+    priority=PRI_NEXT_WINDOW + 1,  # strictly last: round-6 debt clears first
+)
+def qds7_demographic_item_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q7 plan shape beyond the paper's quartet (spec query 7:
+    per-item averages for one demographic slice, one year, promo-
+    channel-filtered): a 4-way STAR — fact ⋈ demographics ⋈ date ⋈
+    item(+promo predicate) → group on the item key → four AVGs →
+    ordered LIMIT.  On this schema: customer_demographics maps to
+    customer (cd_gender/marital/education slice → c_mktsegment),
+    date_dim to year(o_orderdate), item to part, and the promotion
+    dim's disjunctive channel predicate to
+    (p_type='PROMO' OR p_size<10) on the item side.
+
+    The shape's point at scale: three independent dim filters reduce
+    the fact stream multiplicatively BEFORE the single agg shuffle;
+    customer is the only non-broadcast-size dim, so the planner
+    shuffle-joins it and broadcasts the rest (no hints — AQE decides),
+    and the final TopK is TakeOrderedAndProject, never a global sort."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    demo = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    item = t.part.filter(
+        (F.col("p_type") == "PROMO") | (F.col("p_size") < 10)
+    ).select("p_partkey", "p_brand")
+    dated_orders = t.orders.filter(F.year("o_orderdate") == 1995).select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        t.lineitem.select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax",
+        )
+        .join(dated_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(demo, F.col("o_custkey") == F.col("c_custkey"))
+        .join(item, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.avg("l_tax"), 4).alias("avg_tax"),
+        )
+        .orderBy("p_brand")
+        .limit(100)
+    )

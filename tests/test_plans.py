@@ -571,3 +571,24 @@ def test_no_row_python_outside_designated_slow_path(registry_simple_plans):
         if name != "udf_python_row" and "BatchEvalPython" in plan
     ]
     assert not offenders, offenders
+
+
+def test_audio_features_single_pass_no_exchange(spark):
+    """mm_audio_features' 1:N frame expansion happens INSIDE the Arrow
+    batch: the plan is scan → two ArrowEvalPython/mapInPandas stages →
+    presentation sort, with no hash exchange (the only exchange is the
+    final orderBy's range partitioning)."""
+    df = q("mm_audio_features", spark)
+    plan = physical_plan(df)
+    assert "Generate" not in plan, plan  # no explode-then-shuffle
+    assert count_exchanges(df) <= 1, plan  # orderBy only
+
+
+def test_qds7_star_topk_take_ordered(spark):
+    """qds7's ordered LIMIT must plan TakeOrderedAndProject (never a
+    global sort of all brands), and the partial aggregate must collapse
+    the fact stream before the single group-key shuffle."""
+    df = q("qds7_demographic_item_avgs", spark)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_avg" in plan or "partial" in plan.lower(), plan

@@ -10,7 +10,7 @@ load_all()
 ORACLED = [
     "sim_cosine_topk", "sim_cosine_pairs", "sim_norms", "mm_binary_meta",
     "sim_label_centroid_drift", "mm_image_decode", "sim_truncation_recall",
-    "sim_centroid_classifier",
+    "sim_centroid_classifier", "mm_audio_features",
 ]
 
 

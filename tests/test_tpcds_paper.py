@@ -13,6 +13,7 @@ QDS = [
     "qds94_web_no_returns",
     "qds95_both_sites_view",
     "qds3_brand_revenue",
+    "qds7_demographic_item_avgs",
 ]
 
 

@@ -17,6 +17,7 @@ load_all()
         "ml_kmeans_onestep",
         "graph_triangle_count",
         "graph_bfs_levels",
+        "graph_sssp_weighted",
     ],
 )
 def test_oracle_match(spark, name):
