@@ -181,3 +181,49 @@ def test_ppm_parser_raises_on_truncation(spark):
     for bad in (b"P6\n2 3", b"P6\n", b"P6\n2 3\n255\n" + bytes(5)):
         with _pytest.raises(ValueError):
             _parse_ppm(bad)
+
+
+def test_sig_kernel_bit_exact_vs_jvm_fold(spark):
+    """The Arrow signature kernel (_sig_kernel, np.cumsum sequential
+    fold) must reproduce the JVM higher-order-function fold it replaced
+    BIT-exactly — every bucket id, for both LSH plane families.  A
+    future edit swapping cumsum for matmul/einsum (pairwise summation)
+    would flip sign bits on near-orthogonal vectors and silently break
+    the DuckDB oracle parity; this pins the contract on real corpus
+    vectors."""
+    from pyspark.sql import functions as F
+
+    from splitserve_spark.operators.similarity import (
+        _as_double, _dedup_hyperplanes, _dot, _hyperplanes, _sig_kernel,
+        DEDUP_LSH_BITS, EMB_DIM, N_BITS,
+    )
+    from splitserve_spark.tables import Tables
+
+    base = (
+        Tables(spark, SF_DIR).embeddings.filter(F.col("vec_id") < 40)
+        .select("vec_id", _as_double("embedding").alias("v"))
+    )
+    for planes, n_bits in (
+        (_hyperplanes(EMB_DIM), N_BITS),
+        (_dedup_hyperplanes(EMB_DIM), DEDUP_LSH_BITS),
+    ):
+        def table_sig(v, table):
+            sig = F.lit(0)
+            for plane in planes[table]:
+                pl = F.array(*[F.lit(float(x)) for x in plane])
+                sig = sig * 2 + F.when(_dot(pl, v) >= 0, 1).otherwise(0)
+            return sig
+
+        n_tables = min(len(planes), 3)  # JVM fold is slow; sample tables
+        jvm = base.select(
+            "vec_id", *[table_sig(F.col("v"), t).alias(f"t{t}")
+                        for t in range(n_tables)]
+        ).toPandas().set_index("vec_id").sort_index()
+        arrow = (
+            base.select("vec_id", _sig_kernel(planes, n_bits)("v").alias("b"))
+            .toPandas().set_index("vec_id").sort_index()
+        )
+        for t in range(n_tables):
+            assert (
+                [int(b[t]) for b in arrow["b"]] == jvm[f"t{t}"].tolist()
+            ), f"bucket mismatch in table {t}"
