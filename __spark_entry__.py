@@ -7,11 +7,11 @@ queries()      — every registered operator query from SURVEY.md §2 plus
                  joins/aggregates/windows/setops/subqueries, scalar
                  functions, UDF surface, stats, DDL, RDD ops, streaming,
                  dedup/similarity/text/multimodal, graph/ML workloads).
-oracle_sql()   — matching DuckDB SQL per query (273 entries; None-oracle
+oracle_sql()   — matching DuckDB SQL per query (274 entries; None-oracle
                  queries omitted → driver records a rows-only check;
-                 the 6 remaining are true RNG/sketch/engine-internal
+                 the 5 remaining are true RNG/sketch/engine-internal
                  cases: seeded sampling ×2, MLlib k-means, HLL++/GK
-                 estimates, freqItems, murmur3/xxhash).
+                 estimates, freqItems).
 
 The two counts above are asserted against len(REGISTRY) in
 tests/test_entry.py — update them when registering queries.

@@ -17,12 +17,45 @@ def test_oracle_match(spark, name):
     check_query(spark, name, SF_DIR)
 
 
-def test_hash_partitioning_deterministic(spark):
-    fn = REGISTRY["fn_hash_partitioning"].fn
-    a = fn(spark, SF_DIR).drop("pid").toPandas()
-    b = fn(spark, SF_DIR).drop("pid").toPandas()
-    assert a.equals(b)
+def test_hash_partitioning_oracle_and_spread(spark):
+    check_query(spark, "fn_hash_partitioning", SF_DIR, strict=True)
+    a = REGISTRY["fn_hash_partitioning"].fn(spark, SF_DIR).toPandas()
     assert a["murmur3"].nunique() > 20  # 25 nations, hashes spread
+
+
+def test_pure_hash_spec_vectors_and_spark_parity(spark):
+    """pure_hash must match (a) the published algorithm vectors —
+    murmur3_x86_32 SMHasher empty-input vectors apply because Spark's
+    byte-wise tail variant coincides with canonical murmur3 on 4-byte-
+    aligned input — and (b) Spark bit-for-bit across every code path:
+    aligned words, 1-3-byte tails (sign-extension), 4/8-byte xxh64
+    tails, and the 32-byte stripe loop."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from splitserve_spark.functions.pure_hash import murmur3_x86_32, xxhash64
+
+    assert murmur3_x86_32(b"", 0) == 0
+    assert murmur3_x86_32(b"", 1) == 0x514E28B7
+    assert (xxhash64(b"", 0) & 0xFFFFFFFFFFFFFFFF) == 0xEF46DB3751D8E999
+    strings = ["", "a", "ab", "abc", "abcd", "naïve", "東京",
+               "x" * 33, "ï" * 7, "The quick brown fox"]
+    rows = (
+        spark.createDataFrame([(s,) for s in strings], "s string")
+        .select(
+            "s",
+            F.hash("s").alias("m3"),
+            F.xxhash64("s").alias("xx"),
+            F.crc32(F.col("s").cast("binary")).alias("crc"),
+        )
+        .collect()
+    )
+    for row in rows:
+        b = row["s"].encode()
+        assert row["m3"] == murmur3_x86_32(b), row["s"]
+        assert row["xx"] == xxhash64(b), row["s"]
+        assert row["crc"] == zlib.crc32(b), row["s"]
 
 
 def test_explode_outer_keeps_empty_rows(spark):
