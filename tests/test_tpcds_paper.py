@@ -7,14 +7,13 @@ from tests.oracle_utils import SF_DIR, check_query
 
 load_all()
 
-QDS = [
-    "qds5_channel_rollup",
-    "qds16_multi_site_no_returns",
-    "qds94_web_no_returns",
-    "qds95_both_sites_view",
-    "qds3_brand_revenue",
-    "qds7_demographic_item_avgs",
-]
+# Select by module, not by hand-maintained list (r6 advice pattern):
+# every tpcds_paper query is oracled, so new shapes are auto-covered.
+QDS = sorted(
+    n
+    for n, s in REGISTRY.items()
+    if s.fn.__module__ == "splitserve_spark.operators.tpcds_paper"
+)
 
 
 @pytest.mark.parametrize("name", QDS)
