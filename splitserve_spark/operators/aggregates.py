@@ -595,11 +595,18 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Sparse-exact regime fence for the HLL oracle: lgK=12 Datasketches
-#: HLL is exactly equal to count(DISTINCT) below ~3k distincts per
-#: group; doc_id < 40000 caps per-source cardinality at 2000 under the
-#: corpus's round-robin source assignment (no-op at shipped SFs).
-HLL_FENCE_MAX_ID = 40_000
+#: Exact-regime fence for the HLL oracle, MEASURED (the earlier "~3k"
+#: assumption was wrong — caught by the 8× replicated-corpus strict
+#: run, SCALE_SMOKE.md): a single lgK=12 Datasketches sketch estimates
+#: exactly through 512 distincts (769 already reads 764), but the
+#: hll_union_agg path this query exercises frays earlier — first
+#: observed miss at 388 unioned distincts, solidly exact ≤385.
+#: doc_id < 5000 caps per-source cardinality at 250 (halves ≤125)
+#: under the corpus's round-robin source assignment — inside the union
+#: boundary with ~35% margin, and a no-op at every shipped SF (max
+#: doc_id ≈ 5k), so the fenced block is byte-identical in any corpus
+#: containing ids 0..4999.
+HLL_FENCE_MAX_ID = 5_000
 
 
 @register(
@@ -623,17 +630,20 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (ref approx machinery: `aggregate/HyperLogLogPlusPlus.scala:47`;
     the datasketches functions are its modern mergeable successor).
 
-    Oracle note: a Datasketches HLL (lgK=12) stays in exact sparse mode
-    below ~3k distincts.  The regime is GUARDED IN CODE, not by the
-    current SF ceiling: the fence doc_id < {HLL_FENCE_MAX_ID} caps
-    per-source cardinality at {HLL_FENCE_MAX_ID}/20 = 2000 under the
-    corpus's round-robin source assignment (a no-op at every shipped
-    SF, where max doc_id ≈ 5k), so the estimate provably equals the
-    exact distinct count at ANY scale factor — which is what makes
-    this oracle-checkable rather than rows-only.  tests/ additionally
-    assert the fenced per-source cardinality sits inside the sparse
-    bound, and the companion estimate-vs-exact tolerance test covers
-    the general (non-exact) regime contract."""
+    Oracle note: a Datasketches HLL (lgK=12) equals exact distinct
+    only in its small-cardinality regime, and the hll_union_agg path
+    used here leaves that regime EARLIER than a single sketch —
+    measured: single sketch exact ≤512, union-of-halves first misses
+    at 388.  The regime is GUARDED IN CODE, not by the current SF
+    ceiling: the fence doc_id < {HLL_FENCE_MAX_ID} caps per-source
+    cardinality at 250 (halves ≤125) under the corpus's round-robin
+    source assignment (a no-op at every shipped SF, where max doc_id ≈
+    5k), so the estimate equals the exact distinct count at ANY scale
+    factor — verified on the 8× replicated corpus, which caught the
+    earlier too-loose 40k fence.  tests/ additionally assert the
+    fenced per-source cardinality and pin the measured union boundary;
+    the companion estimate-vs-exact tolerance test covers the general
+    (non-exact) regime contract."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     docs = t.documents.filter(F.col("doc_id") < HLL_FENCE_MAX_ID).select(

@@ -175,7 +175,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '15 minutes', ts) AS wstart,
            event_type,
            count(*)   AS n_events,
-           sum(value) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     ORDER BY wstart, event_type
@@ -193,7 +193,11 @@ def stream_file_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "15 minutes"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double").alias("total_value"),
+        )
         .select(
             F.col("window.start").alias("wstart"),
             "event_type",

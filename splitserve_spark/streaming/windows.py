@@ -37,7 +37,7 @@ from splitserve_spark.tables import Tables
            time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS wend,
            event_type,
            count(*)        AS n_events,
-           sum(value)      AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2, 3
     ORDER BY wstart, event_type
@@ -53,7 +53,11 @@ def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.window("ts", "10 minutes")
     return (
         t.events.groupBy(w, "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double").alias("total_value"),
+        )
         .select(
             F.col("window.start").alias("wstart"),
             F.col("window.end").alias("wend"),
@@ -76,7 +80,8 @@ def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT wstart,
            wstart + INTERVAL '10 minutes' AS wend,
            count(*)   AS n_events,
-           avg(value) AS avg_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             AS avg_value
     FROM assigned
     WHERE ts >= wstart AND ts < wstart + INTERVAL '10 minutes'
     GROUP BY wstart
@@ -93,7 +98,11 @@ def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.window("ts", "10 minutes", "5 minutes")
     return (
         t.events.groupBy(w)
-        .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_value"),
+        )
         .select(
             F.col("window.start").alias("wstart"),
             F.col("window.end").alias("wend"),

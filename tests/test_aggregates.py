@@ -71,9 +71,12 @@ def test_hll_sketch_estimate_tracks_exact(spark):
 
 def test_hll_fence_keeps_sparse_exact_regime(spark):
     """The in-code fence (doc_id < HLL_FENCE_MAX_ID) must keep every
-    per-source cardinality inside the lgK=12 sparse-exact bound (~3k),
-    the regime in which the oracle's estimate == exact equality holds
-    at ANY scale factor."""
+    per-source cardinality inside the regime where the query's
+    sketch→union→estimate pipeline is EXACT.  Measured (the earlier
+    ~3k assumption was refuted by the 8× replicated-corpus strict
+    run): a single lgK=12 sketch is exact ≤512 distincts, but the
+    hll_union_agg path first misses at 388 — so the fence caps per
+    source at 250."""
     from pyspark.sql import functions as F
 
     from splitserve_spark.operators.aggregates import HLL_FENCE_MAX_ID
@@ -86,7 +89,14 @@ def test_hll_fence_keeps_sparse_exact_regime(spark):
         .agg(F.count_distinct("doc_id").alias("n"))
         .toPandas()
     )
-    assert (per_source["n"] < 3000).all(), per_source
-    # And the fence math itself: 40000 ids round-robined over the 20
-    # sources can never exceed 2000 per source.
-    assert HLL_FENCE_MAX_ID // 20 <= 2000
+    assert (per_source["n"] <= 250).all(), per_source
+    # The fence math itself: FENCE ids round-robined over 20 sources.
+    assert HLL_FENCE_MAX_ID // 20 <= 250
+    # Pin the measured regime at the fence cap: 250 distincts through
+    # the SAME split→sketch→union→estimate pipeline the query runs.
+    df = spark.range(250).select("id", (F.col("id") % 2).alias("half"))
+    partials = df.groupBy("half").agg(F.hll_sketch_agg("id").alias("sk"))
+    est = partials.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0]["e"]
+    assert est == 250
