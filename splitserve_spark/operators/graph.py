@@ -619,3 +619,134 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         "node", F.col("dist").cast("int").alias("dist")
     ).orderBy("node")
+
+
+#: SCC pivot-block knobs: the fenced node set (doc_id < SCC_N — ids
+#: 0..255 exist at every shipped SF and in every replicated corpus, so
+#: the block is byte-identical everywhere) and the closure-doubling
+#: depth.  The md5-derived edge set (1–2 out-edges per node) yields a
+#: nontrivial condensation on this block: one giant SCC (141 nodes),
+#: one 3-cycle, 112 singletons; its closure reaches fixpoint at 6
+#: doublings — 7 is one whole doubling of margin, asserted in tests.
+SCC_N = 256
+SCC_DOUBLINGS = 7
+
+
+def _scc_oracle() -> str:
+    """DuckDB replica of graph_scc: same md5-derived edges, same
+    closure-doubling unrolled as chained CTEs, same mutual-reach
+    min-label."""
+    from splitserve_spark.functions.parity_hash import md5_hash60_sql as h
+
+    sql = f"""
+    WITH nodes AS (SELECT CAST(doc_id AS INTEGER) AS u FROM documents
+                   WHERE doc_id < {SCC_N}),
+    e1 AS (SELECT u AS src,
+                  CAST({h("'scc-e1-' || u")} % {SCC_N} AS INTEGER) AS dst
+           FROM nodes),
+    e2 AS (SELECT u AS src,
+                  CAST({h("'scc-e2-' || u")} % {SCC_N} AS INTEGER) AS dst
+           FROM nodes WHERE {h("'scc-d-' || u")} % 2 = 0),
+    r0 AS (SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2
+           UNION SELECT u AS src, u AS dst FROM nodes),
+"""
+    prev = "r0"
+    for k in range(1, SCC_DOUBLINGS + 1):
+        sql += f"""    r{k} AS (SELECT src, dst FROM {prev}
+           UNION SELECT a.src, b.dst FROM {prev} a
+                 JOIN {prev} b ON a.dst = b.src),
+"""
+        prev = f"r{k}"
+    sql += f"""    scc AS (
+      SELECT f.src AS node, min(f.dst) AS scc_id
+      FROM {prev} f JOIN {prev} b ON f.src = b.dst AND f.dst = b.src
+      GROUP BY f.src)
+    SELECT node, CAST(scc_id AS INTEGER) AS scc_id,
+           CAST(count(*) OVER (PARTITION BY scc_id) AS INTEGER) AS scc_size
+    FROM scc
+    ORDER BY node
+    """
+    return sql
+
+
+@register(
+    "graph_scc",
+    oracle=_scc_oracle(),
+    tags=("graph", "workload", "iterative"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of a directed graph (reference
+    `graphx/.../lib/StronglyConnectedComponents.scala:33` run(): its
+    per-round forward/backward reachabilities are exactly the
+    transitive-closure primitive computed here), via log-round CLOSURE
+    DOUBLING on a fenced pivot block: R₀ = edges ∪ identity,
+    R_{k+1} = R_k ∪ (R_k ∘ R_k), so k doublings cover all paths of
+    length ≤ 2^k — the pointer-doubling idea underlying every
+    distributed reachability/CC algorithm, as joins.  A node's SCC id
+    is the minimum label over its MUTUAL-reach set: fwd ⋈ reversed(fwd)
+    on (src, dst) keeps exactly the pairs with both directions, then
+    min(dst) per src — u,v share an scc_id iff u→*v and v→*u.
+
+    The graph: each fenced doc (ids 0..SCC_N, identical at every SF
+    and in replicated corpora) gets 1–2 md5-derived out-edges
+    (functions/parity_hash.py recipe, so the DuckDB oracle builds the
+    SAME graph) — a sparse digraph with a giant SCC, a small cycle and
+    many singletons, i.e. real condensation structure, not a toy both
+    engines short-circuit.
+
+    Scale notes: closure materialization is quadratic in the worst
+    case, which is WHY it is fenced to a pivot block (37.6k closure
+    pairs here) — at 100 TB one runs FW-BW decomposition: pick a
+    pivot, split its partition into SCC/fwd-only/bwd-only/rest with
+    two reachability sweeps, recurse per partition; each sweep is this
+    same doubling join, O(log diameter) rounds of shuffles instead of
+    O(diameter) for naive propagation (the difference between 7 and
+    ~64 rounds on this block's giant SCC).  Every distinct is an
+    exact-key shuffle; nothing driver-side."""
+    ensure_parity_conf(spark)
+    from splitserve_spark.functions.parity_hash import md5_hash60
+
+    t = Tables(spark, sf_dir)
+    nodes = t.documents.filter(F.col("doc_id") < SCC_N).select(
+        F.col("doc_id").cast("int").alias("u")
+    )
+
+    def _h(tag):
+        return md5_hash60(F.concat(F.lit(tag), F.col("u").cast("string")))
+
+    e1 = nodes.select(
+        F.col("u").alias("src"), (_h("scc-e1-") % SCC_N).cast("int").alias("dst")
+    )
+    e2 = nodes.filter(_h("scc-d-") % 2 == 0).select(
+        F.col("u").alias("src"), (_h("scc-e2-") % SCC_N).cast("int").alias("dst")
+    )
+    reach = (
+        e1.union(e2)
+        .union(nodes.select(F.col("u").alias("src"), F.col("u").alias("dst")))
+        .distinct()
+    )
+    for _ in range(SCC_DOUBLINGS):
+        hop = (
+            reach.alias("a")
+            .join(reach.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        reach = reach.union(hop).distinct()
+    back = reach.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    scc = (
+        reach.join(back, ["src", "dst"])
+        .groupBy("src")
+        .agg(F.min("dst").alias("scc_id"))
+        .select(F.col("src").alias("node"), "scc_id")
+    )
+    from pyspark.sql.window import Window as W
+
+    return scc.select(
+        "node",
+        F.col("scc_id").cast("int").alias("scc_id"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("scc_id"))
+        .cast("int")
+        .alias("scc_size"),
+    ).orderBy("node")

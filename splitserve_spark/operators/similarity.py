@@ -10,10 +10,17 @@ Tiers:
     billion-vector indexes (oracle-checked)
 
 Scale design: query vectors are broadcast (they are the small side by
-construction); per-row cosine runs as JVM higher-order functions
-(zip_with + aggregate); the LSH signature hot path (T·B dot products
-per vector) runs as one Arrow-vectorized pandas kernel that reproduces
-the JVM fold bit-exactly (_sig_kernel).  Top-k per query uses the
+construction); every per-row distance/cosine hot path runs as an
+Arrow-vectorized pandas kernel that reproduces the JVM
+zip_with+aggregate fold bit-exactly (_sig_kernel for LSH signatures,
+_arrow_l2sq/_arrow_cosine for IVF/PQ assignment and candidate
+reranks — interpreted HOFs are CodegenFallback, measured ~9× slower);
+the JVM fold forms (_dot/_cosine) remain for bounded cold paths and as
+the regression twins the kernels are pinned against.  Argmin
+assignment (nearest centroid / codebook entry) aggregates with
+min_by over a (dist, id) struct — partial-aggregatable map-side, so
+assignment needs NO shuffle-and-window; ties break on the id exactly
+like the row_number form it replaces.  Top-k per query uses the
 rank-window + filter shape, which Spark executes with WindowGroupLimit
 pushdown (partial top-k before the shuffle).  The LSH variants trade
 the all-pairs scan for equi-joins on sign-bit signatures.
@@ -25,7 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 from pyspark.sql.window import Window
 
 from splitserve_spark.registry import PRI_NEXT_WINDOW, register
@@ -88,6 +95,39 @@ def _sig_kernel(planes, n_bits: int):
     return buckets
 
 
+def _stack(col: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+@F.pandas_udf(DoubleType())
+def _arrow_l2sq(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow twin of the _l2sq JVM fold: squared L2 distance between
+    two array<double> columns.  BIT-EXACT to
+    F.aggregate(zip_with(a, b, (x,y) -> (x-y)²), 0.0, acc + d):
+    np.cumsum along the dimension axis performs the same left-to-right
+    IEEE additions (and 0.0 + d₀ == d₀ exactly), so every downstream
+    argmin/tie-break is unchanged — same recipe, and same
+    regression-test pattern, as _sig_kernel."""
+    if not len(a):
+        return pd.Series(np.empty(0, dtype=np.float64))
+    d = (_stack(a) - _stack(b)) ** 2
+    return pd.Series(np.cumsum(d, axis=1)[:, -1])
+
+
+@F.pandas_udf(DoubleType())
+def _arrow_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow twin of _cosine: dot/(‖a‖·‖b‖) with every fold as a
+    sequential cumsum — bit-exact to the JVM form (elementwise
+    multiply, divide and sqrt are single IEEE ops on both sides)."""
+    if not len(a):
+        return pd.Series(np.empty(0, dtype=np.float64))
+    ma, mb = _stack(a), _stack(b)
+    dot = np.cumsum(ma * mb, axis=1)[:, -1]
+    na = np.cumsum(ma * ma, axis=1)[:, -1]
+    nb = np.cumsum(mb * mb, axis=1)[:, -1]
+    return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+
 @register(
     "sim_cosine_topk",
     oracle=f"""
@@ -129,7 +169,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cosine(F.col("qv"), F.col("v")).alias("cosine"),
+            _arrow_cosine(F.col("qv"), F.col("v")).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
@@ -174,7 +214,7 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", _cosine(F.col("v_a"), F.col("v_b")))
+        .withColumn("cosine", _arrow_cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") > NEAR_DUP_TAU)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
@@ -221,7 +261,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(F.col("vec_id").alias("dup_id"), F.col("v").alias("v_b"))
     return (
         a.join(b, F.col("earlier_id") < F.col("dup_id"))
-        .withColumn("cos", _cosine(F.col("v_a"), F.col("v_b")))
+        .withColumn("cos", _arrow_cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos") >= NEAR_DUP_TAU)
         .groupBy("dup_id")
         .agg(
@@ -368,7 +408,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         candidates.join(va, "earlier_id")
         .join(vb, "dup_id")
-        .withColumn("cos", _cosine(F.col("v_a"), F.col("v_b")))
+        .withColumn("cos", _arrow_cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos") >= NEAR_DUP_TAU)
         .groupBy("dup_id")
         .agg(
@@ -522,7 +562,7 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            _cosine(F.col("qv"), F.col("v")).alias("cosine"),
+            _arrow_cosine(F.col("qv"), F.col("v")).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
@@ -597,11 +637,18 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-reranks only those cells' vectors (~P/C of the corpus).
 
     The quantizer is one deterministic Lloyd step from a fixed seed
-    (init = the C lowest vec_ids), entirely in DataFrames: assignment
-    is a broadcast argmin over centroids, the update re-averages per
-    component via posexplode → groupBy(cell, pos).  At 100 TB the cell
-    index is a partitioned table keyed by cell_id, so a probe reads
-    P/C of the data — the classic FAISS-style layout as a Spark join.
+    (init = the C lowest vec_ids): the C centroids (bounded by
+    N_CELLS — the Lloyd-pull pattern, as in ml_kmeans_lloyd) are
+    collected and baked into one Arrow argmin kernel
+    (_pq_code_kernel), so both assignment passes are scan→project
+    with NO join and NO shuffle — bit-exact to the broadcast-join
+    argmin they replace (cumsum⇔fold identity + first-minimum ==
+    lower-cid tie-break, see the kernel docstring); the update
+    re-averages per component via posexplode → groupBy(cell, pos).
+    At 100 TB the cell index is a partitioned table keyed by cell_id,
+    so a probe reads P/C of the data — the classic FAISS layout, with
+    the trained quantizer shipped to executors exactly as FAISS ships
+    it to query nodes.
     Deterministic end-to-end (argmin/probe/rank ties all break on
     ids), so it is value-checked against a SQL replica of the full
     quantize→probe→re-rank pipeline (the r6 'upgrade rows-only
@@ -611,27 +658,26 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     base = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
 
-    def _l2sq(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        )
+    def _nearest(cent_mat):
+        """Assign each vector its argmin-distance centroid with ONE
+        Arrow kernel pass over the raw vectors — the quantizer matrix
+        (C·EMB_DIM doubles, bounded by N_CELLS: the Lloyd-pull
+        pattern) lives in the kernel closure, so assignment is
+        scan→project with no join and no shuffle.  _pq_code_kernel
+        with a single subspace spanning the full vector; argmin's
+        first-minimum rule IS the lower-cid tie-break."""
+        cid = F.get(_pq_code_kernel(cent_mat)("v"), 0).alias("cid")
+        return base.select("vec_id", "v", cid)
 
     # --- one Lloyd step from deterministic init ---------------------
-    init = base.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    init_rows = sorted(
+        base.filter(F.col("vec_id") < N_CELLS).collect(),
+        key=lambda r: r["vec_id"],
     )
-    assign0 = (
-        base.join(F.broadcast(init))
-        .withColumn("dist", _l2sq(F.col("v"), F.col("cv")))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("vec_id").orderBy("dist", "cid")),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
-    )
+    init_mat = np.array(
+        [r["v"] for r in init_rows], dtype=np.float64
+    ).reshape(1, N_CELLS, EMB_DIM)
+    assign0 = _nearest(init_mat)
     centroids = (
         assign0.select("cid", F.posexplode("v").alias("pos", "x"))
         .groupBy("cid", "pos")
@@ -640,24 +686,23 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("cid", F.transform("pm", lambda s: s["m"]).alias("cv"))
     )
+    cent_rows = centroids.collect()
+    # Complete by construction: init vector c assigns to cell c at
+    # distance 0, so every cell has ≥1 member.
+    assert len(cent_rows) == N_CELLS, f"incomplete centroids: {len(cent_rows)}"
+    cent_mat = np.zeros((1, N_CELLS, EMB_DIM), dtype=np.float64)
+    for r in cent_rows:
+        cent_mat[0, r["cid"]] = r["cv"]
     # --- final assignment + inverted lists --------------------------
-    cells = (
-        base.join(F.broadcast(centroids))
-        .withColumn("dist", _l2sq(F.col("v"), F.col("cv")))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("vec_id").orderBy("dist", "cid")),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
-    )
-    # --- query probes: P nearest centroids per query ----------------
+    cells = _nearest(cent_mat)
+    # --- query probes: P nearest centroids per query (top-P needs a
+    # rank, but only over N_QUERIES·C broadcast-joined rows) ---------
     q = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     probes = (
         q.join(F.broadcast(centroids))
-        .withColumn("dist", _l2sq(F.col("qv"), F.col("cv")))
+        .withColumn("dist", _arrow_l2sq(F.col("qv"), F.col("cv")))
         .withColumn(
             "rn",
             F.row_number().over(Window.partitionBy("query_id").orderBy("dist", "cid")),
@@ -673,7 +718,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cosine(F.col("qv"), F.col("v")).alias("cosine"),
+            _arrow_cosine(F.col("qv"), F.col("v")).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
@@ -874,6 +919,35 @@ PQ_K = 16
 PQ_RERANK = 100
 
 
+def _pq_code_kernel(cb_matrix: np.ndarray):
+    """PQ encoder: one Arrow kernel pass mapping a full vector
+    (array<double>, M·SUBDIM) to its M codebook codes (array<int>).
+    The quantizer matrix (M, K, SUBDIM) lives in the closure — the
+    bounded Lloyd-pull pattern — so encoding is scan→project with no
+    join and no shuffle.  BIT-EXACT to the broadcast-join argmin it
+    replaces: per-entry distances accumulate via np.cumsum along the
+    subdimension axis (the sequential-fold identity, see _arrow_l2sq)
+    and np.argmin's first-minimum rule IS the lower-code tie-break,
+    because codebook entries are indexed by code 0..K-1."""
+    mat = np.ascontiguousarray(cb_matrix, dtype=np.float64)
+    n_sub, _, subdim = mat.shape
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def codes_of(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        x = _stack(v).reshape(-1, n_sub, subdim)
+        out = np.empty((len(x), n_sub), dtype=np.int32)
+        for lo in range(0, len(x), 1024):  # bound the 4-D intermediate
+            ch = x[lo : lo + 1024]
+            d = (ch[:, :, None, :] - mat[None, :, :, :]) ** 2
+            dist = np.cumsum(d, axis=3)[..., -1]  # sequential fold
+            out[lo : lo + len(ch)] = np.argmin(dist, axis=2)
+        return pd.Series(list(out))
+
+    return codes_of
+
+
 def _pq_ann_oracle() -> str:
     """DuckDB replica of sim_pq_ann: per-subspace one-step Lloyd
     codebooks, encode, ADC lookup, top-RERANK cut, exact cosine
@@ -961,20 +1035,18 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression of the vector column) — at 100 TB the ADC scan reads
     ONLY codes, never raw vectors; the per-query LUT is M·K doubles,
     broadcast; raw vectors re-attach for the RERANK rows alone via an
-    equi-join on vec_id.  Codebook training reuses the IVF trick:
-    assignment is a broadcast argmin, the update re-averages per
-    (subspace, code, pos) — both map-side combinable.
-    Approximate → recall-tested against sim_cosine_topk in tests."""
+    equi-join on vec_id.  Both encode passes run as ONE Arrow argmin
+    kernel over the raw vectors (_pq_code_kernel) with the bounded
+    M·K-entry quantizer collected into the closure — the Lloyd-pull
+    pattern — so encoding needs no join and no per-(vec, subspace)
+    shuffle, bit-exact to the broadcast-join+argmin form it replaces
+    (was 46 of PQ's 54 s at the 32× smoke corpus); the codebook
+    update stays a map-side-combinable (subspace, code, pos)
+    re-average.  Approximate → recall-tested against sim_cosine_topk
+    in tests."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     base = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
-
-    def _l2sq(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        )
 
     # Every vector → M subvectors (m, sv).
     sub = base.select(
@@ -991,19 +1063,30 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- codebooks: one Lloyd step from deterministic init ----------
-    init = sub.filter(F.col("vec_id") < PQ_K).select(
-        "m", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cv")
+    # The quantizer (M·K·SUBDIM doubles — bounded by spec constants,
+    # 128 entries here) is pulled to the driver and baked into one
+    # Arrow kernel, exactly like ml_kmeans_lloyd's centroid pulls:
+    # encoding then needs NO join, NO per-(vec,subspace) shuffle —
+    # a single kernel pass computes all M argmins per vector.  This
+    # replaced a 16×-fan-out broadcast join + min_by groupBy that was
+    # 46 of PQ's 54 seconds at the 32× smoke corpus.
+    init_rows = sorted(
+        base.filter(F.col("vec_id") < PQ_K).collect(),
+        key=lambda r: r["vec_id"],
     )
-    w_assign = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
-    assign0 = (
-        sub.join(F.broadcast(init), "m")
-        .withColumn("dist", _l2sq(F.col("sv"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "sv", "code")
-    )
+    init_mat = np.array(
+        [r["v"] for r in init_rows], dtype=np.float64
+    ).reshape(PQ_K, PQ_M, PQ_SUBDIM).transpose(1, 0, 2)  # (M, K, SUBDIM)
+
+    assign0 = base.withColumn("codes", _pq_code_kernel(init_mat)("v"))
     codebook = (
-        assign0.select("m", "code", F.posexplode("sv").alias("pos", "x"))
+        assign0.select("codes", F.posexplode("v").alias("pos", "x"))
+        .select(
+            (F.col("pos") / PQ_SUBDIM).cast("int").alias("m"),
+            F.get("codes", (F.col("pos") / PQ_SUBDIM).cast("int")).alias("code"),
+            (F.col("pos") % PQ_SUBDIM).alias("pos"),
+            "x",
+        )
         .groupBy("m", "code", "pos")
         .agg(F.avg("x").alias("c"))
         .groupBy("m", "code")
@@ -1011,13 +1094,20 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("m", "code", F.transform("pc", lambda s: s["c"]).alias("cv"))
     )
 
-    # --- encode: per (vector, subspace) the nearest codebook entry --
+    # --- encode: nearest trained codebook entry, again one kernel
+    # pass over the raw vectors; (vec_id, m, code) long form feeds the
+    # ADC equi-join (posexplode's 0-based position IS the subspace).
+    cb_rows = codebook.collect()
+    # Every code has ≥1 member (init vector k encodes to code k at
+    # distance 0), so the trained book is always complete — a missing
+    # entry would silently leave a zero vector in the matrix.
+    assert len(cb_rows) == PQ_M * PQ_K, f"incomplete codebook: {len(cb_rows)}"
+    cb_mat = np.zeros((PQ_M, PQ_K, PQ_SUBDIM), dtype=np.float64)
+    for r in cb_rows:
+        cb_mat[r["m"], r["code"]] = r["cv"]
     codes = (
-        sub.join(F.broadcast(codebook), "m")
-        .withColumn("dist", _l2sq(F.col("sv"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
+        base.withColumn("codes", _pq_code_kernel(cb_mat)("v"))
+        .select("vec_id", F.posexplode("codes").alias("m", "code"))
     )
 
     # --- per-query ADC lookup table (M·K subdistances, broadcast) ---
@@ -1028,7 +1118,7 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         qsub.join(F.broadcast(codebook), "m")
         .select(
             "query_id", "m", "code",
-            _l2sq(F.col("qsv"), F.col("cv")).alias("subdist"),
+            _arrow_l2sq(F.col("qsv"), F.col("cv")).alias("subdist"),
         )
     )
 
@@ -1057,7 +1147,7 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cosine(F.col("qv"), F.col("v")).alias("cosine"),
+            _arrow_cosine(F.col("qv"), F.col("v")).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= TOP_K)

@@ -384,3 +384,200 @@ def qds7_demographic_item_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_brand")
         .limit(100)
     )
+
+
+#: Exact-decimal revenue recipe for the round-7 star shapes: the
+#: corpus's money columns are 2-decimal by construction, so the
+#: double product price·(1-disc) is within 1 ULP of a 4-decimal
+#: value — casting it to DECIMAL(18,4) lands both engines on the
+#: identical decimal (no midpoint within reach), and decimal sums
+#: are order-independent, so the aggregate is bit-exact at ANY
+#: corpus size (the round-7 streaming-window lesson applied from
+#: the start instead of retrofitted).
+_DEC_REVENUE_SQL = (
+    "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))"
+    " AS DOUBLE)"
+)
+
+
+def _dec_revenue():
+    return (
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+        )
+        .cast("double")
+    )
+
+
+@register(
+    "qds42_category_month_revenue",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS sales_year,
+           p_type AS category,
+           {_DEC_REVENUE_SQL} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part   ON l_partkey  = p_partkey
+    WHERE year(o_orderdate) = 1997 AND month(o_orderdate) = 11
+      AND p_size <= 10
+    GROUP BY sales_year, category
+    ORDER BY revenue DESC, category
+    """,
+    tags=("tpcds", "beyond-quartet"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def qds42_category_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q42 plan shape (spec query 42: category revenue for one
+    (year, month), manager-sliced items): fact ⋈ date ⋈ item with BOTH
+    a year- and month-selective date predicate and an item slice,
+    grouped on (year, category), ordered by revenue.  On this schema
+    the date dim derives from o_orderdate (year=1997, moy=11), item
+    maps to part, i_category to p_type, and the i_manager_id=1 slice
+    to p_size <= 10.
+
+    Shape's point at scale: the month predicate makes this the most
+    date-selective of the star trio — with a date-partitioned fact
+    table the scan prunes to ~1/84 of the data before any join; the
+    item side broadcasts; the six-group agg collapses map-side.
+    Revenue aggregates through DECIMAL(18,4) (see _DEC_REVENUE_SQL) —
+    order-independent, so bit-exact at any corpus size."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    item = t.part.filter(F.col("p_size") <= 10).select("p_partkey", "p_type")
+    dated = t.orders.filter(
+        (F.year("o_orderdate") == 1997) & (F.month("o_orderdate") == 11)
+    ).select("o_orderkey", "o_orderdate")
+    return (
+        t.lineitem.select(
+            "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+        )
+        .join(dated, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(item), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.year("o_orderdate").alias("sales_year"),
+            F.col("p_type").alias("category"),
+        )
+        .agg(_dec_revenue().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "category")
+    )
+
+
+@register(
+    "qds52_brand_month_extprice",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS sales_year,
+           p_brand,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS ext_price
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part   ON l_partkey  = p_partkey
+    WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 12
+      AND p_type = 'SMALL'
+    GROUP BY sales_year, p_brand
+    ORDER BY ext_price DESC, p_brand
+    """,
+    tags=("tpcds", "beyond-quartet"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def qds52_brand_month_extprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q52 plan shape (spec query 52: brand ext-price for one
+    (year, month), manager-sliced — Q42's twin grouped on brand with
+    undiscounted price): fact ⋈ date ⋈ item, (year=1996, moy=12),
+    i_brand → p_brand, the slice to p_type='SMALL'.  Q42/Q52/Q55 are
+    deliberately near-identical in the spec (same star, different
+    report column); carrying both pins that the engine plans the
+    family identically — broadcast item, date-pruned fact scan, map-
+    side-collapsed agg — rather than treating each as novel.
+    Undiscounted 2-decimal prices sum exactly through DECIMAL(18,4)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    item = t.part.filter(F.col("p_type") == "SMALL").select(
+        "p_partkey", "p_brand"
+    )
+    dated = t.orders.filter(
+        (F.year("o_orderdate") == 1996) & (F.month("o_orderdate") == 12)
+    ).select("o_orderkey", "o_orderdate")
+    return (
+        t.lineitem.select("l_orderkey", "l_partkey", "l_extendedprice")
+        .join(dated, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(item), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.year("o_orderdate").alias("sales_year"), F.col("p_brand")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("ext_price")
+        )
+        .orderBy(F.col("ext_price").desc(), "p_brand")
+    )
+
+
+@register(
+    "qds19_cross_nation_brand_revenue",
+    oracle=f"""
+    SELECT p_brand,
+           {_DEC_REVENUE_SQL} AS cross_border_revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    JOIN part     ON l_partkey  = p_partkey
+    WHERE p_type IN ('PROMO', 'ECONOMY') AND p_size <= 15
+      AND c_nationkey != s_nationkey
+      AND year(o_orderdate) = 1998
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    tags=("tpcds", "beyond-quartet"),
+    priority=PRI_NEXT_WINDOW,  # current round's window is full
+)
+def qds19_cross_nation_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q19 plan shape (spec query 19: brand revenue restricted
+    to sales where the customer's zip differs from the store's — the
+    only quartet-adjacent query whose defining predicate CROSSES two
+    dimensions): a 5-way star whose filter c_nationkey != s_nationkey
+    compares attributes carried in from two different dimension joins,
+    so it cannot be pushed into any single scan.  On this schema:
+    store_sales→lineitem, item(manager slice)→part (type ∈ {{PROMO,
+    ECONOMY}}, size ≤ 15), d_year→1998, and "bought in a different
+    zip than the store" → "customer and supplier in different
+    nations".
+
+    Shape's point at scale: the cross-dim predicate must be evaluated
+    AFTER both the customer and supplier attributes are attached but
+    BEFORE the aggregation — the planner keeps the two key columns
+    (each a single int) flowing through the fact stream and filters
+    pre-shuffle, so the agg exchange sees only surviving rows; every
+    dim except customer broadcasts.  Revenue through DECIMAL(18,4) —
+    bit-exact at any corpus size."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    item = t.part.filter(
+        F.col("p_type").isin("PROMO", "ECONOMY") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand")
+    dated = t.orders.filter(F.year("o_orderdate") == 1998).select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = t.customer.select("c_custkey", "c_nationkey")
+    supp = t.supplier.select("s_suppkey", "s_nationkey")
+    return (
+        t.lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount",
+        )
+        .join(dated, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(item), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy("p_brand")
+        .agg(
+            _dec_revenue().alias("cross_border_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )

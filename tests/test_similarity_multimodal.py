@@ -227,3 +227,44 @@ def test_sig_kernel_bit_exact_vs_jvm_fold(spark):
             assert (
                 [int(b[t]) for b in arrow["b"]] == jvm[f"t{t}"].tolist()
             ), f"bucket mismatch in table {t}"
+
+
+def test_pair_kernels_bit_exact_vs_jvm_folds(spark):
+    """_arrow_l2sq and _arrow_cosine (the IVF/PQ assignment and rerank
+    hot-path kernels) must reproduce the JVM zip_with+aggregate folds
+    BIT-exactly on real corpus vectors — zero ULP of drift, because
+    downstream argmin tie-breaks and the strict DuckDB parity both
+    ride on the exact double.  Pins the cumsum⇔fold identity the same
+    way test_sig_kernel_bit_exact_vs_jvm_fold does for signatures."""
+    from pyspark.sql import functions as F
+
+    from splitserve_spark.operators.similarity import (
+        _arrow_cosine, _arrow_l2sq, _as_double, _cosine,
+    )
+    from splitserve_spark.tables import Tables
+
+    def _jvm_l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    e = (
+        Tables(spark, SF_DIR).embeddings.filter(F.col("vec_id") < 60)
+        .select("vec_id", _as_double("embedding").alias("v"))
+    )
+    a = e.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib"))
+    got = pairs.select(
+        "ia", "ib",
+        _jvm_l2sq(F.col("va"), F.col("vb")).alias("jvm_d"),
+        _arrow_l2sq(F.col("va"), F.col("vb")).alias("arrow_d"),
+        _cosine(F.col("va"), F.col("vb")).alias("jvm_c"),
+        _arrow_cosine(F.col("va"), F.col("vb")).alias("arrow_c"),
+    ).toPandas()
+    assert len(got) == 60 * 59 // 2
+    # Bit-exact: plain == on doubles, no tolerance.
+    assert (got["jvm_d"] == got["arrow_d"]).all()
+    assert (got["jvm_c"] == got["arrow_c"]).all()
