@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from splitserve_spark.registry import register
+from splitserve_spark.registry import PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -247,4 +247,52 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_add(big, F.lit(1).cast("long")).alias("t_overflow"),
         )
         .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+#: width_bucket histogram knobs shared with the oracle.
+WB_LO, WB_HI, WB_N = 0.0, 500000.0, 10
+
+
+@register(
+    "fn_width_bucket",
+    oracle=f"""
+    WITH b AS (
+      SELECT CASE
+               WHEN o_totalprice < {WB_LO} THEN 0
+               WHEN o_totalprice >= {WB_HI} THEN {WB_N} + 1
+               ELSE CAST(floor((o_totalprice - {WB_LO})
+                               / (({WB_HI} - {WB_LO}) / {WB_N})) AS BIGINT) + 1
+             END AS bucket
+      FROM orders
+    )
+    SELECT bucket, count(*) AS n_orders
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("function", "math"),
+    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+)
+def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """width_bucket equi-width histogram assignment (reference
+    `mathExpressions.scala` WidthBucket): order totals bucketed into
+    WB_N equal intervals over [WB_LO, WB_HI), underflow → 0, overflow
+    → N+1, then counted per bucket.  The oracle reimplements the
+    bucket formula arithmetically (DuckDB has no width_bucket), so
+    this checks Spark's edge semantics (inclusive lower, exclusive
+    upper, the two sentinel buckets) — not just a count.
+
+    Scale: scan-side projection + one small groupBy; the histogram is
+    the map-side-combinable way to profile a distribution at 100 TB
+    (contrast exact percentile windows)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.select(
+            F.width_bucket(
+                "o_totalprice", F.lit(WB_LO), F.lit(WB_HI), F.lit(WB_N)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("bucket")
     )

@@ -310,3 +310,95 @@ def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "fn_string_distance",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_brand, p_type)            AS lev_brand_type,
+           levenshtein(lower(p_name), p_name)      AS lev_case_only,
+           CASE WHEN levenshtein(p_brand, 'Brand#11') <= 2
+                THEN 1 ELSE 0 END                  AS near_brand11
+    FROM part WHERE p_partkey < 200 ORDER BY p_partkey
+    """,
+    tags=("function", "string"),
+    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance functions (reference `stringExpressions.scala`
+    Levenshtein): raw distance between two columns, a case-only
+    distance (counts exactly the uppercased positions), and a
+    thresholded fuzzy match — the building block of fuzzy joins /
+    entity resolution.  Spark's 3-arg levenshtein(l, r, threshold)
+    early-exits the DP at the band boundary — the cheap form for a
+    100 TB fuzzy-match scan — and returns -1 beyond it, hence the
+    CASE normalization to a 0/1 flag that DuckDB's unbounded
+    levenshtein reproduces.
+
+    Scale: pure scan-side projection (codegen, no shuffle); the fence
+    (p_partkey < 200) only bounds oracle output, not the technique."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    thresh = F.levenshtein("p_brand", F.lit("Brand#11"), 2)
+    return (
+        t.part.filter(F.col("p_partkey") < 200)
+        .select(
+            "p_partkey",
+            F.levenshtein("p_brand", "p_type").alias("lev_brand_type"),
+            F.levenshtein(F.lower("p_name"), F.col("p_name")).alias(
+                "lev_case_only"
+            ),
+            F.when(thresh >= 0, 1).otherwise(0).alias("near_brand11"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+#: AES-128 key for the crypto roundtrip (16 ASCII bytes, shared with
+#: the docstring only — the oracle never needs it: it checks the
+#: decrypt∘encrypt identity plus the block-cipher length law).
+AES_KEY = "0123456789abcdef"
+
+
+@register(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT c_custkey,
+           c_name AS decrypted,
+           CAST(16 * (length(c_name) // 16 + 1) AS INTEGER) AS cipher_len
+    FROM customer WHERE c_custkey < 300 ORDER BY c_custkey
+    """,
+    tags=("function", "crypto"),
+    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aes_encrypt / aes_decrypt roundtrip (reference `misc.scala`
+    AesEncrypt/AesDecrypt): customer names encrypted with AES-128-ECB
+    (deterministic — no IV — so the ciphertext itself is stable) and
+    decrypted back.  DuckDB has no AES, so the oracle checks the two
+    laws that pin the implementation: decrypt(encrypt(x, k), k) = x,
+    and ECB ciphertext length = 16·(⌊len/16⌋+1) (PKCS#7 always pads).
+    ECB is used HERE because determinism is the point of the check;
+    real column-level encryption at rest uses GCM (Spark's default
+    mode) with a random IV.
+
+    Scale: scan-side JVM crypto, no shuffle; the fence bounds oracle
+    output only."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    key = F.lit(AES_KEY)
+    mode = F.lit("ECB")
+    pad = F.lit("PKCS")
+    cipher = F.aes_encrypt(F.col("c_name").cast("binary"), key, mode, pad)
+    return (
+        t.customer.filter(F.col("c_custkey") < 300)
+        .select(
+            "c_custkey",
+            F.aes_decrypt(cipher, key, mode, pad).cast("string").alias(
+                "decrypted"
+            ),
+            F.length(cipher).alias("cipher_len"),
+        )
+        .orderBy("c_custkey")
+    )

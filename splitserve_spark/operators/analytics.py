@@ -1151,3 +1151,79 @@ def window_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    cell AS (
+      SELECT f.cohort_week,
+             CAST(datediff('week', f.cohort_week,
+                           date_trunc('week', e.ts)) AS INTEGER) AS age_week,
+             sum(CAST(e.value AS DECIMAL(18,2))) AS week_value
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, age_week,
+           CAST(week_value AS DOUBLE) AS week_value,
+           CAST(sum(week_value) OVER (
+                  PARTITION BY cohort_week ORDER BY age_week
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_ltv
+    FROM cell ORDER BY cohort_week, age_week
+    """,
+    tags=("analytics", "product"),
+    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: users grouped by the week of
+    their first event; purchase revenue summed per cohort-week ×
+    age-week, with the running cumulative LTV per cohort — the classic
+    growth-analytics LTV curve.
+
+    Plan: one groupBy(user_id) for cohort weeks, re-join on user_id
+    (same hash partitioning → exchange reuse), decimal-exact cell agg,
+    then a cumulative window PARTITIONED BY cohort_week — the frame is
+    per-cohort, never global, and a cohort has at most
+    ceil(horizon/7) rows, so the window state is tiny at any corpus
+    size.  Sums are decimal(18,2) end-to-end and cast to double only
+    at the output boundary (floating addition is not associative;
+    decimal keeps both engines' totals bit-identical)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "ts", "event_type", "value")
+
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    cell = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+                ) / 7
+            ).cast("int").alias("age_week"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("cohort_week", "age_week")
+        .agg(F.sum("v").alias("week_value"))
+    )
+    cum = F.sum("week_value").over(
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        "age_week",
+        F.col("week_value").cast("double").alias("week_value"),
+        cum.cast("double").alias("cum_ltv"),
+    ).orderBy("cohort_week", "age_week")

@@ -599,3 +599,90 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+#: URL-canonicalization page fence: doc pages collide modulo this, so
+#: several raw URLs canonicalize to one page per source.
+URL_PAGES = 50
+
+#: Raw-URL construction, shared verbatim (string template) between the
+#: Spark query and the DuckDB oracle so both canonicalize the SAME
+#: synthetic crawl frontier.  Casing, a default port, a tracking param
+#: and a fragment vary per doc_id; only (source, page) survives
+#: canonicalization.
+_RAW_URL_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END"
+    " || source || '.example.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END"
+    " || '/articles/' || CAST(doc_id % {pages} AS STRING)"
+    " || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END"
+    " || '?utm_source=feed' || CAST(doc_id AS STRING)"
+    " || '&id=' || CAST(doc_id % {pages} AS STRING)"
+    " || '#frag' || CAST(doc_id AS STRING)"
+).format(pages=URL_PAGES)
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_RAW_URL_SQL} AS url FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) ||
+             rtrim(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/') ||
+             '?' || regexp_replace(
+               regexp_extract(url, '\\?([^#]*)', 1),
+               'utm_[^&]*&?', '', 'g') AS canonical_url
+      FROM raw
+    )
+    SELECT canonical_url,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM canon GROUP BY 1 ORDER BY 1
+    """,
+    tags=("dedup", "llm-pipeline", "url"),
+    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the first pass of every crawl
+    pipeline (CCNet/RefinedWeb drop ~30-50% of fetches as URL dups
+    before touching content): lowercase scheme+host, drop the default
+    port, strip the trailing slash, delete utm_* tracking params and
+    the fragment, then group by the canonical URL keeping the earliest
+    doc_id as the cluster representative.
+
+    Raw URLs are synthesized deterministically from (source, doc_id)
+    by a template shared verbatim with the oracle, so both engines
+    canonicalize an identical frontier; parsing uses Spark's built-in
+    parse_url (JVM, codegen — reference `stringExpressions.scala`
+    ParseUrl) rather than re-deriving fields from the template —
+    the oracle extracts the same pieces with regexes instead, so the
+    two engines agree only if both parse correctly.
+
+    Scale notes: narrow projection → one exact-key groupBy; no joins,
+    no windows, no Python.  At 100 TB this is the cheapest dedup tier
+    (shuffle on canonical_url, combiner-friendly min/count)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    raw = t.documents.select(
+        "doc_id", F.expr(_RAW_URL_SQL).alias("url")
+    )
+    host = F.lower(F.parse_url("url", F.lit("HOST")))
+    path = F.rtrim(F.parse_url("url", F.lit("PATH")), F.lit("/"))
+    query = F.regexp_replace(
+        F.parse_url("url", F.lit("QUERY")), r"utm_[^&]*&?", ""
+    )
+    canon = raw.select(
+        "doc_id",
+        F.concat(host, path, F.lit("?"), query).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .orderBy("canonical_url")
+    )

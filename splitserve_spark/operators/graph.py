@@ -750,3 +750,126 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("scc_size"),
     ).orderBy("node")
+
+
+#: k-core knobs: fenced node block (ids 0..KCORE_N exist at every SF),
+#: coreness threshold, and peel-round unroll depth.  The md5-derived
+#: graph reaches its 2-core fixpoint in 4 peel rounds (217 of 256
+#: nodes survive, 662 directed edge slots); 6 rounds = two whole
+#: rounds of margin, asserted at fixpoint in tests.
+KCORE_N = 256
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    """DuckDB replica: same md5 edges, same peel rounds as chained
+    CTEs (degree → alive → restrict), same final degree output."""
+    from splitserve_spark.functions.parity_hash import md5_hash60_sql as h
+
+    sql = f"""
+    WITH nodes AS (SELECT CAST(doc_id AS INTEGER) AS u FROM documents
+                   WHERE doc_id < {KCORE_N}),
+    e1 AS (SELECT u AS src,
+                  CAST({h("'kcore-e1-' || u")} % {KCORE_N} AS INTEGER) AS dst
+           FROM nodes),
+    e2 AS (SELECT u AS src,
+                  CAST({h("'kcore-e2-' || u")} % {KCORE_N} AS INTEGER) AS dst
+           FROM nodes WHERE {h("'kcore-d-' || u")} % 2 = 0),
+    g0 AS (SELECT src, dst FROM (
+             SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2
+             UNION SELECT dst, src FROM e1 UNION SELECT dst, src FROM e2)
+           WHERE src <> dst),
+"""
+    prev = "g0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        sql += f"""    a{r} AS (SELECT src AS node FROM {prev}
+           GROUP BY src HAVING count(*) >= {KCORE_K}),
+    g{r} AS (SELECT g.src, g.dst FROM {prev} g
+           JOIN a{r} x ON g.src = x.node
+           JOIN a{r} y ON g.dst = y.node),
+"""
+        prev = f"g{r}"
+    sql += f"""    final AS (SELECT src AS node, count(*) AS core_degree
+           FROM {prev} GROUP BY src)
+    SELECT node, CAST(core_degree AS BIGINT) AS core_degree
+    FROM final ORDER BY node
+    """
+    return sql
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    tags=("graph", "workload", "iterative"),
+    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=2) by iterative peeling: repeatedly
+    drop nodes of degree < k and restrict the edge set, until the
+    surviving subgraph — the k-core — is stable.  Output is each core
+    member with its within-core degree.  The graph is the fenced
+    md5-derived block (same recipe family as graph_scc, made
+    undirected, self-loops removed), so the DuckDB oracle builds the
+    SAME graph and replays the SAME peel rounds as chained CTEs.
+
+    Each peel round is one map-side-combinable degree groupBy plus two
+    semi-join restrictions on the edge list — no windows, no driver
+    state, and the edge list only shrinks.  Rounds needed = peel depth
+    of the graph (4 here; 6 unrolled for margin, fixpoint asserted in
+    tests/test_graph_workloads.py).  At 100 TB the same loop runs
+    with AQE re-planning each round as the edge list shrinks;
+    degeneracy-ordered peeling (remove ALL min-degree nodes per round)
+    bounds rounds by the graph's degeneracy, not its size — this is
+    the textbook distributed k-core (ref GraphX aggregateMessages
+    degree loop, `graphx/.../GraphOps.scala:88` degrees)."""
+    ensure_parity_conf(spark)
+    from splitserve_spark.functions.parity_hash import md5_hash60
+
+    t = Tables(spark, sf_dir)
+    nodes = t.documents.filter(F.col("doc_id") < KCORE_N).select(
+        F.col("doc_id").cast("int").alias("u")
+    )
+
+    def _h(tag):
+        return md5_hash60(F.concat(F.lit(tag), F.col("u").cast("string")))
+
+    e1 = nodes.select(
+        F.col("u").alias("src"), (_h("kcore-e1-") % KCORE_N).cast("int").alias("dst")
+    )
+    e2 = nodes.filter(_h("kcore-d-") % 2 == 0).select(
+        F.col("u").alias("src"), (_h("kcore-e2-") % KCORE_N).cast("int").alias("dst")
+    )
+    fwd = e1.union(e2)
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    for _ in range(KCORE_ROUNDS):
+        # Each round references the previous edge set three times
+        # (degree agg + two semi-joins), so un-cut lineage grows the
+        # logical plan 3^rounds — localCheckpoint pins the round's
+        # result on the executors and resets the plan to a scan,
+        # keeping analysis O(rounds).  This is the standard iterative-
+        # algorithm hygiene (MLlib does the same every ~10 steps).
+        edges = edges.localCheckpoint()
+        alive = (
+            edges.groupBy("src")
+            .count()
+            .filter(F.col("count") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        edges = edges.join(
+            alive, edges.src == alive.node, "left_semi"
+        ).join(
+            alive.select(F.col("node").alias("dnode")),
+            edges.dst == F.col("dnode"),
+            "left_semi",
+        )
+    return (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("src").alias("node"), "core_degree")
+        .orderBy("node")
+    )

@@ -753,3 +753,72 @@ def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(ARES_K)
         .select("doc_id", "weight", F.round("k", 6).alias("sample_key"))
     )
+
+
+#: Deterministic-epoch-shuffle knobs: seed tag baked into the hash so a
+#: different epoch (tag) yields a different but equally deterministic
+#: permutation; shard count models the training-job reader parallelism.
+EPOCH_TAG = "epoch-1-"
+EPOCH_SHARDS = 8
+
+
+def _epoch_shuffle_oracle() -> str:
+    """DuckDB replica: same seeded hash, same shard assignment, same
+    per-shard row_number."""
+    from splitserve_spark.functions.parity_hash import md5_hash60_sql
+
+    h = md5_hash60_sql(f"'{EPOCH_TAG}' || CAST(doc_id AS STRING)")
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, {h} AS hkey,
+             CAST({h} % {EPOCH_SHARDS} AS INTEGER) AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id)
+                AS INTEGER) AS pos
+    FROM keyed ORDER BY shard, pos
+    """
+
+
+@register(
+    "mix_epoch_shuffle",
+    oracle=_epoch_shuffle_oracle(),
+    tags=("training-prep", "llm-pipeline", "shuffle"),
+    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+)
+def mix_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for one training epoch —
+    how a 100 TB corpus is permuted WITHOUT a central RNG: each doc's
+    position comes from a seeded hash (md5 of epoch-tag ++ doc_id), so
+    the permutation is reproducible across reruns, resumable mid-epoch,
+    and independent of input partitioning (the properties data loaders
+    like a deterministic tf.data / torchdata shuffle need).
+
+    shard = hash % EPOCH_SHARDS assigns each doc to a reader shard;
+    pos = row_number over (PARTITION BY shard ORDER BY hash) gives its
+    read order within the shard.  The window is PARTITIONED — each
+    shard ranks independently, so parallelism = shard count (at 100 TB
+    one runs thousands of shards; no global sort, no single reducer —
+    contrast the fenced exact-rank twins in prefix_rank.py).
+
+    Ref: the reference's RangePartitioner+sortByKey global shuffle
+    (`core/.../Partitioner.scala:107`) is the RDD-era equivalent; the
+    hash-shard form avoids its sampling pass entirely."""
+    ensure_parity_conf(spark)
+    from splitserve_spark.functions.parity_hash import md5_hash60
+
+    t = Tables(spark, sf_dir)
+    h = md5_hash60(F.concat(F.lit(EPOCH_TAG), F.col("doc_id").cast("string")))
+    keyed = t.documents.select("doc_id", h.alias("hkey")).select(
+        "doc_id",
+        "hkey",
+        (F.col("hkey") % EPOCH_SHARDS).cast("int").alias("shard"),
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    )
+    return (
+        keyed.select("doc_id", "shard", pos.alias("pos"))
+        .orderBy("shard", "pos")
+    )

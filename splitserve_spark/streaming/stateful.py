@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from splitserve_spark.registry import register
+from splitserve_spark.registry import PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -325,3 +325,56 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("click_id", "buy_id")
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "join"),
+    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (reference streaming supports
+    joining a stream against a static Dataset since 2.0 —
+    `StreamingJoinSuite` / UnsupportedOperationChecker allows
+    stream×static inner joins): the events file stream is joined to
+    the static customer dimension, then aggregated per market segment
+    through the micro-batch engine (availableNow, complete mode), so
+    the oracle validates a real IncrementalExecution result.
+
+    Scale notes: a stream-static inner join is STATELESS — the static
+    side is planned like any batch build side (broadcast here: the dim
+    is small; at 100 TB of static dim, shuffled-hash per micro-batch),
+    and no join state accumulates across batches, unlike the
+    stream-stream attribution join above.  The aggregation state is
+    bounded by |segments|."""
+    ensure_parity_conf(spark)
+    name = "sssj_" + "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    customers = Tables(spark, sf_dir).customer.select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = (
+        _events_stream(spark, sf_dir)
+        .join(customers, F.col("user_id") == F.col("c_custkey"), "inner")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double").alias("total_value"),
+        )
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("mktsegment")

@@ -24,6 +24,7 @@ EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
         "stream_file_source_agg",
         "stream_dedup_ids",
         "stream_click_attribution",
+        "stream_static_join",
     ],
 )
 def test_oracle_match(spark, name):

@@ -18,10 +18,29 @@ load_all()
         "graph_triangle_count",
         "graph_bfs_levels",
         "graph_sssp_weighted",
+        "graph_scc",
+        "graph_kcore",
     ],
 )
 def test_oracle_match(spark, name):
     check_query(spark, name, SF_DIR)
+
+
+def test_kcore_unroll_is_past_fixpoint(spark):
+    """KCORE_ROUNDS must overshoot the peel fixpoint: one more round
+    must not change the output (the margin the docstring promises)."""
+    from splitserve_spark.operators import graph as g
+
+    base = REGISTRY["graph_kcore"].fn(spark, SF_DIR).toPandas()
+    orig = g.KCORE_ROUNDS
+    try:
+        g.KCORE_ROUNDS = orig + 1
+        more = REGISTRY["graph_kcore"].fn(spark, SF_DIR).toPandas()
+    finally:
+        g.KCORE_ROUNDS = orig
+    assert base.equals(more)
+    # the 2-core is nontrivial: strictly between empty and everything
+    assert 0 < len(base) < g.KCORE_N
 
 
 def test_pi_close_to_pi(spark):
