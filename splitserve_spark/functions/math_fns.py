@@ -296,3 +296,48 @@ def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "fn_bit_ops",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(bit_count(o_orderkey) AS INTEGER)        AS popcount,
+           o_orderkey << 2                               AS shl2,
+           o_orderkey >> 1                               AS shr1,
+           CAST((o_orderkey >> 3) & 1 AS TINYINT)        AS bit3,
+           xor(o_orderkey, 255)                          AS xor_mask,
+           o_orderkey & 15                               AS low_nibble,
+           o_orderkey | 4096                             AS or_flag
+    FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey
+    """,
+    tags=("function", "math", "bitwise"),
+    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+)
+def fn_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar bit manipulation (reference `mathExpressions.scala`
+    ShiftLeft/ShiftRight, `bitwiseExpressions.scala` BitwiseAnd/Or/Xor,
+    BitwiseCount, `bitExpressions.scala` GetBit): population count,
+    shifts, single-bit probe, xor/and/or masking — the scalar toolkit
+    under bitmap indexes and bloom-filter style membership probes
+    (the aggregate side is agg_bitwise / agg_bitmap_distinct).
+
+    Scale: pure codegen projection, no shuffle; fence bounds oracle
+    output only."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    k = F.col("o_orderkey")
+    return (
+        t.orders.filter(k < 400)
+        .select(
+            "o_orderkey",
+            F.bit_count(k).alias("popcount"),
+            F.shiftleft(k, 2).alias("shl2"),
+            F.shiftright(k, 1).alias("shr1"),
+            F.getbit(k, F.lit(3)).alias("bit3"),
+            k.bitwiseXOR(F.lit(255)).alias("xor_mask"),
+            k.bitwiseAND(F.lit(15)).alias("low_nibble"),
+            k.bitwiseOR(F.lit(4096)).alias("or_flag"),
+        )
+        .orderBy("o_orderkey")
+    )

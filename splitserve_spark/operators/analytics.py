@@ -1227,3 +1227,84 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("week_value").cast("double").alias("week_value"),
         cum.cast("double").alias("cum_ltv"),
     ).orderBy("cohort_week", "age_week")
+
+
+#: Synthetic session length for the concurrency sweep (minutes).
+SWEEP_SESSION_MIN = 10
+
+
+@register(
+    "events_concurrency_sweep",
+    oracle=f"""
+    WITH iv AS (
+      SELECT ts AS t0, ts + INTERVAL '{SWEEP_SESSION_MIN} minutes' AS t1
+      FROM events
+    ),
+    pts AS (
+      SELECT CAST(t0 AS DATE) AS day, t0 AS t, +1 AS delta FROM iv
+      UNION ALL
+      SELECT CAST(t0 AS DATE) AS day, t1 AS t, -1 AS delta FROM iv
+    ),
+    swept AS (
+      SELECT day,
+             sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS live
+      FROM pts
+    )
+    SELECT day, CAST(max(live) AS BIGINT) AS peak_concurrency
+    FROM swept GROUP BY day ORDER BY day
+    """,
+    tags=("analytics", "interval"),
+    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+)
+def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day by sweep-line: each event opens a
+    SWEEP_SESSION_MIN-minute interval; intervals become (+1 at start,
+    −1 at end) points, a running sum over the time-ordered points is
+    the number of live sessions at every instant, and the per-day max
+    is the answer — the interval-overlap counting operator (capacity
+    planning, peak-load dashboards) that a naive approach writes as an
+    O(n²) self-join of overlapping intervals.
+
+    Tie discipline: points sort by (t, delta) so a −1 closing at time
+    T precedes a +1 opening at T — touching intervals don't count as
+    concurrent, and the statistic is deterministic under ties in both
+    engines.  The running sum is PARTITIONED BY day (an interval never
+    crosses the day seam at these lengths... and when one does, its
+    −1 lands in the next day's partition, where the sweep starts at 0
+    and a lone −1 can only lower non-peak prefix sums — peaks are
+    unaffected at this session length ≪ day length).  Partition width
+    is one day of events, so at 100 TB one narrows the partition key
+    to (day, hour) with carry-in counts — the standard segmented-scan
+    refinement; no global window anywhere."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    iv = t.events.select(
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr(f"INTERVAL {SWEEP_SESSION_MIN} MINUTES")).alias(
+            "t1"
+        ),
+    )
+    starts = iv.select(
+        F.col("t0").cast("date").alias("day"),
+        F.col("t0").alias("t"),
+        F.lit(1).alias("delta"),
+    )
+    ends = iv.select(
+        F.col("t0").cast("date").alias("day"),
+        F.col("t1").alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    live = F.sum("delta").over(
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        starts.unionAll(ends)
+        .select("day", live.alias("live"))
+        .groupBy("day")
+        .agg(F.max("live").alias("peak_concurrency"))
+        .orderBy("day")
+    )

@@ -21,7 +21,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from splitserve_spark.registry import register
+from splitserve_spark.registry import PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -324,3 +324,47 @@ def ddl_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = out.localCheckpoint(eager=True)  # materialize before uncache
     spark.sql(f"UNCACHE TABLE {view}")
     return result
+
+
+@register(
+    "ddl_alter_add_column",
+    oracle="""
+    SELECT r_regionkey, r_name, NULL AS r_zone FROM region
+    UNION ALL
+    SELECT 99, 'NEWREGION', 'Z9'
+    ORDER BY r_regionkey
+    """,
+    tags=("ddl", "alter"),
+    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+)
+def ddl_alter_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ... ADD COLUMNS (reference `command/tables.scala`
+    AlterTableAddColumnsCommand): schema evolution on a managed table
+    — pre-existing rows surface NULL for the new column (no rewrite of
+    old files; the column exists only in the catalog schema until a
+    write fills it), and an INSERT after the ALTER carries a value.
+    The oracle replays the catalog semantics relationally: old rows
+    with NULL, plus the one post-ALTER row.
+
+    Scale: ADD COLUMNS is a metadata-only operation — O(1) regardless
+    of table size, the property that makes schema evolution viable on
+    a 100 TB table (contrast rewriting every parquet file)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    name = f"region_alter_{_tag(sf_dir)}"
+    _clear_managed_location(spark, name)
+    t.region.select("r_regionkey", "r_name").write.mode(
+        "overwrite"
+    ).saveAsTable(name)
+    spark.sql(f"ALTER TABLE {name} ADD COLUMNS (r_zone STRING)")
+    spark.sql(f"INSERT INTO {name} VALUES (99, 'NEWREGION', 'Z9')")
+    out = (
+        spark.table(name)
+        .select("r_regionkey", "r_name", "r_zone")
+        .orderBy("r_regionkey")
+    )
+    rows = out.collect()
+    spark.sql(f"DROP TABLE {name}")
+    return spark.createDataFrame(
+        rows, "r_regionkey int, r_name string, r_zone string"
+    )

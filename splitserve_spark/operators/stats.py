@@ -360,3 +360,74 @@ def stat_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col", "item")
     )
+
+
+@register(
+    "stat_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CASE WHEN value > 50 THEN 'high' ELSE 'low' END AS band,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    marg_r AS (SELECT event_type, sum(o) AS r FROM obs GROUP BY 1),
+    marg_c AS (SELECT band, sum(o) AS c FROM obs GROUP BY 1)
+    SELECT obs.event_type, obs.band, CAST(obs.o AS BIGINT) AS observed,
+           round(CAST(marg_r.r AS DOUBLE) * marg_c.c / tot.n, 6)
+             AS expected,
+           round(pow(obs.o - CAST(marg_r.r AS DOUBLE) * marg_c.c / tot.n, 2)
+                 / (CAST(marg_r.r AS DOUBLE) * marg_c.c / tot.n), 6)
+             AS chi2_term
+    FROM obs
+    JOIN marg_r USING (event_type)
+    JOIN marg_c USING (band)
+    CROSS JOIN tot
+    ORDER BY event_type, band
+    """,
+    tags=("stats", "hypothesis"),
+    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence, per-cell form (reference
+    `mllib/stat/test/ChiSqTest.scala:109` chiSquaredMatrix computes
+    exactly these (observed−expected)²/expected terms): event_type ×
+    value-band contingency cells with observed counts, expected counts
+    under independence (row·col/N), and each cell's χ² contribution —
+    the caller sums chi2_term for the statistic (df = (R−1)(C−1)).
+
+    Plan shape: one groupBy for the contingency table (map-side
+    combinable; output is |types|×|bands| rows — tiny), then marginals
+    as aggregations OF THE CELLS (not rescans of events), joined back
+    broadcast.  The single CROSS JOIN is 1-row N against the cells —
+    the legitimate scalar-broadcast pattern, fenced from the
+    no-cartesian guard by its 1-row build side.  Nothing in the plan
+    rescans or shuffles the fact table twice at any scale."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    obs = (
+        t.events.select(
+            "event_type",
+            F.when(F.col("value") > 50, "high").otherwise("low").alias("band"),
+        )
+        .groupBy("event_type", "band")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    marg_r = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    marg_c = obs.groupBy("band").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    exp = (F.col("r").cast("double") * F.col("c") / F.col("n"))
+    return (
+        obs.join(marg_r, "event_type")
+        .join(marg_c, "band")
+        .crossJoin(tot)
+        .select(
+            "event_type",
+            "band",
+            F.col("o").alias("observed"),
+            F.round(exp, 6).alias("expected"),
+            F.round(F.pow(F.col("o") - exp, 2) / exp, 6).alias("chi2_term"),
+        )
+        .orderBy("event_type", "band")
+    )

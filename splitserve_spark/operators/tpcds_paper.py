@@ -581,3 +581,58 @@ def qds19_cross_nation_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "qds88_hour_band_counts",
+    oracle="""
+    SELECT
+      count(*) FILTER (WHERE hour(ts) BETWEEN 0 AND 2
+                         AND event_type = 'view')      AS h0_2_view,
+      count(*) FILTER (WHERE hour(ts) BETWEEN 3 AND 5
+                         AND event_type = 'view')      AS h3_5_view,
+      count(*) FILTER (WHERE hour(ts) BETWEEN 6 AND 8
+                         AND event_type = 'click')     AS h6_8_click,
+      count(*) FILTER (WHERE hour(ts) BETWEEN 9 AND 11
+                         AND event_type = 'click')     AS h9_11_click,
+      count(*) FILTER (WHERE hour(ts) BETWEEN 12 AND 14
+                         AND event_type = 'purchase')  AS h12_14_purchase,
+      count(*) FILTER (WHERE hour(ts) BETWEEN 15 AND 17
+                         AND event_type = 'purchase')  AS h15_17_purchase,
+      count(*) FILTER (WHERE hour(ts) BETWEEN 18 AND 20
+                         AND value > 50)               AS h18_20_highval,
+      count(*) FILTER (WHERE hour(ts) BETWEEN 21 AND 23
+                         AND value > 50)               AS h21_23_highval
+    FROM events
+    """,
+    tags=("tpcds", "beyond-quartet"),
+    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+)
+def qds88_hour_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 shape — eight time-band counts emitted as one row.
+    The spec writes Q88 as eight scalar subqueries cross-joined
+    (`s1 CROSS JOIN s2 ...`), i.e. eight separate scans of store_sales;
+    the Spark-first rewrite is a SINGLE scan with eight conditional
+    aggregates (count_if per band) — one pass, map-side combinable,
+    no join at all.  That rewrite is exactly what matters at 100 TB:
+    Q88's naive form reads the fact table eight times; this form once.
+    The oracle keeps the banding in FILTER-clause form to pin the same
+    semantics.  Mapped onto events: hour-of-day bands × event-type /
+    value predicates."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    h = F.hour("ts")
+
+    def band(lo, hi, pred, name):
+        return F.count_if(h.between(lo, hi) & pred).alias(name)
+
+    return t.events.agg(
+        band(0, 2, F.col("event_type") == "view", "h0_2_view"),
+        band(3, 5, F.col("event_type") == "view", "h3_5_view"),
+        band(6, 8, F.col("event_type") == "click", "h6_8_click"),
+        band(9, 11, F.col("event_type") == "click", "h9_11_click"),
+        band(12, 14, F.col("event_type") == "purchase", "h12_14_purchase"),
+        band(15, 17, F.col("event_type") == "purchase", "h15_17_purchase"),
+        band(18, 20, F.col("value") > 50, "h18_20_highval"),
+        band(21, 23, F.col("value") > 50, "h21_23_highval"),
+    )
