@@ -1280,30 +1280,25 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     refinement; no global window anywhere."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
-    iv = t.events.select(
-        F.col("ts").alias("t0"),
-        (F.col("ts") + F.expr(f"INTERVAL {SWEEP_SESSION_MIN} MINUTES")).alias(
-            "t1"
-        ),
-    )
-    starts = iv.select(
-        F.col("t0").cast("date").alias("day"),
-        F.col("t0").alias("t"),
-        F.lit(1).alias("delta"),
-    )
-    ends = iv.select(
-        F.col("t0").cast("date").alias("day"),
-        F.col("t1").alias("t"),
-        F.lit(-1).alias("delta"),
-    )
+    # One scan: each event row explodes into its two sweep points
+    # (a union of starts and ends would read the fact table twice).
+    t1 = F.col("ts") + F.expr(f"INTERVAL {SWEEP_SESSION_MIN} MINUTES")
+    pts = t.events.select(
+        F.col("ts").cast("date").alias("day"),
+        F.explode(
+            F.array(
+                F.struct(F.col("ts").alias("t"), F.lit(1).alias("delta")),
+                F.struct(t1.alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("p"),
+    ).select("day", F.col("p.t").alias("t"), F.col("p.delta").alias("delta"))
     live = F.sum("delta").over(
         Window.partitionBy("day")
         .orderBy("t", "delta")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        starts.unionAll(ends)
-        .select("day", live.alias("live"))
+        pts.select("day", live.alias("live"))
         .groupBy("day")
         .agg(F.max("live").alias("peak_concurrency"))
         .orderBy("day")

@@ -398,12 +398,14 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the caller sums chi2_term for the statistic (df = (R−1)(C−1)).
 
     Plan shape: one groupBy for the contingency table (map-side
-    combinable; output is |types|×|bands| rows — tiny), then marginals
-    as aggregations OF THE CELLS (not rescans of events), joined back
-    broadcast.  The single CROSS JOIN is 1-row N against the cells —
-    the legitimate scalar-broadcast pattern, fenced from the
-    no-cartesian guard by its 1-row build side.  Nothing in the plan
-    rescans or shuffles the fact table twice at any scale."""
+    combinable; output is |types|×|bands| rows — tiny), then the
+    marginals as window sums OVER THE CELLS — deriving R, C and N
+    from separate aggregations would make Catalyst plan four
+    independent scans of the fact table (DataFrame reuse is not
+    common-subexpression elimination), while three windows over the
+    bounded cell table read events exactly once.  The unpartitioned
+    N-window is over input bounded BY CONSTRUCTION (|types|×|bands|
+    rows), registered in the plan guard's allow-list."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     obs = (
@@ -414,15 +416,12 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "band")
         .agg(F.count(F.lit(1)).alias("o"))
     )
-    marg_r = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
-    marg_c = obs.groupBy("band").agg(F.sum("o").alias("c"))
-    tot = obs.agg(F.sum("o").alias("n"))
-    exp = (F.col("r").cast("double") * F.col("c") / F.col("n"))
+    r = F.sum("o").over(Window.partitionBy("event_type"))
+    c = F.sum("o").over(Window.partitionBy("band"))
+    n = F.sum("o").over(Window.partitionBy())
+    exp = (r.cast("double") * c / n)
     return (
-        obs.join(marg_r, "event_type")
-        .join(marg_c, "band")
-        .crossJoin(tot)
-        .select(
+        obs.select(
             "event_type",
             "band",
             F.col("o").alias("observed"),
