@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from splitserve_spark.registry import PRI_NEXT_WINDOW, register
+from splitserve_spark.registry import PRI_BEHIND_BACKLOG, PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -323,7 +323,7 @@ def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part WHERE p_partkey < 200 ORDER BY p_partkey
     """,
     tags=("function", "string"),
-    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+    priority=PRI_BEHIND_BACKLOG,  # don't displace the r7 backlog plan
 )
 def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance functions (reference `stringExpressions.scala`
@@ -370,7 +370,7 @@ AES_KEY = "0123456789abcdef"
     FROM customer WHERE c_custkey < 300 ORDER BY c_custkey
     """,
     tags=("function", "crypto"),
-    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+    priority=PRI_BEHIND_BACKLOG,  # don't displace the r7 backlog plan
 )
 def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aes_encrypt / aes_decrypt roundtrip (reference `misc.scala`

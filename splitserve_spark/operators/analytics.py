@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from splitserve_spark.operators.prefix_rank import ntile_from_rank, with_global_prefix
-from splitserve_spark.registry import PRI_NEXT_WINDOW, register
+from splitserve_spark.registry import PRI_BEHIND_BACKLOG, PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -1178,7 +1178,7 @@ def window_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cell ORDER BY cohort_week, age_week
     """,
     tags=("analytics", "product"),
-    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+    priority=PRI_BEHIND_BACKLOG,  # don't displace the r7 backlog plan
 )
 def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value triangle: users grouped by the week of
@@ -1256,7 +1256,7 @@ SWEEP_SESSION_MIN = 10
     FROM swept GROUP BY day ORDER BY day
     """,
     tags=("analytics", "interval"),
-    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+    priority=PRI_BEHIND_BACKLOG,  # don't displace the r7 backlog plan
 )
 def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrency per day by sweep-line: each event opens a

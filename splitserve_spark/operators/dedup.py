@@ -32,7 +32,7 @@ from splitserve_spark.functions.parity_hash import (
     perm_hash,
     perm_hash_sql,
 )
-from splitserve_spark.registry import PRI_NEXT_WINDOW, register
+from splitserve_spark.registry import PRI_BEHIND_BACKLOG, PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -643,7 +643,7 @@ _RAW_URL_SQL = (
     FROM canon GROUP BY 1 ORDER BY 1
     """,
     tags=("dedup", "llm-pipeline", "url"),
-    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+    priority=PRI_BEHIND_BACKLOG,  # don't displace the r7 backlog plan
 )
 def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + dedup — the first pass of every crawl

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from splitserve_spark.operators.prefix_rank import with_global_prefix
-from splitserve_spark.registry import PRI_NEXT_WINDOW, register
+from splitserve_spark.registry import PRI_BEHIND_BACKLOG, PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -387,7 +387,7 @@ def stat_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type, band
     """,
     tags=("stats", "hypothesis"),
-    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+    priority=PRI_BEHIND_BACKLOG,  # don't displace the r7 backlog plan
 )
 def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-squared test of independence, per-cell form (reference

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from splitserve_spark.registry import PRI_NEXT_WINDOW, register
+from splitserve_spark.registry import PRI_BEHIND_BACKLOG, PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -606,7 +606,7 @@ def qds19_cross_nation_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFr
     FROM events
     """,
     tags=("tpcds", "beyond-quartet"),
-    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+    priority=PRI_BEHIND_BACKLOG,  # don't displace the r7 backlog plan
 )
 def qds88_hour_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS Q88 shape — eight time-band counts emitted as one row.

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from splitserve_spark.registry import PRI_NEXT_WINDOW, register
+from splitserve_spark.registry import PRI_BEHIND_BACKLOG, PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -785,7 +785,7 @@ def _epoch_shuffle_oracle() -> str:
     "mix_epoch_shuffle",
     oracle=_epoch_shuffle_oracle(),
     tags=("training-prep", "llm-pipeline", "shuffle"),
-    priority=PRI_NEXT_WINDOW,  # r7's 50-slot window is already full
+    priority=PRI_BEHIND_BACKLOG,  # don't displace the r7 backlog plan
 )
 def mix_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle + sharding for one training epoch —

@@ -61,6 +61,13 @@ PRI_NO_ORACLE = 90
 #: sort behind every earlier never-checked name and are picked up
 #: first by the following round's rotation.
 PRI_NEXT_WINDOW = 95
+#: Additions made while a round's backlog already fills the driver
+#: window exactly: sort behind BOTH that backlog (95) and its
+#: strictly-last stragglers (96) — seq follows module-load order, so
+#: a merely-equal priority would let a new query in an early-loaded
+#: module displace an older backlog name and break the round's
+#: verification plan.
+PRI_BEHIND_BACKLOG = 98
 
 import re  # noqa: E402
 
