@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from splitserve_spark.registry import register
+from splitserve_spark.registry import PRI_BEHIND_BACKLOG, register
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -245,4 +245,47 @@ def rdd_broadcast_accumulator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(name, n, seen) for name, n in sorted(counts)],
         "r_name string, n_nations bigint, rows_seen bigint",
+    )
+
+
+@register(
+    "rdd_tree_aggregate",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_quantity * l_quantity), 2) AS sum_sq
+    FROM lineitem
+    """,
+    tags=("rdd", "tree"),
+    priority=PRI_BEHIND_BACKLOG,  # don't displace the r7 backlog plan
+)
+def rdd_tree_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """treeAggregate (reference `core/.../rdd/RDD.scala:1106`
+    treeAggregate, the depth-limited combine MLlib uses for gradient
+    sums): (count, Σx, Σx²) moments of l_quantity folded per
+    partition, then merged through a depth-2 tree instead of all
+    partitions reducing straight to the driver — at thousands of
+    partitions the flat form makes the driver a single O(P) reducer,
+    while the tree inserts an intermediate shuffle level so merge
+    fan-in is O(√P) per task.  The combine is exact integer/decimal
+    arithmetic on 2-decimal quantities, so the tree's different merge
+    order cannot change the result (associativity is exact here —
+    floats would need the decimal recipe the SQL oracles use)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    rdd = t.lineitem.select("l_quantity").rdd.map(
+        lambda row: int(round(row["l_quantity"] * 100))
+    )
+    zero = (0, 0, 0)  # (count, sum_centi, sum_sq_centi2)
+
+    def seq(acc, x):
+        return (acc[0] + 1, acc[1] + x, acc[2] + x * x)
+
+    def comb(a, b):
+        return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+    n, s_c, sq_c = rdd.treeAggregate(zero, seq, comb, depth=2)
+    return spark.createDataFrame(
+        [(n, round(s_c / 100.0, 2), round(sq_c / 10000.0, 2))],
+        "n bigint, sum_qty double, sum_sq double",
     )

@@ -636,3 +636,96 @@ def qds88_hour_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         band(18, 20, F.col("value") > 50, "h18_20_highval"),
         band(21, 23, F.col("value") > 50, "h21_23_highval"),
     )
+
+
+@register(
+    "qds51_cumulative_channels",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders WHERE year(o_orderdate) = 1997 AND month(o_orderdate) <= 2
+      GROUP BY 1
+    ),
+    l AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem WHERE year(l_shipdate) = 1997 AND month(l_shipdate) <= 2
+      GROUP BY 1
+    ),
+    merged AS (
+      SELECT coalesce(o.day, l.day) AS day,
+             coalesce(o.rev, 0) AS o_rev, coalesce(l.rev, 0) AS l_rev
+      FROM o FULL OUTER JOIN l ON o.day = l.day
+    ),
+    cum AS (
+      SELECT day,
+             sum(o_rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS o_cum,
+             sum(l_rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS l_cum
+      FROM merged
+    )
+    SELECT day, CAST(o_cum AS DOUBLE) AS order_cum,
+           CAST(l_cum AS DOUBLE) AS ship_cum
+    FROM cum WHERE o_cum > l_cum
+    ORDER BY day
+    """,
+    tags=("tpcds", "beyond-quartet"),
+    priority=PRI_BEHIND_BACKLOG,  # don't displace the r7 backlog plan
+)
+def qds51_cumulative_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 shape — two channels' daily revenue, FULL OUTER
+    joined on day, running cumulative totals compared (the spec asks
+    for days where the web cumulative exceeds the store cumulative).
+    Mapped onto this schema: order-booking revenue vs shipment
+    revenue, first two months of 1997.
+
+    Plan shape Q51 exists to test: two independent aggregations →
+    full outer join on the time key → window over the merged series.
+    The cumulative window is time-ordered over a BOUNDED series (one
+    row per day post-aggregation — ≤59 here, ≤ a few thousand for any
+    realistic horizon), so the unpartitioned frame is bounded by
+    construction, like the calendar windows in the guard allow-list.
+    Sums are decimal until the output cast."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    o = (
+        t.orders.filter(
+            (F.year("o_orderdate") == 1997) & (F.month("o_orderdate") <= 2)
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("o_rev"))
+    )
+    l = (
+        t.lineitem.filter(
+            (F.year("l_shipdate") == 1997) & (F.month("l_shipdate") <= 2)
+        )
+        .groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("l_rev")
+        )
+    )
+    merged = (
+        o.join(l, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("o_rev", F.lit(0)).alias("o_rev"),
+            F.coalesce("l_rev", F.lit(0)).alias("l_rev"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        merged.select(
+            "day",
+            F.sum("o_rev").over(cum).alias("o_cum"),
+            F.sum("l_rev").over(cum).alias("l_cum"),
+        )
+        .filter(F.col("o_cum") > F.col("l_cum"))
+        .select(
+            "day",
+            F.col("o_cum").cast("double").alias("order_cum"),
+            F.col("l_cum").cast("double").alias("ship_cum"),
+        )
+        .orderBy("day")
+    )

@@ -505,6 +505,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "window_moving_zscore": "window over the per-day aggregate, bounded by the calendar",
     "text_tokenize_ids": "id-assignment window over the top-V vocab AFTER .limit(512)",
     "stat_chi2_independence": "N-window over the contingency cells, O(|types|×|bands|)",
+    "qds51_cumulative_channels": "cumulative window over the per-day aggregate, bounded by the calendar",
 }
 
 

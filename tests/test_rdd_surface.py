@@ -15,6 +15,7 @@ ORACLE_CHECKED = [
     "rdd_join_cogroup",
     "rdd_sort_zip_index",
     "rdd_broadcast_accumulator",
+    "rdd_tree_aggregate",
 ]
 
 

@@ -19,6 +19,7 @@ ORACLE_CHECKED = [
     "stat_corr_cov",
     "stat_describe",
     "stat_observe_metrics",
+    "stat_chi2_independence",
     "ddl_temp_view_sql",
     "ddl_global_temp_view",
     "ddl_show_tables",
@@ -29,6 +30,7 @@ ORACLE_CHECKED = [
     "ddl_database_lifecycle",
     "ddl_show_partitions",
     "ddl_truncate_table",
+    "ddl_alter_add_column",
 ]
 
 

@@ -57,6 +57,11 @@ SMOKE_QUERIES = [
     "pipeline_training_data",
     "events_dau_wau_mau",
     "window_session_batch",
+    "dedup_url_canonical",
+    "mix_epoch_shuffle",
+    "events_concurrency_sweep",
+    "events_cohort_ltv",
+    "stat_chi2_independence",
 ]
 
 REL_TABLES = [
