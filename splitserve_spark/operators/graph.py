@@ -727,6 +727,13 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     for _ in range(SCC_DOUBLINGS):
+        # Each doubling references the previous closure three times
+        # (identity union + both sides of the self-join), so un-cut
+        # lineage grows the logical plan 3^rounds — Catalyst spends
+        # minutes re-optimizing a ~2000-leaf tree.  localCheckpoint
+        # pins each round's closure on the executors and resets the
+        # plan to a scan (same hygiene as graph_kcore above).
+        reach = reach.localCheckpoint()
         hop = (
             reach.alias("a")
             .join(reach.alias("b"), F.col("a.dst") == F.col("b.src"))
