@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from splitserve_spark.registry import PRI_NEXT_WINDOW, register
+from splitserve_spark.registry import (
+    PRI_BEHIND_BACKLOG,
+    PRI_NEXT_WINDOW,
+    register,
+)
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -852,4 +856,54 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_nats",
         )
         .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4)
+               AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4)
+               AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+           round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "stats"),
+    priority=PRI_BEHIND_BACKLOG,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI linear-regression aggregates (regr_slope / regr_intercept /
+    regr_r2 / regr_count / regr_avgx / regr_avgy — reference implements
+    the same family as declarative Catalyst aggregates,
+    `aggregate/linearRegression.scala`): price-on-quantity fit per
+    return flag, the closed-form least-squares every SQL engine ships.
+
+    Plan: a single hash aggregate — every regr_* is a composition of
+    partial-aggregatable moment sums (n, Σx, Σy, Σxy, Σx², Σy²), so
+    the map side reduces all rows to 6 moments per group and the
+    shuffle moves O(partitions · groups) rows, exactly the q1 shape.
+    Both engines round (4dp values, 6dp r2): the moment sums differ in
+    addition order across engines, the classic ~1e-7 drift
+    agg_variance documents."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).cast("bigint").alias("n"),
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
+            F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+        )
+        .orderBy("l_returnflag")
     )

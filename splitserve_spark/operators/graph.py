@@ -880,3 +880,119 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("node"), "core_degree")
         .orderBy("node")
     )
+
+
+#: Adamic-Adar link-prediction knobs: fenced node block (same md5
+#: recipe family as graph_kcore, undirected, no self-loops) and its
+#: own edge tag so the fixture is independent of the k-core graph.
+AA_N = 256
+
+
+def _adamic_adar_oracle() -> str:
+    """DuckDB replica: same md5 edges, same middle-vertex join, same
+    decimal-exact weights."""
+    from splitserve_spark.functions.parity_hash import md5_hash60_sql as h
+
+    return f"""
+    WITH nodes AS (SELECT CAST(doc_id AS INTEGER) AS u FROM documents
+                   WHERE doc_id < {AA_N}),
+    e1 AS (SELECT u AS src,
+                  CAST({h("'aa-e1-' || u")} % {AA_N} AS INTEGER) AS dst
+           FROM nodes),
+    e2 AS (SELECT u AS src,
+                  CAST({h("'aa-e2-' || u")} % {AA_N} AS INTEGER) AS dst
+           FROM nodes WHERE {h("'aa-d-' || u")} % 2 = 0),
+    g AS (SELECT src, dst FROM (
+            SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2
+            UNION SELECT dst, src FROM e1 UNION SELECT dst, src FROM e2)
+          WHERE src <> dst),
+    deg AS (SELECT src AS mid, count(*) AS d FROM g GROUP BY src),
+    cand AS (
+      SELECT a.src AS u, b.dst AS w, a.dst AS mid
+      FROM g a JOIN g b ON a.dst = b.src
+      WHERE a.src < b.dst
+    ),
+    scored AS (
+      SELECT c.u, c.w,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(CAST(round(1.0 / ln(deg.d), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE) AS aa_score
+      FROM cand c JOIN deg ON c.mid = deg.mid
+      GROUP BY c.u, c.w
+    )
+    SELECT s.u, s.w, s.n_common, s.aa_score
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.src = s.u AND g.dst = s.w)
+    ORDER BY u, w
+    """
+
+
+@register(
+    "graph_adamic_adar",
+    oracle=_adamic_adar_oracle(),
+    tags=("graph", "workload"),
+    priority=PRI_BEHIND_BACKLOG,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction: score every non-adjacent node pair
+    (u, w) by Σ_v 1/ln(deg(v)) over their common neighbors v — the
+    classic common-neighbor index (Adamic & Adar 2003) that GraphX
+    users build from aggregateMessages / triplets (ref
+    `graphx/.../GraphOps.scala:88` collectNeighborIds is the
+    primitive).  Rare shared neighbors count more than hubs.
+
+    Plan: candidate pairs come from ONE self-equi-join of the edge
+    list keyed on the middle vertex (the 2-path join — never
+    all-pairs; fan-out per middle is deg², which at 100 TB is bounded
+    by capping/sampling hub middles, the standard LP mitigation), the
+    degree table joins on the middle key, existing edges leave via an
+    anti-join, and the rollup is a map-side-combinable groupBy.
+    Per-middle weights are rounded to 9dp and summed as DECIMAL(18,9)
+    — decimal addition is exact and order-free, so the score is
+    deterministic across partitionings and engines (then cast to
+    DOUBLE once, exactly, for the hash)."""
+    ensure_parity_conf(spark)
+    from splitserve_spark.functions.parity_hash import md5_hash60
+
+    t = Tables(spark, sf_dir)
+    nodes = t.documents.filter(F.col("doc_id") < AA_N).select(
+        F.col("doc_id").cast("int").alias("u")
+    )
+
+    def _h(tag):
+        return md5_hash60(F.concat(F.lit(tag), F.col("u").cast("string")))
+
+    e1 = nodes.select(
+        F.col("u").alias("src"), (_h("aa-e1-") % AA_N).cast("int").alias("dst")
+    )
+    e2 = nodes.filter(_h("aa-d-") % 2 == 0).select(
+        F.col("u").alias("src"), (_h("aa-e2-") % AA_N).cast("int").alias("dst")
+    )
+    fwd = e1.union(e2)
+    g = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = g.groupBy(F.col("src").alias("mid")).agg(F.count(F.lit(1)).alias("d"))
+    a = g.select(F.col("src").alias("u"), F.col("dst").alias("mid"))
+    b = g.select(F.col("src").alias("mid_b"), F.col("dst").alias("w"))
+    cand = a.join(b, (F.col("mid") == F.col("mid_b")) & (F.col("u") < F.col("w")))
+    weight = F.round(F.lit(1.0) / F.log(F.col("d")), 9).cast("decimal(18,9)")
+    scored = (
+        cand.join(deg, "mid")
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(weight).cast("double").alias("aa_score"),
+        )
+    )
+    return (
+        scored.join(
+            g,
+            (scored.u == g.src) & (scored.w == g.dst),
+            "left_anti",
+        )
+        .select("u", "w", "n_common", "aa_score")
+        .orderBy("u", "w")
+    )

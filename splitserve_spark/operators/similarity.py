@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 from pyspark.sql.window import Window
 
-from splitserve_spark.registry import PRI_NEXT_WINDOW, register
+from splitserve_spark.registry import (
+    PRI_BEHIND_BACKLOG,
+    PRI_NEXT_WINDOW,
+    register,
+)
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -1348,4 +1352,186 @@ def sim_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(correct) / F.count("*"), 6).alias("accuracy"),
         )
         .orderBy("label")
+    )
+
+
+#: SemDeDup knobs: fenced corpus block, seed-centroid count, and the
+#: within-cluster duplicate threshold (same corpus-calibrated scale as
+#: NEAR_DUP_TAU; see that constant's note).
+SEM_N = 2048
+SEM_K = 32
+SEM_TAU = 0.35
+
+
+def _seed_assign_kernel(seed_mat: list, n_seeds: int):
+    """Arrow-vectorized nearest-seed assignment: embedding → cluster id
+    (the argmax-cosine seed).  BIT-EXACT to DuckDB's
+    ``row_number() OVER (ORDER BY list_cosine_similarity(v, sv) DESC,
+    seed_id) = 1``: each cosine accumulates via np.cumsum along the
+    dimension axis (the oracle's sequential fold), and np.argmax
+    returns the FIRST maximum — the min-seed-id tie-break — because
+    the seed matrix is built in ascending seed_id order."""
+    mat_s = np.array(seed_mat, dtype=np.float64).reshape(n_seeds, EMB_DIM)
+    s_norm = np.sqrt(np.cumsum(mat_s * mat_s, axis=1)[:, -1])
+
+    @F.pandas_udf(IntegerType())
+    def assign(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series(np.empty(0, dtype=np.int32))
+        out = np.empty(len(col), dtype=np.int32)
+        mat = _stack(col)
+        for lo in range(0, len(mat), 1024):  # bound the 3-D intermediate
+            chunk = mat[lo : lo + 1024]
+            prods = chunk[:, None, :] * mat_s[None, :, :]
+            dots = np.cumsum(prods, axis=2)[:, :, -1]
+            v_norm = np.sqrt(np.cumsum(chunk * chunk, axis=1)[:, -1])
+            cos = dots / (v_norm[:, None] * s_norm[None, :])
+            out[lo : lo + len(chunk)] = np.argmax(cos, axis=1)
+        return pd.Series(out)
+
+    return assign
+
+
+@register(
+    "sim_semantic_dedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < {SEM_N}),
+    seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e
+              WHERE vec_id < {SEM_K}),
+    assign AS (
+      SELECT vec_id, v, seed_id,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_cosine_similarity(v, sv) DESC, seed_id) AS rn
+      FROM e CROSS JOIN seeds
+    ),
+    cl AS (SELECT vec_id, v, CAST(seed_id AS INTEGER) AS cluster_id
+           FROM assign WHERE rn = 1),
+    p AS (
+      SELECT b.vec_id AS dup_id, b.cluster_id,
+             a.vec_id AS earlier_id,
+             list_cosine_similarity(a.v, b.v) AS cos
+      FROM cl a JOIN cl b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= {SEM_TAU}
+    )
+    SELECT dup_id, cluster_id,
+           min(earlier_id) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_near,
+           round(max(cos), 6) AS max_cos
+    FROM p GROUP BY dup_id, cluster_id ORDER BY dup_id
+    """,
+    tags=("similarity", "pipeline", "dedup"),
+    priority=PRI_BEHIND_BACKLOG,
+)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then mark near-duplicates ONLY within each
+    cluster — the trick that turns O(n²) semantic dedup into
+    O(K · (n/K)²) with n/K held constant by scaling K with the corpus.
+    Clusters come from a fixed seed codebook (lowest SEM_K vec_ids —
+    deterministic, shared with the oracle); membership is the argmax
+    cosine seed; within a cluster the keep-first rule drops the higher
+    vec_id of any pair with cosine ≥ SEM_TAU (the paper keeps one
+    representative per ε-ball; min-id is the deterministic stand-in).
+
+    Plan: assignment is ONE scan with the seed matrix closed over an
+    Arrow kernel (bounded SEM_K·EMB_DIM broadcast, the PQ-codebook
+    pattern — no join, no shuffle); the pair stage is an equi-join on
+    cluster_id (never all-pairs: the no-cartesian guard covers it)
+    whose cost is bounded by the cluster size the K-schedule pins; the
+    rollup is a map-side-combinable groupBy.  At 100 TB: K ∝ n keeps
+    each cluster at ~10⁴ vectors, and the per-cluster block runs
+    exactly this join.  Beyond-reference (LLM-pipeline mandate);
+    cluster-scoped twin of dedup_embedding_cosine's fenced all-pairs."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.filter(F.col("vec_id") < SEM_N).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    seed_rows = (
+        e.filter(F.col("vec_id") < SEM_K).orderBy("vec_id").collect()
+    )
+    kernel = _seed_assign_kernel(
+        [x for r in seed_rows for x in r["v"]], len(seed_rows)
+    )
+    cl = e.select("vec_id", "v", kernel("v").alias("cluster_id"))
+    a = cl.select(
+        F.col("vec_id").alias("earlier_id"),
+        F.col("v").alias("v_a"),
+        F.col("cluster_id").alias("cl_a"),
+    )
+    b = cl.select(
+        F.col("vec_id").alias("dup_id"),
+        F.col("v").alias("v_b"),
+        F.col("cluster_id").alias("cluster_id"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cl_a") == F.col("cluster_id"))
+            & (F.col("earlier_id") < F.col("dup_id")),
+        )
+        .withColumn("cos", _arrow_cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= SEM_TAU)
+    )
+    return (
+        pairs.groupBy("dup_id", "cluster_id")
+        .agg(
+            F.min("earlier_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_near"),
+            F.round(F.max("cos"), 6).alias("max_cos"),
+        )
+        .orderBy("dup_id")
+    )
+
+
+#: Radius (range) search threshold: every corpus vector with cosine ≥
+#: SIM_RADIUS to a query is a hit (66 hits over the 5 queries at
+#: sf0.1 — non-degenerate, not all-pairs).
+SIM_RADIUS = 0.3
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id < {N_QUERIES})
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.qv, e.v), 6) AS cosine
+    FROM q CROSS JOIN e
+    WHERE q.query_id <> e.vec_id
+      AND list_cosine_similarity(q.qv, e.v) >= {SIM_RADIUS}
+    ORDER BY query_id, neighbor_id
+    """,
+    tags=("similarity", "ann"),
+    priority=PRI_BEHIND_BACKLOG,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: all corpus vectors within a cosine
+    radius of each query — the OTHER standard vector-index query shape
+    (top-k's dual; Milvus/FAISS range_search).  Unlike top-k there is
+    no rank window at all: broadcast the bounded query set, one scan,
+    a scalar threshold filter — fully map-side, zero shuffle until the
+    final order.  At 100 TB this is the cheapest similarity query in
+    the module; the same LSH/IVF bucketing as sim_lsh_ann prunes the
+    scan when the radius is tight."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .withColumn("cosine", _arrow_cosine(F.col("qv"), F.col("v")))
+        .filter(F.col("cosine") >= SIM_RADIUS)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .orderBy("query_id", "neighbor_id")
     )

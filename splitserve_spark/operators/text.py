@@ -18,7 +18,11 @@ from splitserve_spark.functions.parity_hash import (
     md5_hash60,
     md5_hash60_sql,
 )
-from splitserve_spark.registry import PRI_NEXT_WINDOW, register
+from splitserve_spark.registry import (
+    PRI_BEHIND_BACKLOG,
+    PRI_NEXT_WINDOW,
+    register,
+)
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -1285,3 +1289,100 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+#: Gopher quality-rule thresholds (Rae et al. 2021, arXiv:2112.11446
+#: table A1), re-calibrated to this corpus's ranges (words 10–100,
+#: mean word length 3.5–5.7) so every rule discriminates instead of
+#: passing or failing everything: 1896 of 5000 sf0.1 docs keep.
+GOPHER_MIN_WORDS = 25
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_MWL = 3.8
+GOPHER_MAX_MWL = 5.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_UNIQUE_RATIO = 0.40
+
+
+@register(
+    "text_gopher_filter",
+    oracle=f"""
+    WITH w AS (SELECT doc_id,
+                      string_split_regex(trim(text), ' +') AS ws
+               FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(len(ws) AS INTEGER) AS n_words,
+                 round(length(array_to_string(ws, '')) * 1.0 / len(ws), 4)
+                     AS mean_word_len,
+                 CAST(len(list_filter(ws,
+                      x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                      AS INTEGER) AS n_stopwords,
+                 round(len(list_distinct(ws)) * 1.0 / len(ws), 4)
+                     AS unique_ratio
+          FROM w)
+    SELECT doc_id, n_words, mean_word_len, n_stopwords, unique_ratio,
+           CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AS BOOLEAN) AS ok_word_count,
+           CAST(mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+                AS BOOLEAN) AS ok_word_len,
+           CAST(n_stopwords >= {GOPHER_MIN_STOPWORDS} AS BOOLEAN)
+               AS ok_stopwords,
+           CAST(unique_ratio >= {GOPHER_MIN_UNIQUE_RATIO} AS BOOLEAN)
+               AS ok_unique,
+           CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+                AND n_stopwords >= {GOPHER_MIN_STOPWORDS}
+                AND unique_ratio >= {GOPHER_MIN_UNIQUE_RATIO}
+                AS BOOLEAN) AS keep
+    FROM m ORDER BY doc_id
+    """,
+    tags=("text", "pipeline", "quality"),
+    priority=PRI_BEHIND_BACKLOG,
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rule filter (Rae et al. 2021, the rule
+    set MassiveText/FineWeb/Dolma all descend from): word-count
+    bounds, mean-word-length bounds, minimum stopword count, and a
+    repetition guard (unique-word ratio floor), each surfaced as an
+    auditable per-rule flag plus the conjunctive keep decision —
+    filter pipelines tune rules individually, so the flags ARE the
+    product, not just the final boolean.
+
+    Plan: one scan, one split, four narrow projections — no shuffle,
+    no Python, no join; at 100 TB this runs at parquet-read speed and
+    composes with pipeline_training_data's quality gate.  The ratio
+    columns divide exact ints on both engines before the shared
+    round(…, 4), so the hash is drift-free."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    ws = _words(F.col("text"))
+    m = t.documents.select(
+        "doc_id",
+        F.size(ws).cast("int").alias("n_words"),
+        F.round(
+            F.length(F.array_join(ws, ""))
+            / F.size(ws),
+            4,
+        ).alias("mean_word_len"),
+        F.size(
+            F.filter(ws, lambda x: x.isin(*_STOPWORDS))
+        ).cast("int").alias("n_stopwords"),
+        F.round(
+            F.size(F.array_distinct(ws)) / F.size(ws), 4
+        ).alias("unique_ratio"),
+    )
+    ok_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_wl = F.col("mean_word_len").between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+    ok_sw = F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS
+    ok_uq = F.col("unique_ratio") >= GOPHER_MIN_UNIQUE_RATIO
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "n_stopwords",
+        "unique_ratio",
+        ok_wc.alias("ok_word_count"),
+        ok_wl.alias("ok_word_len"),
+        ok_sw.alias("ok_stopwords"),
+        ok_uq.alias("ok_unique"),
+        (ok_wc & ok_wl & ok_sw & ok_uq).alias("keep"),
+    ).orderBy("doc_id")

@@ -729,3 +729,78 @@ def qds51_cumulative_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "qds98_revenue_ratio",
+    oracle=f"""
+    WITH item_rev AS (
+      SELECT p_partkey AS item_id, p_type AS item_type,
+             p_brand AS class,
+             {_DEC_REVENUE_SQL} AS itemrevenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part   ON l_partkey  = p_partkey
+      WHERE o_orderdate BETWEEN DATE '1997-11-01'
+                            AND DATE '1997-11-30'
+      GROUP BY item_id, item_type, class
+    )
+    SELECT item_id, item_type, class, itemrevenue,
+           round(itemrevenue * 100.0 /
+                 sum(itemrevenue) OVER (PARTITION BY class), 6)
+               AS revenueratio
+    FROM item_rev
+    ORDER BY class, revenueratio DESC, item_id
+    """,
+    tags=("tpcds", "beyond-quartet", "window"),
+    priority=PRI_BEHIND_BACKLOG,
+)
+def qds98_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q98 plan shape (spec query 98: each item's revenue share
+    of its class over a 30-day window): fact ⋈ date ⋈ item, per-item
+    rollup, then a CLASS-PARTITIONED window sum for the denominator —
+    the canonical 'ratio to group total' report.  On this schema item
+    maps to part, i_class to p_brand (25 classes), the date dim to
+    o_orderdate.
+
+    Shape's point at scale: the window partitions on class, so Spark
+    re-shuffles only the per-item rollup (|items| rows, not the fact)
+    and each class's partition is independent — NO unpartitioned
+    window anywhere (the registry-wide guard applies).  Item revenue
+    aggregates through DECIMAL(18,4) (order-independent, bit-exact);
+    the ratio divides two exact decimals cast to double identically on
+    both engines before the shared round(…, 6)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    dated = t.orders.filter(
+        F.col("o_orderdate").between("1997-11-01", "1997-11-30")
+    ).select("o_orderkey")
+    item = t.part.select("p_partkey", "p_type", "p_brand")
+    item_rev = (
+        t.lineitem.select(
+            "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+        )
+        .join(dated, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(item), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_partkey").alias("item_id"),
+            F.col("p_type").alias("item_type"),
+            F.col("p_brand").alias("class"),
+        )
+        .agg(_dec_revenue().alias("itemrevenue"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("class")
+    return (
+        item_rev.select(
+            "item_id",
+            "item_type",
+            "class",
+            "itemrevenue",
+            F.round(
+                F.col("itemrevenue") * 100.0 / F.sum("itemrevenue").over(w), 6
+            ).alias("revenueratio"),
+        )
+        .orderBy("class", F.col("revenueratio").desc(), "item_id")
+    )

@@ -30,6 +30,7 @@ AGGS = [
     "agg_filter_clause",
     "agg_equiwidth_histogram",
     "agg_entropy",
+    "agg_regression",
 ]
 
 

@@ -11,6 +11,7 @@ ORACLED = [
     "sim_cosine_topk", "sim_cosine_pairs", "sim_norms", "mm_binary_meta",
     "sim_label_centroid_drift", "mm_image_decode", "sim_truncation_recall",
     "sim_centroid_classifier", "mm_audio_features",
+    "sim_semantic_dedup", "sim_range_search",
 ]
 
 

@@ -20,6 +20,7 @@ load_all()
         "graph_sssp_weighted",
         "graph_scc",
         "graph_kcore",
+        "graph_adamic_adar",
     ],
 )
 def test_oracle_match(spark, name):
