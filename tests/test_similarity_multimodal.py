@@ -269,3 +269,25 @@ def test_pair_kernels_bit_exact_vs_jvm_folds(spark):
     # Bit-exact: plain == on doubles, no tolerance.
     assert (got["jvm_d"] == got["arrow_d"]).all()
     assert (got["jvm_c"] == got["arrow_c"]).all()
+
+
+def test_semantic_dedup_subset_of_allpairs_truth(spark):
+    """Cluster-scoped SemDeDup can only ever mark a SUBSET of the
+    all-pairs near-duplicates (it sees pairs within one cluster): on
+    the overlapping fence (vec_id < 300, same tau) every semantic dup
+    must appear in dedup_embedding_cosine's ground truth, with
+    no-larger n_near and max_cos — the mine-then-confirm containment
+    that proves the cluster stage drops candidates, never invents
+    them."""
+    sem = (
+        REGISTRY["sim_semantic_dedup"].fn(spark, SF_DIR).toPandas()
+    )
+    truth = (
+        REGISTRY["dedup_embedding_cosine"].fn(spark, SF_DIR).toPandas()
+    ).set_index("dup_id")
+    overlap = sem[sem["dup_id"] < 300]
+    assert len(overlap) > 0, "fixture degenerate: no dups under vec_id 300"
+    for _, row in overlap.iterrows():
+        assert row["dup_id"] in truth.index
+        assert row["n_near"] <= truth.loc[row["dup_id"], "n_near"]
+        assert row["max_cos"] <= truth.loc[row["dup_id"], "max_cos"] + 1e-9

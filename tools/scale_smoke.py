@@ -62,6 +62,9 @@ SMOKE_QUERIES = [
     "events_concurrency_sweep",
     "events_cohort_ltv",
     "stat_chi2_independence",
+    "sim_semantic_dedup",
+    "sim_range_search",
+    "text_gopher_filter",
 ]
 
 REL_TABLES = [
