@@ -1303,3 +1303,90 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("live").alias("peak_concurrency"))
         .orderBy("day")
     )
+
+
+#: CUSUM drift-detection knobs: target level μ₀ and slack k (the
+#: classic one-sided upper CUSUM parameters — both are SPEC inputs,
+#: not estimates, which is what keeps the statistic decimal-exact),
+#: and the alarm threshold h.  At (52, 3, 300) roughly a quarter of
+#: each type's events sit in an alarm region at sf0.1 — non-trivial
+#: in both directions.
+CUSUM_MU0 = 52
+CUSUM_K = 3
+CUSUM_H = 300
+
+
+@register(
+    "events_cusum_drift",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, ts, event_id,
+             CAST(value AS DECIMAL(18,2)) - {CUSUM_MU0} - {CUSUM_K} AS dev
+      FROM events
+    ), p AS (
+      SELECT event_type, ts, event_id,
+             sum(dev) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS pt
+      FROM d
+    ), s AS (
+      SELECT event_type,
+             pt - least(min(pt) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING), 0) AS splus
+      FROM p
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (splus > {CUSUM_H}) AS BIGINT) AS n_alarm,
+           round(CAST(max(splus) AS DOUBLE), 2) AS max_cusum
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("analytics", "events", "drift"),
+    priority=PRI_BEHIND_BACKLOG,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided upper CUSUM drift detection (Page 1954) per event
+    type: S⁺_t = max(0, S⁺_{t-1} + (x_t − μ₀ − k)), alarm while
+    S⁺_t > h — THE classic sequential change-point statistic for
+    monitoring a metric stream against a target level.  The recursive
+    max-reset form is un-windowable directly, but S⁺_t ≡
+    P_t − min(0, min_{i≤t} P_i) for the plain prefix sum P, so it
+    becomes two stacked running windows (cumsum, then running min) —
+    a textbook de-recursion every SQL engine can execute.
+
+    Scale notes: both windows partition by event_type (the
+    registry-wide no-unpartitioned-window guard applies) — each
+    type's series sorts independently; at 100 TB one CUSUMs per
+    (metric, shard) key, which is exactly this plan with a wider
+    partition key.  Deviations are DECIMAL(18,2) (the corpus values
+    are 2-decimal by construction), so every prefix sum, running min
+    and threshold comparison is exact and order-free — no float
+    drift anywhere until the single final cast of the max."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = (
+        F.col("value").cast("decimal(18,2)") - CUSUM_MU0 - CUSUM_K
+    )
+    p = t.events.select(
+        "event_type", "ts", "event_id", dev.alias("dev")
+    ).withColumn("pt", F.sum("dev").over(w))
+    s = p.withColumn(
+        "splus",
+        F.col("pt") - F.least(F.min("pt").over(w), F.lit(0)),
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("splus") > CUSUM_H).cast("long"))
+            .cast("bigint")
+            .alias("n_alarm"),
+            F.round(F.max("splus").cast("double"), 2).alias("max_cusum"),
+        )
+        .orderBy("event_type")
+    )

@@ -430,3 +430,99 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "band")
     )
+
+
+@register(
+    "stat_mann_whitney",
+    oracle=f"""
+    WITH pooled AS (
+        SELECT value, event_type FROM events
+        WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+    ), byval AS (
+        SELECT value,
+               sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END)
+                   AS a,
+               sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END)
+                   AS b
+        FROM pooled GROUP BY value
+    ), pref AS (
+        SELECT a, b,
+               sum(a + b) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+                 - (a + b) AS cum_before
+        FROM byval
+    ), agg AS (
+        SELECT sum(a) AS na, sum(b) AS nb,
+               sum(a * (2 * cum_before + a + b + 1)) AS r2,
+               sum((a + b) * (a + b) * (a + b) - (a + b)) AS ties
+        FROM pref
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(r2 - na * (na + 1) AS DOUBLE) / 2 AS u_a,
+           round((CAST(r2 - na * (na + 1) AS DOUBLE) / 2
+                  - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2)
+                 / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                        * (CAST(na + nb + 1 AS DOUBLE)
+                           - CAST(ties AS DOUBLE)
+                             / (CAST(na + nb AS DOUBLE)
+                                * CAST(na + nb - 1 AS DOUBLE)))),
+                 6) AS z_score
+    FROM agg
+    """,
+    tags=("stats", "hypothesis"),
+    priority=PRI_BEHIND_BACKLOG,
+)
+def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum) between the value
+    distributions of two event types, with the tie-corrected normal
+    approximation — the nonparametric location-shift companion to
+    stat_ks_two_sample's distribution test (neither exists in
+    pyspark.ml; both are the bread-and-butter A/B significance tests).
+
+    Exactness through integer arithmetic: counts aggregate per
+    DISTINCT value (tie blocks), each block contributes its members'
+    AVERAGE rank — a·(2·cum_before + a + b + 1)/2 — kept as the
+    integer numerator until one final exact halving, so rank sums are
+    order-independent BIGINTs, not drifting doubles.  The cumulative
+    block offsets come from the distributed exact prefix-sum
+    (prefix_rank.py) — no single-reducer window (the registry-wide
+    guard applies).  The z-score divides the same integers through
+    the same double expression on both engines before the shared
+    round(…, 6)."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    pooled = t.events.filter(
+        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+    ).select("value", "event_type")
+    byval = pooled.groupBy("value").agg(
+        F.sum((F.col("event_type") == KS_TYPE_A).cast("long")).alias("a"),
+        F.sum((F.col("event_type") == KS_TYPE_B).cast("long")).alias("b"),
+    )
+    pref, _, _ = with_global_prefix(
+        byval, "value", sums={"ct": F.col("a") + F.col("b")}
+    )
+    tot = F.col("a") + F.col("b")
+    agg = pref.withColumn("cum_before", F.col("ct") - tot).agg(
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+        F.sum(
+            F.col("a") * (2 * F.col("cum_before") + tot + 1)
+        ).alias("r2"),
+        F.sum(tot * tot * tot - tot).alias("ties"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u_a = (F.col("r2") - na * (na + 1)).cast("double") / 2
+    mu = na.cast("double") * nb.cast("double") / 2
+    sigma2 = (
+        na.cast("double") * nb.cast("double") / 12.0
+        * (
+            (na + nb + 1).cast("double")
+            - F.col("ties").cast("double")
+            / ((na + nb).cast("double") * (na + nb - 1).cast("double"))
+        )
+    )
+    return agg.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        u_a.alias("u_a"),
+        F.round((u_a - mu) / F.sqrt(sigma2), 6).alias("z_score"),
+    )

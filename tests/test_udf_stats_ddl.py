@@ -20,6 +20,7 @@ ORACLE_CHECKED = [
     "stat_describe",
     "stat_observe_metrics",
     "stat_chi2_independence",
+    "stat_mann_whitney",
     "ddl_temp_view_sql",
     "ddl_global_temp_view",
     "ddl_show_tables",
@@ -105,6 +106,19 @@ def test_ks_statistic_bounded_and_sane(spark):
     d = float(out["ks_d"].iloc[0])
     assert 0.0 <= d <= 1.0
     assert out["n_a"].iloc[0] > 0 and out["n_b"].iloc[0] > 0
+
+
+def test_mann_whitney_u_range_and_symmetry(spark):
+    """U_a ∈ [0, n_a·n_b]; U_a + U_b = n_a·n_b (so u_a determines its
+    dual), and the z-score is finite."""
+    import math
+
+    out = REGISTRY["stat_mann_whitney"].fn(spark, SF_DIR).toPandas()
+    assert len(out) == 1
+    n_a, n_b = int(out["n_a"].iloc[0]), int(out["n_b"].iloc[0])
+    u_a = float(out["u_a"].iloc[0])
+    assert 0.0 <= u_a <= n_a * n_b
+    assert math.isfinite(float(out["z_score"].iloc[0]))
 
 
 def test_freq_items_sketch_superset_of_exact_twin(spark):
