@@ -142,3 +142,186 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM: an ORDER-SENSITIVE custom stateful operator whose
+# cross-batch state carry is value-checked against the batch oracle.
+# ---------------------------------------------------------------------------
+
+CUSUM_OUTPUT_SCHEMA = (
+    "event_type string, n_events bigint, n_alarm bigint, max_cents bigint"
+)
+#: pt/mn/mx in integer CENTS (the corpus values are 2-decimal by
+#: construction) — exact, order-free-to-represent state; n/alarms count.
+CUSUM_STATE_SCHEMA = "pt bigint, mn bigint, n bigint, alarms bigint, mx bigint"
+
+_N_SPLITS = 4
+
+
+def _fold_cusum(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """State-fold kernel for the one-sided upper CUSUM: continue the
+    (prefix-sum, running-min, counters) state across micro-batches.
+    Rows are sorted by (ts, event_id) WITHIN the batch; the source
+    contract (time-split files, one per trigger) guarantees order
+    ACROSS batches, so the recursion S⁺_t = max(0, S⁺_{t-1} + dev_t)
+    resumes exactly where the previous batch left it."""
+    import numpy as np
+
+    from splitserve_spark.operators.analytics import (
+        CUSUM_H,
+        CUSUM_K,
+        CUSUM_MU0,
+    )
+
+    (event_type,) = key
+    pt, mn, n, alarms, mx = (
+        state.get if state.exists else (0, 0, 0, 0, 0)
+    )
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = np.rint(pdf["value"].to_numpy(dtype=np.float64) * 100).astype(
+            np.int64
+        )
+        devs = cents - (CUSUM_MU0 + CUSUM_K) * 100
+        pts = pt + np.cumsum(devs)
+        mns = np.minimum(np.minimum.accumulate(pts), mn)
+        splus = pts - mns
+        n += len(pdf)
+        alarms += int((splus > CUSUM_H * 100).sum())
+        mx = max(mx, int(splus.max()))
+        pt, mn = int(pts[-1]), int(mns[-1])
+    state.update((pt, mn, n, alarms, mx))
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "n_events": [n],
+            "n_alarm": [alarms],
+            "max_cents": [mx],
+        }
+    )
+
+
+def _ordered_event_splits(spark: SparkSession, sf_dir: str) -> str:
+    """Build the time-split file fixture: events partitioned into
+    _N_SPLITS contiguous ts ranges, one parquet FILE each, mtimes
+    strictly increasing — so the file stream source (which orders by
+    modification time, then path) delivers them oldest-first and the
+    cross-batch order contract of _fold_cusum holds.  Idempotent per
+    sf_dir."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    out = os.path.join(
+        tempfile.gettempdir(), "splitserve_spark_stream", f"cusum_{tag}"
+    )
+    marker = os.path.join(out, "_SPLITS_READY")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / _N_SPLITS
+    cuts = [lo + span * i for i in range(1, _N_SPLITS)]
+    bounds = [None, *cuts, None]
+    for i in range(_N_SPLITS):
+        part = ev
+        if bounds[i] is not None:
+            part = part.filter(F.col("ts") >= F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("ts") < F.lit(bounds[i + 1]))
+        staging = os.path.join(out, f"_staging_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(staging)
+        (src,) = glob.glob(os.path.join(staging, "part-*.parquet"))
+        dst = os.path.join(out, f"b{i}.parquet")
+        shutil.move(src, dst)
+        shutil.rmtree(staging)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+@register(
+    "stream_cusum_stateful",
+    priority=98,  # PRI_BEHIND_BACKLOG: added while the backlog fills the window
+    oracle=None,  # set right below from the batch twin — single source of truth
+    tags=("streaming", "stateful", "custom-operator", "drift"),
+)
+def stream_cusum_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-SENSITIVE custom stateful streaming operator: the
+    one-sided CUSUM of events_cusum_drift run through the real
+    micro-batch engine — events arrive as _N_SPLITS time-contiguous
+    files, one per trigger (maxFilesPerTrigger=1), and
+    applyInPandasWithState carries (prefix sum, running min, counters)
+    per event_type across batches.  The FINAL state must equal the
+    batch statistic over the whole table, which is exactly what the
+    shared oracle checks — value-checked evidence that arbitrary
+    keyed state survives micro-batch boundaries, a strictly stronger
+    claim than the commutative stream_stateful_profile fold (sums
+    don't care about order; CUSUM does).
+
+    State is integer CENTS (2-decimal corpus values), so every prefix
+    sum, running min and threshold comparison is exact — the stream
+    and the batch DECIMAL(18,2) plan compute literally the same
+    integers.  Scale notes: state shuffles on event_type per batch
+    (same as built-in streaming agg); per-key order across batches is
+    the file-source contract here, kafka-partition-per-key in
+    production — the standard ordering premise of every streaming
+    change-point detector."""
+    ensure_parity_conf(spark)
+    from splitserve_spark.streaming.stateful import _events_stream
+
+    src_dir = _ordered_event_splits(spark, sf_dir)
+    name = "scs_" + "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from splitserve_spark.tables import normalize_event_ts
+
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/b*.parquet")
+    ).select("event_type", "ts", "event_id", "value")
+    q = (
+        stream.groupBy("event_type")
+        .applyInPandasWithState(
+            _fold_cusum,
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("n_alarm", "n_events").cast("bigint").alias("n_alarm"),
+            F.round(
+                F.max_by("max_cents", "n_events") / 100.0, 2
+            ).alias("max_cusum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# The streaming CUSUM shares the batch twin's oracle verbatim: same
+# statistic, same output columns — ONE definition of correct.
+import splitserve_spark.operators.analytics  # noqa: E402,F401  (registers the twin)
+from splitserve_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["stream_cusum_stateful"].oracle = _REG["events_cusum_drift"].oracle

@@ -97,3 +97,29 @@ def test_state_operator_is_streaming_only(spark):
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         ).collect()
+
+
+def test_cusum_stream_really_crosses_batch_boundaries(spark):
+    """The streaming CUSUM's correctness claim is that ORDER-SENSITIVE
+    state survives micro-batch boundaries — so the run must actually
+    have had multiple batches: the update-mode memory sink appends one
+    row per (event_type, batch) that touched the type, and every type
+    appears in every time-split file, so each type must have one row
+    per split with strictly increasing n_events."""
+    from splitserve_spark.registry import REGISTRY, load_all
+    from splitserve_spark.streaming.custom_state import _N_SPLITS
+    from tests.oracle_utils import SF_DIR
+
+    load_all()
+    REGISTRY["stream_cusum_stateful"].fn(spark, SF_DIR).count()
+    name = "scs_" + "".join(
+        c if c.isalnum() else "_" for c in SF_DIR.strip("/")
+    )
+    sink = spark.table(name).toPandas()
+    per_type = sink.groupby("event_type")["n_events"]
+    assert (per_type.count() == _N_SPLITS).all(), sink
+    assert (
+        sink.sort_values(["event_type", "n_events"])
+        .groupby("event_type")["n_events"]
+        .is_monotonic_increasing.all()
+    )
