@@ -822,3 +822,59 @@ def mix_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.select("doc_id", "shard", pos.alias("pos"))
         .orderBy("shard", "pos")
     )
+
+
+@register(
+    "split_group_holdout",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             CASE WHEN (('0x' || substr(md5('grp-' || source), 1, 15))::BIGINT)
+                       % 100 < {EVAL_PCT}
+                  THEN 'eval' ELSE 'train' END AS split,
+             len(string_split_regex(trim(text), ' +')) AS n_tokens
+      FROM documents
+    )
+    SELECT split,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM d GROUP BY split
+    ORDER BY split
+    """,
+    tags=("pipeline", "sampling"),
+    priority=PRI_BEHIND_BACKLOG,
+)
+def split_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/eval holdout: the split key is the hash of
+    the SOURCE, not the document — every document of a source lands on
+    the same side, so near-duplicates and boilerplate shared within a
+    crawl domain can never leak from train into eval (the C4/Pile
+    decontamination rule split_train_eval's per-doc hash cannot give;
+    tests assert the no-straddle invariant).  Output is the per-split
+    manifest (source/doc/token counts).
+
+    Scale shape: identical to split_train_eval — a codegen hash
+    projection plus one map-side-combinable groupBy; the distinct
+    source count rides the same shuffle."""
+    from splitserve_spark.functions.parity_hash import md5_hash60
+
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    split = F.when(
+        md5_hash60(F.concat(F.lit("grp-"), F.col("source"))) % 100 < EVAL_PCT,
+        "eval",
+    ).otherwise("train")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " +")).cast("bigint")
+    return (
+        t.documents.select(
+            split.alias("split"), "source", n_tokens.alias("n_tokens")
+        )
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )

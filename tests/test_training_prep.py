@@ -142,3 +142,37 @@ def test_temperature_weights_normalize_and_flatten(spark):
     small = out[out["n_docs"] < mean_n]
     if len(small):
         assert (small["upweight"] >= 1.0 - 1e-9).all()
+
+
+def test_group_holdout_sources_never_straddle(spark):
+    """The group split's whole point: every source lies entirely in
+    one split (doc-level split can't promise this), and both splits
+    are non-empty on this corpus."""
+    from splitserve_spark.functions.parity_hash import md5_hash60
+    from splitserve_spark.operators.training_prep import EVAL_PCT
+    from splitserve_spark.tables import Tables
+
+    import pyspark.sql.functions as F
+
+    docs = Tables(spark, SF_DIR).documents
+    per_source = (
+        docs.select(
+            "source",
+            F.when(
+                md5_hash60(F.concat(F.lit("grp-"), F.col("source"))) % 100
+                < EVAL_PCT,
+                "eval",
+            )
+            .otherwise("train")
+            .alias("split"),
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .toPandas()
+    )
+    assert (per_source["n_splits"] == 1).all()
+    manifest = (
+        REGISTRY["split_group_holdout"].fn(spark, SF_DIR).toPandas()
+    )
+    assert set(manifest["split"]) == {"eval", "train"}
+    assert (manifest["n_sources"] > 0).all()
