@@ -2,12 +2,12 @@
 
 entry(spark)   — flagship query (TPC-H Q1 style) on sf0.001.
 queries()      — every registered operator query from SURVEY.md §2 plus
-                 the beyond-parity pipeline operators (298 entries:
+                 the beyond-parity pipeline operators (308 entries:
                  TPC-H Q1-Q22, the paper's TPC-DS Q5/Q16/Q94/Q95 shapes,
                  joins/aggregates/windows/setops/subqueries, scalar
                  functions, UDF surface, stats, DDL, RDD ops, streaming,
                  dedup/similarity/text/multimodal, graph/ML workloads).
-oracle_sql()   — matching DuckDB SQL per query (293 entries; None-oracle
+oracle_sql()   — matching DuckDB SQL per query (303 entries; None-oracle
                  queries omitted → driver records a rows-only check;
                  the 5 remaining are true RNG/sketch/engine-internal
                  cases: seeded sampling ×2, MLlib k-means, HLL++/GK
