@@ -74,6 +74,8 @@ def with_global_prefix(
             df.select(F.col(sort_col).cast("double").alias("_q"))
             .stat.approxQuantile("_q", fractions, 1.0 / (4 * n_buckets))
         )
+        if fractions  # n_buckets=1: everything in bucket 0, no cuts
+        else []
     )
     pid: Column = F.lit(0)
     for c in cuts:
