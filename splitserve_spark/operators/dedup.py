@@ -74,8 +74,35 @@ def _norm(col):
     return F.regexp_replace(F.trim(F.lower(col)), " +", " ")
 
 
-def _shingles(spark, sf_dir) -> DataFrame:
+#: Same bounded-cache contract as graph.py: the LSH collapse's narrow
+#: membership table (doc_id, fp, rep) is consumed by five branches of
+#: one plan — without a persist, Catalyst re-derives it per branch
+#: (six corpus scans + fp aggregations; measured ReusedExchange: 0).
+#: Persist for the run, release at the next invocation (the returned
+#: DataFrame's lineage still references it, so it cannot be freed at
+#: return time).
+_PERSISTED: list = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df)
+    return df.persist()
+
+
+def _release_prior() -> None:
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+
+
+def _shingles(spark, sf_dir, docs: DataFrame | None = None) -> DataFrame:
     """doc_id → array of distinct 3-word shingles (Spark side).
+
+    ``docs`` (doc_id, text) overrides the full documents scan — the
+    LSH pipeline passes its exact-duplicate representatives here so
+    shingle/signature cost scales with UNIQUE content, not corpus size.
 
     The scan is repartitioned to the session's parallelism first: the
     shingle/hash work is CPU-bound and must not inherit the file
@@ -110,20 +137,25 @@ def _shingles(spark, sf_dir) -> DataFrame:
         F.transform(F.array(F.split(_norm(F.col("text")), " ")), shingles_of), 1
     )
     parallelism = spark.sparkContext.defaultParallelism
+    base = t.documents if docs is None else docs
     return (
-        t.documents.repartition(parallelism, "doc_id")
+        base.repartition(parallelism, "doc_id")
         .select("doc_id", let_bound.alias("shingles"))
     )
 
 
-def _signatures(spark, sf_dir) -> DataFrame:
+def _signatures(
+    spark, sf_dir, docs: DataFrame | None = None, sh: DataFrame | None = None
+) -> DataFrame:
     """doc_id → MinHash signature columns m0..m7.
 
     explode → hash → groupBy(min per permutation): the shuffle carries
-    one row per (doc, shingle) and aggregates map-side first."""
-    ex = _shingles(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("s")
-    )
+    one row per (doc, shingle) and aggregates map-side first.  ``sh``
+    supplies a precomputed (doc_id, shingles) table (the LSH pipeline
+    shares one persisted shingle pass across its consumers)."""
+    if sh is None:
+        sh = _shingles(spark, sf_dir, docs)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     h = md5_hash60(F.col("s"))
     return ex.groupBy("doc_id").agg(
         *[
@@ -204,15 +236,49 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: signature → 4 bands of 2 →
-    bucket self-join for candidates → exact Jaccard confirm ≥ 0.3.
+    """Full MinHash-LSH near-dup pipeline: exact-duplicate collapse →
+    signature → 4 bands of 2 → bucket self-join for candidates → exact
+    Jaccard confirm ≥ 0.3 → expand pairs back through the twin groups.
 
-    Scale: candidate generation is the banded join (quadratic only
-    within identical buckets); the confirm join re-reads only candidate
-    docs' shingle arrays.  This is the standard web-scale near-dedup
-    layout (cf. MMDS ch.3) expressed as DataFrames."""
+    Scale: the front-end collapse (groupBy content fingerprint, keep
+    min-doc_id representative) is what makes the banded stage survive a
+    real web corpus.  Shingle/signature/confirm cost then scales with
+    UNIQUE content, and — decisive at 100 TB — a boilerplate page with
+    10⁷ exact copies is ONE node in the LSH graph instead of a 10⁷-deep
+    bucket whose in-row k² expansion (and collect_list) would OOM a
+    task.  The collapse is output-lossless, not an approximation:
+    shingles, signatures and Jaccard are functions of the normalized
+    text alone, so exact twins share every band bucket with jaccard
+    exactly 1.0 (emitted directly from group membership, AQE-splittable
+    equi-join on the fingerprint) and a cross-group member pair is a
+    candidate iff its representative pair is, with the same jaccard
+    (expanded by two membership equi-joins).  Candidate mining within
+    the unique set stays collect_list + in-row k²: bucket groups over
+    *distinct* texts are small by construction (that is the point of
+    LSH; cf. MMDS ch.3)."""
     ensure_parity_conf(spark)
-    sig = _signatures(spark, sf_dir)
+    _release_prior()
+    t = Tables(spark, sf_dir)
+    fp_df = t.documents.select(
+        "doc_id", F.md5(_norm(F.col("text")).cast("binary")).alias("fp")
+    )
+    reps = fp_df.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    # groupBy+join, NOT a partitionBy(fp) window: map-side partial
+    # aggregation keeps a 10⁷-copy hot fingerprint from concentrating
+    # its rows in one window task; AQE splits the skewed join side.
+    members = _persist_tracked(fp_df.join(reps, "fp"))
+    uniq_docs = t.documents.join(
+        members.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).select("doc_id", "text")
+    # One shingle pass, persisted: the signature explode and BOTH
+    # confirm-join sides read it (3 consumers; unpersisted, Catalyst
+    # would run the tokenize/shingle hot loop three times).  Spark's
+    # default MEMORY_AND_DISK level spills rather than OOMs when the
+    # unique-text shingle table outgrows executor memory.
+    sh = _persist_tracked(_shingles(spark, sf_dir, uniq_docs))
+    sig = _signatures(spark, sf_dir, sh=sh)
     n_bands = len(MINHASH_PERMS) // 2
     # One (band, bucket) struct array exploded in a single pass — NOT a
     # per-band unionAll, which would re-run the whole signature job once
@@ -254,20 +320,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    sh = _shingles(spark, sf_dir)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return (
+    confirmed = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.3)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+        .select(
+            F.col("doc_a").alias("rep_a"),
+            F.col("doc_b").alias("rep_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
     )
+    # Expand back to member pairs.  Twin pairs (same fingerprint) share
+    # identical shingle sets — every band bucket matches and jaccard is
+    # exactly 1.0, no confirm needed.  Cross-group pairs inherit their
+    # representatives' jaccard; least/greatest restores the doc_a <
+    # doc_b orientation (group membership does not follow rep order).
+    x, y = members.alias("x"), members.alias("y")
+    twins = (
+        x.join(y, "fp")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    cross = (
+        confirmed.join(
+            members.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("a")),
+            "rep_a",
+        )
+        .join(
+            members.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("b")),
+            "rep_b",
+        )
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return twins.unionByName(cross).orderBy("doc_a", "doc_b")
 
 
 _N_SIMHASH_BITS = 16
