@@ -74,27 +74,15 @@ def _norm(col):
     return F.regexp_replace(F.trim(F.lower(col)), " +", " ")
 
 
-#: Same bounded-cache contract as graph.py: the LSH collapse's narrow
-#: membership table (doc_id, fp, rep) is consumed by five branches of
-#: one plan — without a persist, Catalyst re-derives it per branch
-#: (six corpus scans + fp aggregations; measured ReusedExchange: 0).
-#: Persist for the run, release at the next invocation (the returned
-#: DataFrame's lineage still references it, so it cannot be freed at
-#: return time).
-_PERSISTED: list = []
-
-
-def _persist_tracked(df: DataFrame) -> DataFrame:
-    _PERSISTED.append(df)
-    return df.persist()
-
-
-def _release_prior() -> None:
-    while _PERSISTED:
-        try:
-            _PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+# Shared bounded-to-one-run persist tracker (run_cache.py holds the
+# contract).  The LSH collapse persists its narrow membership table
+# (doc_id, fp, rep — five consuming branches) and its single shingle
+# pass (three consumers); without it, Catalyst re-derives both per
+# branch (measured: 17 scans, zero exchange reuse).
+from splitserve_spark.operators.run_cache import (
+    persist_tracked as _persist_tracked,
+    release_prior as _release_prior,
+)
 
 
 def _shingles(spark, sf_dir, docs: DataFrame | None = None) -> DataFrame:

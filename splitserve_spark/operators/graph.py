@@ -35,24 +35,13 @@ N_ITER = 5
 RESET = 0.15
 DAMP = 0.85
 
-#: DataFrames persisted by the previous invocation of an iterative
-#: operator; released at the start of the next one.  The returned
-#: DataFrame's lineage still references them, so they cannot be freed
-#: at return time — bounding the cache to one run is the contract.
-_PERSISTED: list = []
-
-
-def _persist_tracked(df: DataFrame) -> DataFrame:
-    _PERSISTED.append(df)
-    return df.persist()
-
-
-def _release_prior() -> None:
-    while _PERSISTED:
-        try:
-            _PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+# Shared bounded-to-one-run persist tracker (run_cache.py holds the
+# full contract); re-exported under the historical local names, which
+# dedup/analytics also import from here.
+from splitserve_spark.operators.run_cache import (  # noqa: E402
+    persist_tracked as _persist_tracked,
+    release_prior as _release_prior,
+)
 
 
 def _edges(spark, sf_dir) -> DataFrame:

@@ -23,6 +23,7 @@ from splitserve_spark.registry import (
     PRI_NEXT_WINDOW,
     register,
 )
+from splitserve_spark.operators.run_cache import persist_tracked, release_prior
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -692,6 +693,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     better — the corpus never shuffles.
     """
     ensure_parity_conf(spark)
+    release_prior()
     t = Tables(spark, sf_dir)
     ws = _words(F.col("text"))
 
@@ -700,15 +702,20 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (element, index) by the higher-order-function binder.
         return lambda w: w == term
 
-    docs = t.documents.select(
-        "doc_id",
-        F.size(ws).cast("double").alias("dl"),
-        *[
-            F.size(F.filter(ws, eq(term)))
-            .cast("double")
-            .alias(f"tf_{term}")
-            for term in BM25_QUERY_TERMS
-        ],
+    # Persisted: both the 1-row stats aggregate and the scored output
+    # consume this projection — unpersisted, the tokenize/filter hot
+    # loop runs over the corpus twice (run_cache.py contract).
+    docs = persist_tracked(
+        t.documents.select(
+            "doc_id",
+            F.size(ws).cast("double").alias("dl"),
+            *[
+                F.size(F.filter(ws, eq(term)))
+                .cast("double")
+                .alias(f"tf_{term}")
+                for term in BM25_QUERY_TERMS
+            ],
+        )
     )
     stats = docs.agg(
         F.count("*").alias("n_docs"),
@@ -786,11 +793,17 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 1-row total IS hint-broadcast — bounded by construction.  All
     JVM-side: no UDF, the log/avg run in whole-stage codegen."""
     ensure_parity_conf(spark)
+    release_prior()
     t = Tables(spark, sf_dir)
     words = t.documents.select(
         "doc_id", F.explode(_words(F.col("text"))).alias("w")
     )
-    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    # freq (vocab-size) is persisted — its two consumers (the 1-row
+    # total and the attach join) would otherwise each re-run the full
+    # corpus explode + word aggregation.  words itself stays
+    # unpersisted: the exploded token stream is ~10× the text and
+    # cheap to recompute from the scan (recompute-vs-spill trade).
+    freq = persist_tracked(words.groupBy("w").agg(F.count("*").alias("c")))
     tot = freq.agg(F.sum("c").cast("double").alias("n"))
     return (
         _attach_unigram_lm(words, freq, tot)
@@ -861,11 +874,17 @@ def text_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     read once; nothing wider than (doc_id, word) ever shuffles.
     Ties broken by term so both engines emit identical keyword sets."""
     ensure_parity_conf(spark)
+    release_prior()
     t = Tables(spark, sf_dir)
     words = t.documents.select(
         "doc_id", F.explode(_words(F.col("text"))).alias("w")
     )
-    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    # Persisted: tf feeds both the df rollup and the scoring join —
+    # unpersisted, the explode + (doc, word) aggregation runs twice
+    # over the corpus (run_cache.py contract).
+    tf = persist_tracked(
+        words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    )
     df = tf.groupBy("w").agg(F.count("*").alias("df"))
     n_docs = t.documents.agg(F.count("*").alias("n_docs"))
     scored = _score_tfidf(tf, df, n_docs)
@@ -1173,11 +1192,17 @@ def text_source_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     planner/AQE broadcasts it only when it measures small.  The final
     sum shuffles only O(|sources|) rows."""
     ensure_parity_conf(spark)
+    release_prior()
     t = Tables(spark, sf_dir)
     words = t.documents.select(
         "source", F.explode(_words(F.col("text"))).alias("w")
     )
-    sw = words.groupBy("source", "w").agg(F.count("*").alias("c"))
+    # Persisted: sw has three consumers (per-source totals, corpus
+    # distribution, final join) — unpersisted, the corpus explode +
+    # aggregation runs three times (run_cache.py contract).
+    sw = persist_tracked(
+        words.groupBy("source", "w").agg(F.count("*").alias("c"))
+    )
     stot = sw.groupBy("source").agg(F.sum("c").alias("n_s"))
     corpus = sw.groupBy("w").agg(F.sum("c").alias("c_all"))
     ctot = corpus.agg(F.sum("c_all").alias("n_all"))
