@@ -958,7 +958,12 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("src"), (_h("aa-e2-") % AA_N).cast("int").alias("dst")
     )
     fwd = e1.union(e2)
-    g = (
+    # Persisted: the symmetrized edge list has four consumers (degree
+    # table, both 2-path join sides, the existing-edge anti-join) and
+    # its own lineage reads the corpus four times — unpersisted that
+    # is 16 corpus scans per run (run_cache.py contract).
+    _release_prior()
+    g = _persist_tracked(
         fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()

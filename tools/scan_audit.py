@@ -40,6 +40,41 @@ SKIP_PREFIXES = (
 )
 
 
+def _depth(line: str) -> int:
+    """Position where plan-node content starts (past the tree bars)."""
+    m = re.match(r"[\s:+\-*]*", line)
+    return m.end()
+
+
+def _count_executed_scans(plan: str) -> dict[str, int]:
+    """Count FileScans on the UNCACHED paths of the plan.
+
+    A persisted intermediate prints as InMemoryRelation with its full
+    child lineage re-printed at EVERY reference (with re-aliased
+    attributes), so a raw FileScan count overstates executed scans
+    N-fold.  Each cached subtree executes at most once (first
+    materialization) regardless of reference count, so cached subtrees
+    are skipped entirely here — what this diagnostic hunts is the
+    repeat-scan class that re-EXECUTES per branch."""
+    counts: dict[str, int] = {}
+    lines = plan.splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if "InMemoryRelation" in line:
+            d = _depth(line)
+            j = i + 1
+            while j < len(lines) and _depth(lines[j]) > d:
+                j += 1
+            i = j
+            continue
+        s = re.search(r"file:[^\]]*/(\w+)\.parquet", line)
+        if s:
+            counts[s.group(1)] = counts.get(s.group(1), 0) + 1
+        i += 1
+    return counts
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
@@ -67,9 +102,7 @@ def main() -> None:
             print(json.dumps({"query": name, "error": str(exc)[:120]}))
             continue
         checked += 1
-        counts: dict[str, int] = {}
-        for m in re.finditer(r"file:[^\]]*/(\w+)\.parquet", plan):
-            counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+        counts = _count_executed_scans(plan)
         worst = {t: c for t, c in counts.items() if c >= args.threshold}
         if worst:
             flagged += 1
