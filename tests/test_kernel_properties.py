@@ -254,3 +254,82 @@ def test_prefix_rank_property_vs_sorted_reference(spark, vals, n_buckets):
     for rank, (i, v) in enumerate(sorted(rows, key=lambda r: (r[1], r[0])), 1):
         run += v
         assert out[i] == (rank, run), f"row id={i} v={v}"
+
+
+# -------------------------------------- rank statistics under ties
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals_a=st.lists(st.integers(min_value=0, max_value=9), min_size=2, max_size=40),
+    vals_b=st.lists(st.integers(min_value=0, max_value=9), min_size=2, max_size=40),
+)
+def test_ks_and_mann_whitney_tie_independent(spark, tmp_path_factory, vals_a, vals_b):
+    """KS D and Mann-Whitney U/z must equal the sequential textbook
+    computation on arbitrary multisets drawn from a 10-value support —
+    i.e. under HEAVY ties, the case round-6 advice flagged as the
+    nondeterminism risk of the old row-windowed CDFs.  The per-distinct-
+    value aggregation + distributed prefix decomposition must make the
+    result independent of within-tie row order and partitioning."""
+    import pandas as pd
+
+    from splitserve_spark.registry import REGISTRY, load_all
+
+    load_all()
+    tmp = tmp_path_factory.mktemp("ksmw")
+    rows = [("view", float(v)) for v in vals_a] + [
+        ("purchase", float(v)) for v in vals_b
+    ]
+    pd.DataFrame(
+        [
+            (i, pd.Timestamp("2024-01-01"), i % 7, et, v, "{}")
+            for i, (et, v) in enumerate(rows)
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp / "events.parquet")
+
+    # --- sequential references -------------------------------------
+    na, nb = len(vals_a), len(vals_b)
+    support = sorted(set(vals_a) | set(vals_b))
+    ca = cb = 0
+    ks = 0.0
+    for v in support:
+        ca += vals_a.count(v)
+        cb += vals_b.count(v)
+        ks = max(ks, abs(ca / na - cb / nb))
+
+    pooled = sorted(vals_a + vals_b)
+    # average ranks per tie block (1-based)
+    rank_of = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j] == pooled[i]:
+            j += 1
+        rank_of[pooled[i]] = (i + 1 + j) / 2
+        i = j
+    r_a = sum(rank_of[v] for v in vals_a)
+    u_a = r_a - na * (na + 1) / 2
+    n = na + nb
+    ties = sum(
+        c * c * c - c
+        for c in (pooled.count(v) for v in set(pooled))
+    )
+    mu = na * nb / 2
+    sigma2 = na * nb / 12 * ((n + 1) - ties / (n * (n - 1)))
+
+    ks_out = REGISTRY["stat_ks_two_sample"].fn(spark, str(tmp)).collect()[0]
+    assert (ks_out["n_a"], ks_out["n_b"]) == (na, nb)
+    assert ks_out["ks_d"] == pytest.approx(round(ks, 6), abs=1e-9)
+
+    mw_out = REGISTRY["stat_mann_whitney"].fn(spark, str(tmp)).collect()[0]
+    assert (mw_out["n_a"], mw_out["n_b"]) == (na, nb)
+    assert mw_out["u_a"] == pytest.approx(u_a, abs=1e-9)
+    if sigma2 > 0:
+        import math
+
+        z = round((u_a - mu) / math.sqrt(sigma2), 6)
+        assert mw_out["z_score"] == pytest.approx(z, abs=1e-6)

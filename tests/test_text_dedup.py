@@ -69,3 +69,44 @@ def test_cluster_canonical_transitive_and_consistent(spark):
     assert (out["canonical_id"] <= out["doc_id"]).all()
     assert set(out["canonical_id"]) <= set(out["doc_id"])
     assert (out.loc[out["doc_id"] == out["canonical_id"], "is_canonical"] == 1).all()
+
+
+def test_minhash_lsh_hot_clique_corpus(spark, tmp_path):
+    """Correctness under the skew the exact-collapse front end exists
+    for: a corpus where most documents are byte-identical copies of
+    one boilerplate page (the 100 TB hot-fingerprint case, extreme
+    enough that the pre-collapse design would expand a 1500-deep
+    bucket inside one task).
+
+    Checks the exact pair semantics on this synthetic corpus:
+    - every copy pair of the hot page is emitted with jaccard == 1.0
+      (1500 copies -> 1500*1499/2 pairs),
+    - distinct near-dup documents still pair through the banded path,
+    - unrelated documents pair with nothing.
+    """
+    import pandas as pd
+
+    hot = "the requested page could not be found please check the url and try again"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    unrelated = "completely different content about distributed query engines"
+    n_hot = 1500
+    rows = [(i, hot) for i in range(n_hot)]
+    rows += [(n_hot, near_a), (n_hot + 1, near_b), (n_hot + 2, unrelated)]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).assign(
+        lang="en", source="srcX", n_chars=lambda d: d["text"].str.len()
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    out = (
+        REGISTRY["dedup_minhash_lsh"].fn(spark, str(tmp_path)).toPandas()
+    )
+    hot_pairs = out[(out["doc_a"] < n_hot) & (out["doc_b"] < n_hot)]
+    assert len(hot_pairs) == n_hot * (n_hot - 1) // 2
+    assert (hot_pairs["jaccard"] == 1.0).all()
+    near = out[(out["doc_a"] == n_hot) & (out["doc_b"] == n_hot + 1)]
+    assert len(near) == 1 and 0.3 <= float(near["jaccard"].iloc[0]) < 1.0
+    assert not ((out["doc_a"] == n_hot + 2) | (out["doc_b"] == n_hot + 2)).any()
+    # No hot-to-near leakage: the hot page shares no shingles with the
+    # near-dup block, so any such pair would be a banding/expansion bug.
+    leak = out[(out["doc_a"] < n_hot) & (out["doc_b"] >= n_hot)]
+    assert leak.empty
