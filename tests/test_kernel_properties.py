@@ -333,3 +333,63 @@ def test_ks_and_mann_whitney_tie_independent(spark, tmp_path_factory, vals_a, va
 
         z = round((u_a - mu) / math.sqrt(sigma2), 6)
         assert mw_out["z_score"] == pytest.approx(z, abs=1e-6)
+
+
+# ------------------------------------ cross-engine parity hash family
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=["Cs"], max_codepoint=0x2FFF
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_md5_hash60_and_perm_hash_cross_engine(spark, texts):
+    """The parity-hash family (the determinism backbone of every
+    dedup/graph fenced block) must agree with an independent Python
+    md5 on ARBITRARY unicode strings, and with DuckDB's SQL spelling —
+    three engines, one value.  perm_hash must stay inside [0, P) and
+    match the Python congruence for every MINHASH_PERMS pair."""
+    import hashlib
+
+    import duckdb
+
+    from splitserve_spark.functions.parity_hash import (
+        HASH_P, MINHASH_PERMS, md5_hash60, md5_hash60_sql, perm_hash,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(t,) for t in texts], ["s"])
+    a0, b0 = MINHASH_PERMS[0]
+    rows = df.select(
+        "s",
+        md5_hash60(F.col("s")).alias("h"),
+        *[
+            perm_hash(md5_hash60(F.col("s")), a, b).alias(f"p{i}")
+            for i, (a, b) in enumerate(MINHASH_PERMS)
+        ],
+    ).collect()
+
+    con = duckdb.connect()
+    for r in rows:
+        py_h = int(hashlib.md5(r["s"].encode("utf-8")).hexdigest()[:15], 16)
+        assert r["h"] == py_h, r["s"]
+        duck_h = con.execute(
+            f"SELECT {md5_hash60_sql('?')}", [r["s"]]
+        ).fetchone()[0]
+        assert duck_h == py_h, r["s"]
+        for i, (a, b) in enumerate(MINHASH_PERMS):
+            exp = (a * (py_h % HASH_P) + b) % HASH_P
+            assert r[f"p{i}"] == exp
+            assert 0 <= r[f"p{i}"] < HASH_P
