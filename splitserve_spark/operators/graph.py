@@ -271,6 +271,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
+    return _triangle_core(spark, os_)
+
+
+def _triangle_core(spark: SparkSession, os_: DataFrame) -> DataFrame:
+    """Canonical-orientation triangle count from the (ok, s)
+    bipartite membership pairs: project co-membership edges a<b, then
+    wedge join + closure join.  Factored so tools/scale_smoke.py can
+    drive it on a K×-replicated membership list (disjoint copies — Σ
+    deg² per copy is constant, total work must grow ~K)."""
     e = (
         os_.alias("x")
         .join(os_.alias("y"), "ok")
@@ -502,6 +511,26 @@ SSSP_SOURCES = 2
 SSSP_MOD = 15
 
 
+def _sssp_core(sym: DataFrame, dist: DataFrame,
+               iters: int | None = None) -> DataFrame:
+    """Bellman-Ford rounds over the weighted symmetric edge list
+    ``sym`` (a, b, w — with weight-0 self-loops keeping settled nodes
+    alive) from the seed frontier ``dist`` (node, dist).  Factored so
+    tools/scale_smoke.py can drive it on a K×-replicated edge list
+    with per-copy seeds (frontier work must grow ~K)."""
+    iters = SSSP_ITER if iters is None else iters
+    for _ in range(iters):
+        dist = (
+            sym.join(dist, F.col("a") == F.col("node"))
+            .groupBy("b")
+            .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
+            .withColumnRenamed("b", "node")
+        )
+    return dist.select(
+        "node", F.col("dist").cast("int").alias("dist")
+    ).orderBy("node")
+
+
 @register(
     "graph_sssp_weighted",
     oracle=f"""
@@ -598,16 +627,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SSSP_SOURCES)
         .withColumn("dist", F.lit(0))
     )
-    for _ in range(SSSP_ITER):
-        dist = (
-            sym.join(dist, F.col("a") == F.col("node"))
-            .groupBy("b")
-            .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
-            .withColumnRenamed("b", "node")
-        )
-    return dist.select(
-        "node", F.col("dist").cast("int").alias("dist")
-    ).orderBy("node")
+    return _sssp_core(sym, dist)
 
 
 #: SCC pivot-block knobs: the fenced node set (doc_id < SCC_N — ids
@@ -619,6 +639,46 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: doublings — 7 is one whole doubling of margin, asserted in tests.
 SCC_N = 256
 SCC_DOUBLINGS = 7
+
+
+def _scc_core(reach: DataFrame, doublings: int = SCC_DOUBLINGS) -> DataFrame:
+    """Closure-doubling SCC from the initial reach set (edges ∪
+    identity, int node ids): k doublings cover paths ≤ 2^k, then
+    mutual-reach min-label.  Factored so tools/scale_smoke.py can
+    drive it on a K×-replicated edge list (disjoint copies — the
+    edge-replication scale smoke the iterative family needs because
+    the registry plan guards exempt it)."""
+    for _ in range(doublings):
+        # Each doubling references the previous closure three times
+        # (identity union + both sides of the self-join), so un-cut
+        # lineage grows the logical plan 3^rounds — Catalyst spends
+        # minutes re-optimizing a ~2000-leaf tree.  localCheckpoint
+        # pins each round's closure on the executors and resets the
+        # plan to a scan (same hygiene as graph_kcore).
+        reach = reach.localCheckpoint()
+        hop = (
+            reach.alias("a")
+            .join(reach.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        reach = reach.union(hop).distinct()
+    back = reach.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    scc = (
+        reach.join(back, ["src", "dst"])
+        .groupBy("src")
+        .agg(F.min("dst").alias("scc_id"))
+        .select(F.col("src").alias("node"), "scc_id")
+    )
+    from pyspark.sql.window import Window as W
+
+    return scc.select(
+        "node",
+        F.col("scc_id").cast("int").alias("scc_id"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("scc_id"))
+        .cast("int")
+        .alias("scc_size"),
+    ).orderBy("node")
 
 
 def _scc_oracle() -> str:
@@ -715,37 +775,7 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(nodes.select(F.col("u").alias("src"), F.col("u").alias("dst")))
         .distinct()
     )
-    for _ in range(SCC_DOUBLINGS):
-        # Each doubling references the previous closure three times
-        # (identity union + both sides of the self-join), so un-cut
-        # lineage grows the logical plan 3^rounds — Catalyst spends
-        # minutes re-optimizing a ~2000-leaf tree.  localCheckpoint
-        # pins each round's closure on the executors and resets the
-        # plan to a scan (same hygiene as graph_kcore above).
-        reach = reach.localCheckpoint()
-        hop = (
-            reach.alias("a")
-            .join(reach.alias("b"), F.col("a.dst") == F.col("b.src"))
-            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
-        )
-        reach = reach.union(hop).distinct()
-    back = reach.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    scc = (
-        reach.join(back, ["src", "dst"])
-        .groupBy("src")
-        .agg(F.min("dst").alias("scc_id"))
-        .select(F.col("src").alias("node"), "scc_id")
-    )
-    from pyspark.sql.window import Window as W
-
-    return scc.select(
-        "node",
-        F.col("scc_id").cast("int").alias("scc_id"),
-        F.count(F.lit(1))
-        .over(W.partitionBy("scc_id"))
-        .cast("int")
-        .alias("scc_size"),
-    ).orderBy("node")
+    return _scc_core(reach)
 
 
 #: k-core knobs: fenced node block (ids 0..KCORE_N exist at every SF),
@@ -756,6 +786,43 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 KCORE_N = 256
 KCORE_K = 2
 KCORE_ROUNDS = 6
+
+
+def _kcore_core(edges: DataFrame, k: int | None = None,
+                rounds: int | None = None) -> DataFrame:
+    """Iterative k-core peel over a symmetric deduped edge list (no
+    self-loops): drop nodes of degree < k, restrict, repeat.  Factored
+    so tools/scale_smoke.py can drive it on a K×-replicated edge list
+    (disjoint copies peel independently — total work must grow ~K)."""
+    k = KCORE_K if k is None else k
+    rounds = KCORE_ROUNDS if rounds is None else rounds
+    for _ in range(rounds):
+        # Each round references the previous edge set three times
+        # (degree agg + two semi-joins), so un-cut lineage grows the
+        # logical plan 3^rounds — localCheckpoint pins the round's
+        # result on the executors and resets the plan to a scan,
+        # keeping analysis O(rounds).  This is the standard iterative-
+        # algorithm hygiene (MLlib does the same every ~10 steps).
+        edges = edges.localCheckpoint()
+        alive = (
+            edges.groupBy("src")
+            .count()
+            .filter(F.col("count") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        edges = edges.join(
+            alive, edges.src == alive.node, "left_semi"
+        ).join(
+            alive.select(F.col("node").alias("dnode")),
+            edges.dst == F.col("dnode"),
+            "left_semi",
+        )
+    return (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("src").alias("node"), "core_degree")
+        .orderBy("node")
+    )
 
 
 def _kcore_oracle() -> str:
@@ -842,39 +909,43 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    for _ in range(KCORE_ROUNDS):
-        # Each round references the previous edge set three times
-        # (degree agg + two semi-joins), so un-cut lineage grows the
-        # logical plan 3^rounds — localCheckpoint pins the round's
-        # result on the executors and resets the plan to a scan,
-        # keeping analysis O(rounds).  This is the standard iterative-
-        # algorithm hygiene (MLlib does the same every ~10 steps).
-        edges = edges.localCheckpoint()
-        alive = (
-            edges.groupBy("src")
-            .count()
-            .filter(F.col("count") >= KCORE_K)
-            .select(F.col("src").alias("node"))
-        )
-        edges = edges.join(
-            alive, edges.src == alive.node, "left_semi"
-        ).join(
-            alive.select(F.col("node").alias("dnode")),
-            edges.dst == F.col("dnode"),
-            "left_semi",
-        )
-    return (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("core_degree"))
-        .select(F.col("src").alias("node"), "core_degree")
-        .orderBy("node")
-    )
+    return _kcore_core(edges)
 
 
 #: Adamic-Adar link-prediction knobs: fenced node block (same md5
 #: recipe family as graph_kcore, undirected, no self-loops) and its
 #: own edge tag so the fixture is independent of the k-core graph.
 AA_N = 256
+#: Hub cap for the Adamic-Adar 2-path self-join: middle vertices with
+#: degree > AA_DMAX are excluded BEFORE the join (their deg² fan-out is
+#: the scale-killer; their 1/ln(deg) weight is also the least
+#: informative — dropping hubs is the standard LP mitigation).  Chosen
+#: far above the fixture graph's max degree (10, SF-invariant) so every
+#: committed oracle/evidence value is unchanged.
+AA_DMAX = 64
+
+
+def _aa_scored(g: DataFrame, dmax: int = AA_DMAX) -> DataFrame:
+    """Adamic-Adar candidate scoring with the hub cap applied before
+    the 2-path self-join.  ``g`` is the symmetric deduped edge list;
+    returns (u, w, n_common, aa_score) for non-filtered pairs (the
+    existing-edge anti-join is the caller's job)."""
+    deg = g.groupBy(F.col("src").alias("mid")).agg(F.count(F.lit(1)).alias("d"))
+    deg_ok = deg.filter(F.col("d") <= dmax)
+    a = g.select(F.col("src").alias("u"), F.col("dst").alias("mid")).join(
+        deg_ok.select("mid"), "mid", "semi"
+    )
+    b = g.select(F.col("src").alias("mid_b"), F.col("dst").alias("w"))
+    cand = a.join(b, (F.col("mid") == F.col("mid_b")) & (F.col("u") < F.col("w")))
+    weight = F.round(F.lit(1.0) / F.log(F.col("d")), 9).cast("decimal(18,9)")
+    return (
+        cand.join(deg_ok, "mid")
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(weight).cast("double").alias("aa_score"),
+        )
+    )
 
 
 def _adamic_adar_oracle() -> str:
@@ -932,10 +1003,17 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: candidate pairs come from ONE self-equi-join of the edge
     list keyed on the middle vertex (the 2-path join — never
-    all-pairs; fan-out per middle is deg², which at 100 TB is bounded
-    by capping/sampling hub middles, the standard LP mitigation), the
-    degree table joins on the middle key, existing edges leave via an
-    anti-join, and the rollup is a map-side-combinable groupBy.
+    all-pairs).  Fan-out per middle vertex is deg², so hub middles
+    with deg > AA_DMAX are EXCLUDED before the self-join (semi-join
+    against the capped degree table, the standard link-prediction
+    mitigation — one 10⁶-degree hub at 100 TB would otherwise emit
+    10¹² pairs from a single key).  AA_DMAX = 64 sits far above the
+    fixture's max degree (10 at every SF — the AA_N-fenced graph is
+    SF-invariant), so the cap is a no-op on all committed evidence
+    and the un-capped oracle stays byte-identical; the cap's effect
+    on a synthetic hub graph is asserted in tests/test_graph.py.
+    The degree table joins on the middle key, existing edges leave
+    via an anti-join, and the rollup is a map-side-combinable groupBy.
     Per-middle weights are rounded to 9dp and summed as DECIMAL(18,9)
     — decimal addition is exact and order-free, so the score is
     deterministic across partitionings and engines (then cast to
@@ -968,19 +1046,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    deg = g.groupBy(F.col("src").alias("mid")).agg(F.count(F.lit(1)).alias("d"))
-    a = g.select(F.col("src").alias("u"), F.col("dst").alias("mid"))
-    b = g.select(F.col("src").alias("mid_b"), F.col("dst").alias("w"))
-    cand = a.join(b, (F.col("mid") == F.col("mid_b")) & (F.col("u") < F.col("w")))
-    weight = F.round(F.lit(1.0) / F.log(F.col("d")), 9).cast("decimal(18,9)")
-    scored = (
-        cand.join(deg, "mid")
-        .groupBy("u", "w")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.sum(weight).cast("double").alias("aa_score"),
-        )
-    )
+    scored = _aa_scored(g)
     return (
         scored.join(
             g,

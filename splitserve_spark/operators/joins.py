@@ -320,6 +320,25 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _non_equi_count(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """The theta-join body, hint-free: the equi conjunct (nationkey) is
+    the hash key, the inequality is a residual.  Supplier is
+    SF-proportional (10k rows/SF — ~10^9 rows at the 100 TB target), so
+    the query must NOT force a broadcast; the planner/AQE picks
+    broadcast only when the measured size is under the threshold.
+    Plan pinned not-forced-broadcast in test_plans.py."""
+    return (
+        customer.join(
+            supplier,
+            (F.col("c_acctbal") > F.col("s_acctbal"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_richer_cust"))
+        .orderBy("s_suppkey")
+    )
+
+
 @register(
     "join_non_equi",
     oracle="""
@@ -334,19 +353,12 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta join (inequality + equality): Catalyst uses the equi part
     (nationkey) as the hash key and evaluates the inequality as a
-    residual — NOT a full nested loop.  Supplier side broadcast."""
+    residual — NOT a full nested loop.  No broadcast hint: supplier
+    grows with SF (ref SparkStrategies.scala:116-120 — the planner's
+    size threshold, not the query, decides the build side)."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
-    return (
-        t.customer.join(
-            F.broadcast(t.supplier),
-            (F.col("c_acctbal") > F.col("s_acctbal"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .groupBy("s_suppkey")
-        .agg(F.count(F.lit(1)).alias("n_richer_cust"))
-        .orderBy("s_suppkey")
-    )
+    return _non_equi_count(t.customer, t.supplier)
 
 
 @register(

@@ -203,6 +203,33 @@ def test_pagerank_iteration_not_broadcast_at_scale(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
 
 
+def test_non_equi_join_not_broadcast_at_scale(spark):
+    """join_non_equi must NOT force-broadcast supplier: supplier is
+    SF-proportional (10k rows/SF → ~10⁹ rows at the 100 TB target), the
+    same defect class as the r5 PageRank hints and r6 vocab broadcasts.
+    With large synthetic inputs the planner must use the equi conjunct
+    (nationkey) as a shuffle-join key with the inequality as residual —
+    never a nested loop, never a forced broadcast.  At small SFs AQE is
+    still free to broadcast the measured-small side at runtime."""
+    from splitserve_spark.operators.joins import _non_equi_count
+
+    n = 10_000_000
+    customer = spark.range(n).select(
+        F.col("id").alias("c_custkey"),
+        (F.col("id") % 25).cast("int").alias("c_nationkey"),
+        (F.col("id") % 9999).cast("double").alias("c_acctbal"),
+    )
+    supplier = spark.range(n).select(
+        F.col("id").alias("s_suppkey"),
+        (F.col("id") % 25).cast("int").alias("s_nationkey"),
+        (F.col("id") % 7777).cast("double").alias("s_acctbal"),
+    )
+    plan = physical_plan(_non_equi_count(customer, supplier))
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+
 def test_tokenize_vocab_probe_is_broadcast(spark):
     """The top-V vocabulary must broadcast into the word→id probe —
     the exploded corpus must never shuffle against a 512-row dict."""

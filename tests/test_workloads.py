@@ -44,6 +44,54 @@ def test_kcore_unroll_is_past_fixpoint(spark):
     assert 0 < len(base) < g.KCORE_N
 
 
+def test_adamic_adar_hub_cap_excludes_hub_middles(spark):
+    """The AA_DMAX hub cap must act BEFORE the 2-path self-join: a
+    synthetic star hub with degree > AA_DMAX contributes no candidate
+    pairs (its deg² fan-out is the 100 TB scale-killer), while pairs
+    mediated by low-degree middles still score.  Also pins that the
+    fixture graph's max degree sits under the cap, so the un-capped
+    DuckDB oracle remains byte-identical evidence."""
+    from pyspark.sql import functions as F
+
+    from splitserve_spark.operators import graph as g
+
+    # Star: hub 0 — leaves 1..100 (deg(0)=100 > AA_DMAX=64); plus a
+    # path 200-201-202 whose middle 201 has degree 2.
+    leaves = [(0, i) for i in range(1, 101)] + [(200, 201), (201, 202)]
+    fwd = spark.createDataFrame(leaves, "src int, dst int")
+    sym = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    scored = g._aa_scored(sym.distinct()).toPandas()
+    # No pair is mediated by the hub: leaves 1..100 never pair up.
+    assert not ((scored["u"] >= 1) & (scored["u"] <= 100)
+                & (scored["w"] >= 1) & (scored["w"] <= 100)).any()
+    # The low-degree middle still produces its pair with the exact weight.
+    row = scored[(scored["u"] == 200) & (scored["w"] == 202)]
+    assert len(row) == 1 and row["n_common"].iloc[0] == 1
+    assert abs(row["aa_score"].iloc[0] - 1.0 / np.log(2.0)) < 1e-8
+
+    # Fixture invariant: max middle degree < AA_DMAX at the test SF.
+    from splitserve_spark.tables import Tables
+    from splitserve_spark.functions.parity_hash import md5_hash60
+
+    t = Tables(spark, SF_DIR)
+    nodes = t.documents.filter(F.col("doc_id") < g.AA_N).select(
+        F.col("doc_id").cast("int").alias("u"))
+
+    def _h(tag):
+        return md5_hash60(F.concat(F.lit(tag), F.col("u").cast("string")))
+
+    e1 = nodes.select(F.col("u").alias("src"),
+                      (_h("aa-e1-") % g.AA_N).cast("int").alias("dst"))
+    e2 = nodes.filter(_h("aa-d-") % 2 == 0).select(
+        F.col("u").alias("src"), (_h("aa-e2-") % g.AA_N).cast("int").alias("dst"))
+    fix = e1.union(e2)
+    fix_sym = (fix.union(fix.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+               .filter(F.col("src") != F.col("dst")).distinct())
+    max_deg = (fix_sym.groupBy("src").count().agg(F.max("count")).first()[0])
+    assert max_deg <= g.AA_DMAX, max_deg
+
+
 def test_pi_close_to_pi(spark):
     val = REGISTRY["workload_pi"].fn(spark, SF_DIR).first()["pi_estimate"]
     assert abs(val - np.pi) < 0.02
