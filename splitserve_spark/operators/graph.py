@@ -261,8 +261,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     GraphX's degree-based de-duplication trick, keeping wedge counts
     linear in Σ deg² rather than double-counting."""
     ensure_parity_conf(spark)
+    return _triangle_core(spark, _co_membership_pairs(spark, sf_dir))
+
+
+def _co_membership_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ok, s) bipartite membership pairs for the co-supplier
+    projection — the triangle-count input, reused by the scale smoke."""
     t = Tables(spark, sf_dir)
-    os_ = (
+    return (
         t.orders.filter(F.col("o_orderkey") % TRI_MOD == 0)
         .join(
             t.lineitem.select("l_orderkey", "l_suppkey"),
@@ -271,7 +277,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    return _triangle_core(spark, os_)
 
 
 def _triangle_core(spark: SparkSession, os_: DataFrame) -> DataFrame:
@@ -531,6 +536,51 @@ def _sssp_core(sym: DataFrame, dist: DataFrame,
     ).orderBy("node")
 
 
+def _sssp_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted symmetric SSSP edge list (a, b, w) with weight-0
+    self-loops, un-persisted (the registered op persists it; the scale
+    smoke replicates it K× with per-copy node prefixes)."""
+    t = Tables(spark, sf_dir)
+    pairs = (
+        t.orders.filter(F.col("o_orderkey") % SSSP_MOD == 0)
+        .join(
+            t.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
+        )
+        .distinct()
+    )
+    wedges = pairs.select(
+        F.concat(F.lit("c"), F.col("ck")).alias("src"),
+        F.concat(F.lit("s"), F.col("sk")).alias("dst"),
+        (1 + (F.col("ck") * 3 + F.col("sk")) % 7).alias("w"),
+    )
+    return (
+        wedges.select(F.col("src").alias("a"), F.col("dst").alias("b"), "w")
+        .union(wedges.select("dst", "src", "w"))
+        .union(wedges.select("src", "src", F.lit(0)))
+        .union(wedges.select("dst", "dst", F.lit(0)))
+        .distinct()
+    )
+
+
+def _sssp_seeds(sym: DataFrame, n_sources: int | None = None) -> DataFrame:
+    """Seed frontier: the lexicographically-first customer nodes of the
+    edge list, dist 0.  Within a replicated copy the prefix is constant,
+    so applying this per copy (smoke) picks the SAME per-copy sources."""
+    n_sources = SSSP_SOURCES if n_sources is None else n_sources
+    return (
+        sym.filter(F.col("a").contains("c"))
+        .select(F.col("a").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(n_sources)
+        .withColumn("dist", F.lit(0))
+    )
+
+
 @register(
     "graph_sssp_weighted",
     oracle=f"""
@@ -595,39 +645,45 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6 PageRank de-hint established."""
     ensure_parity_conf(spark)
     _release_prior()
+    sym = _persist_tracked(_sssp_sym_edges(spark, sf_dir))
+    return _sssp_core(sym, _sssp_seeds(sym))
+
+
+
+def _md5_block_edges(spark: SparkSession, sf_dir: str, tag: str, n: int) -> DataFrame:
+    """The shared fenced-fixture recipe: each doc id in 0..n-1 gets 1-2
+    md5-derived out-edges (dst = md5(tag||u) % n; e2 on an even coin).
+    Identical at every SF and in replicated corpora, and replayable in
+    DuckDB via the same parity-hash SQL — graph_scc / graph_kcore /
+    graph_adamic_adar all build from it (distinct tags → independent
+    graphs).  tools/scale_smoke.py reuses it to build 1x fixtures."""
+    from splitserve_spark.functions.parity_hash import md5_hash60
+
     t = Tables(spark, sf_dir)
-    pairs = (
-        t.orders.filter(F.col("o_orderkey") % SSSP_MOD == 0)
-        .join(
-            t.lineitem.select("l_orderkey", "l_suppkey"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .select(
-            F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
-        )
+    nodes = t.documents.filter(F.col("doc_id") < n).select(
+        F.col("doc_id").cast("int").alias("u")
+    )
+
+    def _h(sub):
+        return md5_hash60(F.concat(F.lit(f"{tag}-{sub}-"), F.col("u").cast("string")))
+
+    e1 = nodes.select(
+        F.col("u").alias("src"), (_h("e1") % n).cast("int").alias("dst")
+    )
+    e2 = nodes.filter(_h("d") % 2 == 0).select(
+        F.col("u").alias("src"), (_h("e2") % n).cast("int").alias("dst")
+    )
+    return e1.union(e2)
+
+
+def _symmetrize(fwd: DataFrame) -> DataFrame:
+    """Undirected view of a forward edge list: both directions, no
+    self-loops, deduped — the k-core / Adamic-Adar input shape."""
+    return (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    wedges = pairs.select(
-        F.concat(F.lit("c"), F.col("ck")).alias("src"),
-        F.concat(F.lit("s"), F.col("sk")).alias("dst"),
-        (1 + (F.col("ck") * 3 + F.col("sk")) % 7).alias("w"),
-    )
-    sym = _persist_tracked(
-        wedges.select(F.col("src").alias("a"), F.col("dst").alias("b"), "w")
-        .union(wedges.select("dst", "src", "w"))
-        .union(wedges.select("src", "src", F.lit(0)))
-        .union(wedges.select("dst", "dst", F.lit(0)))
-        .distinct()
-    )
-    dist = (
-        sym.filter(F.col("a").startswith("c"))
-        .select(F.col("a").alias("node"))
-        .distinct()
-        .orderBy("node")
-        .limit(SSSP_SOURCES)
-        .withColumn("dist", F.lit(0))
-    )
-    return _sssp_core(sym, dist)
 
 
 #: SCC pivot-block knobs: the fenced node set (doc_id < SCC_N — ids
@@ -754,24 +810,12 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~64 rounds on this block's giant SCC).  Every distinct is an
     exact-key shuffle; nothing driver-side."""
     ensure_parity_conf(spark)
-    from splitserve_spark.functions.parity_hash import md5_hash60
-
     t = Tables(spark, sf_dir)
     nodes = t.documents.filter(F.col("doc_id") < SCC_N).select(
         F.col("doc_id").cast("int").alias("u")
     )
-
-    def _h(tag):
-        return md5_hash60(F.concat(F.lit(tag), F.col("u").cast("string")))
-
-    e1 = nodes.select(
-        F.col("u").alias("src"), (_h("scc-e1-") % SCC_N).cast("int").alias("dst")
-    )
-    e2 = nodes.filter(_h("scc-d-") % 2 == 0).select(
-        F.col("u").alias("src"), (_h("scc-e2-") % SCC_N).cast("int").alias("dst")
-    )
     reach = (
-        e1.union(e2)
+        _md5_block_edges(spark, sf_dir, "scc", SCC_N)
         .union(nodes.select(F.col("u").alias("src"), F.col("u").alias("dst")))
         .distinct()
     )
@@ -887,28 +931,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the textbook distributed k-core (ref GraphX aggregateMessages
     degree loop, `graphx/.../GraphOps.scala:88` degrees)."""
     ensure_parity_conf(spark)
-    from splitserve_spark.functions.parity_hash import md5_hash60
-
-    t = Tables(spark, sf_dir)
-    nodes = t.documents.filter(F.col("doc_id") < KCORE_N).select(
-        F.col("doc_id").cast("int").alias("u")
-    )
-
-    def _h(tag):
-        return md5_hash60(F.concat(F.lit(tag), F.col("u").cast("string")))
-
-    e1 = nodes.select(
-        F.col("u").alias("src"), (_h("kcore-e1-") % KCORE_N).cast("int").alias("dst")
-    )
-    e2 = nodes.filter(_h("kcore-d-") % 2 == 0).select(
-        F.col("u").alias("src"), (_h("kcore-e2-") % KCORE_N).cast("int").alias("dst")
-    )
-    fwd = e1.union(e2)
-    edges = (
-        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    edges = _symmetrize(_md5_block_edges(spark, sf_dir, "kcore", KCORE_N))
     return _kcore_core(edges)
 
 
@@ -1019,32 +1042,13 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic across partitionings and engines (then cast to
     DOUBLE once, exactly, for the hash)."""
     ensure_parity_conf(spark)
-    from splitserve_spark.functions.parity_hash import md5_hash60
-
-    t = Tables(spark, sf_dir)
-    nodes = t.documents.filter(F.col("doc_id") < AA_N).select(
-        F.col("doc_id").cast("int").alias("u")
-    )
-
-    def _h(tag):
-        return md5_hash60(F.concat(F.lit(tag), F.col("u").cast("string")))
-
-    e1 = nodes.select(
-        F.col("u").alias("src"), (_h("aa-e1-") % AA_N).cast("int").alias("dst")
-    )
-    e2 = nodes.filter(_h("aa-d-") % 2 == 0).select(
-        F.col("u").alias("src"), (_h("aa-e2-") % AA_N).cast("int").alias("dst")
-    )
-    fwd = e1.union(e2)
     # Persisted: the symmetrized edge list has four consumers (degree
     # table, both 2-path join sides, the existing-edge anti-join) and
     # its own lineage reads the corpus four times — unpersisted that
     # is 16 corpus scans per run (run_cache.py contract).
     _release_prior()
     g = _persist_tracked(
-        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
+        _symmetrize(_md5_block_edges(spark, sf_dir, "aa", AA_N))
     )
     scored = _aa_scored(g)
     return (

@@ -67,6 +67,112 @@ SMOKE_QUERIES = [
     "text_gopher_filter",
 ]
 
+
+#: Graph-family smoke: the iterative operators are exempt from the
+#: three registry-wide plan guards (GUARD_SKIP_PREFIXES) and their
+#: fixtures are FENCED (SF-invariant node blocks), so corpus
+#: replication never exercises them.  Instead we replicate the derived
+#: EDGE LISTS K× as disjoint copies (node ids offset / prefixed per
+#: copy) and drive the factored algorithm cores — per-copy component
+#: size stays constant, so total work must grow ~K, never ~K².
+GRAPH_SMOKE = ["scc", "kcore", "adamic_adar", "sssp", "triangle"]
+
+
+def _offset_copies(df, scale, steps):
+    """K disjoint integer-id copies: each col in ``steps`` is offset by
+    k*step in copy k (copy 0 unchanged)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    parts = [
+        df.select(*[
+            (F.col(c) + k * steps[c]).alias(c) if c in steps else F.col(c)
+            for c in df.columns
+        ])
+        for k in range(scale)
+    ]
+    return reduce(lambda a, b: a.union(b), parts)
+
+
+def _prefix_copies(df, scale, cols):
+    """K disjoint string-id copies: each col in ``cols`` gains a
+    per-copy prefix x{k}| (applied to copy 0 too, so the 1x baseline
+    built with scale=1 pays the identical concat)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    parts = [
+        df.select(*[
+            F.concat(F.lit(f"x{k}|"), F.col(c)).alias(c) if c in cols
+            else F.col(c)
+            for c in df.columns
+        ])
+        for k in range(scale)
+    ]
+    return reduce(lambda a, b: a.union(b), parts)
+
+
+def graph_smoke(spark, src, scale):
+    """Yield (name, runner_1x, runner_Kx) triples over the factored
+    graph cores on replicated edge lists."""
+    from pyspark.sql import functions as F
+
+    from splitserve_spark.operators import graph as G
+
+    def scc(k):
+        fwd = G._md5_block_edges(spark, src, "scc", G.SCC_N)
+        rep = _offset_copies(fwd, k, {"src": G.SCC_N, "dst": G.SCC_N})
+        reach = rep.union(
+            rep.select(F.col("src"), F.col("src").alias("dst"))
+        ).distinct()
+        return G._scc_core(reach)
+
+    def kcore(k):
+        base = G._symmetrize(G._md5_block_edges(spark, src, "kcore", G.KCORE_N))
+        return G._kcore_core(
+            _offset_copies(base, k, {"src": G.KCORE_N, "dst": G.KCORE_N})
+        )
+
+    def adamic_adar(k):
+        base = G._symmetrize(G._md5_block_edges(spark, src, "aa", G.AA_N))
+        # localCheckpoint mirrors the registered op's persist of the
+        # 4-consumer edge list (run_cache contract) without leaking a
+        # tracked cache entry out of the smoke.
+        g = _offset_copies(base, k, {"src": G.AA_N, "dst": G.AA_N}).localCheckpoint()
+        scored = G._aa_scored(g)
+        return scored.join(
+            g, (scored.u == g.src) & (scored.w == g.dst), "left_anti"
+        )
+
+    def sssp(k):
+        sym = G._sssp_sym_edges(spark, src)
+        seeds = G._sssp_seeds(sym)
+        return G._sssp_core(
+            _prefix_copies(sym, k, ["a", "b"]),
+            _prefix_copies(seeds, k, ["node"]),
+        )
+
+    def triangle(k):
+        os_ = G._co_membership_pairs(spark, src)
+        hi = os_.agg(
+            F.max("ok").alias("mok"), F.max("s").alias("ms")
+        ).first()
+        return G._triangle_core(
+            spark,
+            _offset_copies(os_, k, {"ok": hi["mok"] + 1, "s": hi["ms"] + 1}),
+        )
+
+    builders = {
+        "scc": scc, "kcore": kcore, "adamic_adar": adamic_adar,
+        "sssp": sssp, "triangle": triangle,
+    }
+    for name in GRAPH_SMOKE:
+        b = builders[name]
+        yield name, (lambda b=b: b(1)), (lambda b=b, k=scale: b(k))
+
+
 REL_TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
 ]
@@ -115,14 +221,17 @@ def main() -> int:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--ratio-limit", type=float, default=None,
                     help="fail if sec_Kx/sec_1x exceeds this (default 3*scale)")
+    ap.add_argument("--family", choices=["pipeline", "graph", "all"],
+                    default="all")
     args = ap.parse_args()
     ratio_limit = args.ratio_limit or 3.0 * args.scale
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = os.path.join(repo, "tmp_scale", f"x{args.scale}")
-    if os.path.isdir(out):
-        shutil.rmtree(out)
-    build_corpus(args.src, out, args.scale)
+    if args.family in ("pipeline", "all"):
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        build_corpus(args.src, out, args.scale)
 
     from splitserve_spark.registry import REGISTRY, load_all
     from splitserve_spark.session import get_session
@@ -130,7 +239,32 @@ def main() -> int:
     load_all()
     spark = get_session()
     failures = []
-    for name in SMOKE_QUERIES:
+
+    if args.family in ("graph", "all"):
+        for name, run1, runk in graph_smoke(spark, args.src, args.scale):
+            rec = {"query": f"graph:{name}"}
+            try:
+                for tag, runner in (("1x", run1), (f"{args.scale}x", runk)):
+                    t0 = time.time()
+                    rows = runner().count()
+                    rec[f"rows_{tag}"], rec[f"sec_{tag}"] = rows, round(
+                        time.time() - t0, 3
+                    )
+                rec["time_ratio"] = round(
+                    rec[f"sec_{args.scale}x"] / max(rec["sec_1x"], 1e-9), 2
+                )
+                if rec["time_ratio"] > ratio_limit:
+                    rec["verdict"] = "SUPERLINEAR"
+                    failures.append(f"graph:{name}")
+                else:
+                    rec["verdict"] = "ok"
+            except Exception as exc:  # noqa: BLE001 — report, keep smoking
+                rec["error"] = f"{type(exc).__name__}: {exc}"[:300]
+                failures.append(f"graph:{name}")
+            print(json.dumps(rec), flush=True)
+
+    pipeline_queries = SMOKE_QUERIES if args.family in ("pipeline", "all") else []
+    for name in pipeline_queries:
         spec = REGISTRY[name]
         rec = {"query": name}
         try:
@@ -152,9 +286,12 @@ def main() -> int:
             rec["error"] = f"{type(exc).__name__}: {exc}"[:300]
             failures.append(name)
         print(json.dumps(rec), flush=True)
+    n = len(pipeline_queries) + (
+        len(GRAPH_SMOKE) if args.family in ("graph", "all") else 0
+    )
     print(json.dumps({
         "scale": args.scale,
-        "queries": len(SMOKE_QUERIES),
+        "queries": n,
         "failed": failures,
     }), flush=True)
     return 1 if failures else 0
