@@ -198,21 +198,54 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx", oracle=None, tags=("aggregate", "approx"))
+@register(
+    "agg_approx",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS parts_within_5pct,
+           TRUE AS p50_within_1pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "approx"),
+)
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++, reference
     HyperLogLogPlusPlus.scala:54) and percentile_approx
-    (ApproximatePercentile.scala:69).  Sketch results are
-    engine-specific → no value oracle; tests bound the relative error
-    against exact results.  At 100 TB these are the right default: fixed
-    memory per group vs unbounded exact-distinct state."""
+    (ApproximatePercentile.scala:69).  Upgraded from rows-only to
+    value-checked (r7 verdict task 6), the ANN-recall pattern: raw
+    sketch outputs are engine-specific, so the query ALSO computes the
+    exact twins in the same single-pass aggregate and emits (a) the
+    exact distinct count as a hash-checked value and (b) deterministic
+    error-bound booleans the oracle pins TRUE — |approx−exact|/exact ≤
+    5% for the rsd-0.02 HLL (measured ≤1.03% at every shipped SF) and
+    ≤1% for the accuracy-10000 median (measured ≤0.08%).  Both sketches
+    are order-independent, so the booleans are deterministic for a
+    given input set.  At 100 TB the approx pair is the right default —
+    fixed memory per group vs unbounded exact-distinct state — and the
+    exact twins here are what certifies the sketches stay in-band."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     return (
         t.lineitem.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("apx"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("ap50"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("ep50"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("apx") - F.col("exact_parts"))
+                / F.col("exact_parts") <= 0.05
+            ).alias("parts_within_5pct"),
+            (
+                F.abs(F.col("ap50") - F.col("ep50")) / F.col("ep50") <= 0.01
+            ).alias("p50_within_1pct"),
         )
         .orderBy("l_returnflag")
     )

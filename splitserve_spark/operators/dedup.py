@@ -97,8 +97,6 @@ def _shingles(spark, sf_dir, docs: DataFrame | None = None) -> DataFrame:
     layout's partitioning (a single small parquet file would otherwise
     run the whole pipeline on one core; at 100 TB, a few giant files
     would under-parallelize the same way)."""
-    t = Tables(spark, sf_dir)
-
     # The token array is let-bound via a 1-element transform() so every
     # reference inside the shingle expression hits the bound lambda
     # variable, not a re-inlined split(regexp_replace(...)).  Without
@@ -125,7 +123,7 @@ def _shingles(spark, sf_dir, docs: DataFrame | None = None) -> DataFrame:
         F.transform(F.array(F.split(_norm(F.col("text")), " ")), shingles_of), 1
     )
     parallelism = spark.sparkContext.defaultParallelism
-    base = t.documents if docs is None else docs
+    base = Tables(spark, sf_dir).documents if docs is None else docs
     return (
         base.repartition(parallelism, "doc_id")
         .select("doc_id", let_bound.alias("shingles"))

@@ -25,28 +25,6 @@ K = 8
 LLOYD_ITER = 3
 
 
-@register("ml_kmeans", oracle=None, tags=("ml", "workload"))
-def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pyspark.ml KMeans over the embeddings table (seeded).  Cluster
-    ids are implementation-specific → rows-only check; tests assert
-    cluster-count/coverage invariants."""
-    ensure_parity_conf(spark)
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    t = Tables(spark, sf_dir)
-    data = t.embeddings.select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=K, seed=42, maxIter=10).fit(data)
-    return (
-        model.transform(data)
-        .groupBy(F.col("prediction").alias("cluster"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("cluster")
-    )
-
-
 def _lloyd_centroids(spark, sf_dir) -> list[list[float]]:
     """Deterministic init: the K lowest-vec_id embeddings."""
     t = Tables(spark, sf_dir)
@@ -163,6 +141,76 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def _ml_kmeans_oracle() -> str:
+    """Value-bearing oracle for the pyspark.ml KMeans run.  Cluster
+    labels/centroids of the k-means|| estimator are implementation-
+    specific, so the CHECKED values are label-invariant: the exact
+    vector count, the deterministic Lloyd-twin inertia (the unrolled
+    fixed-init iteration ml_kmeans_lloyd already value-checks; its 6dp
+    per-point distances square-and-sum EXACTLY as decimals, so both
+    engines produce the identical double), and the invariant that the
+    estimator's trainingCost lands within 2% of the naive fixed-init
+    3-iter Lloyd baseline or better (the twin's final assignment is a
+    post-update half-step, so it can edge out the estimator by a few
+    tenths of a percent — measured 468.79 vs 466.24 at sf0.001) — a
+    quality claim a rows-only check could never make."""
+    inner = _lloyd_oracle(LLOYD_ITER)
+    return f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CAST(dist AS DECIMAL(12,6))
+                    * CAST(dist AS DECIMAL(12,6))) AS DOUBLE)
+             AS lloyd_inertia,
+           TRUE AS ml_within_2pct_of_lloyd,
+           TRUE AS n_clusters_ok
+    FROM ({inner}) lloyd
+    """
+
+
+@register("ml_kmeans", oracle=_ml_kmeans_oracle(), tags=("ml", "workload"))
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml KMeans over the embeddings table (seeded k-means||
+    init, 10 iterations — the production path, reference
+    `mllib/.../clustering/KMeans.scala:43`).  Upgraded from rows-only
+    to value-checked (r7 verdict task 6): labels are implementation-
+    specific, so the output emits label-INVARIANT values — n_vectors
+    (exact), the Lloyd-twin inertia (exact decimal sum of the twin's
+    6dp distances, byte-identical in DuckDB), and two invariants
+    computed from the real fit: trainingCost ≤ 1.02× the fixed-init
+    Lloyd baseline's inertia (k-means|| + 10 iters stays within 2% of
+    the naive baseline on its own objective; the baseline's final
+    assignment is a post-update half-step, so exact dominance is not
+    guaranteed — measured 0.5% the other way at sf0.001) and 1 ≤
+    #clusters ≤ K.  The 1-row × 1-row crossJoin broadcasts (BNLJ) —
+    never a data cartesian."""
+    ensure_parity_conf(spark)
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    t = Tables(spark, sf_dir)
+    data = t.embeddings.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=K, seed=42, maxIter=10).fit(data)
+    cost = float(model.summary.trainingCost)
+    stats = model.transform(data).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.count_distinct("prediction").alias("nc"),
+    )
+    d = F.col("dist").cast("decimal(12,6)")
+    lloyd_inertia = ml_kmeans_lloyd(spark, sf_dir).agg(
+        F.sum(d * d).cast("double").alias("lloyd_inertia")
+    )
+    return stats.crossJoin(lloyd_inertia).select(
+        "n_vectors",
+        "lloyd_inertia",
+        (F.lit(cost) <= F.col("lloyd_inertia") * 1.02).alias(
+            "ml_within_2pct_of_lloyd"
+        ),
+        ((F.col("nc") >= 1) & (F.col("nc") <= K)).alias("n_clusters_ok"),
+    )
+
 
 
 _PI_N = 100_000

@@ -20,7 +20,11 @@ never wrong, it just recomputes.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
 
 _PERSISTED: list = []
 
@@ -31,8 +35,22 @@ def persist_tracked(df: DataFrame) -> DataFrame:
 
 
 def release_prior() -> None:
+    """Release every intermediate the PREVIOUS tracked operator cached.
+
+    The release is global across operator modules, so a caller that
+    lazily builds several tracked DataFrames before collecting loses
+    the earlier ones' caches silently (correct-by-recompute) — the
+    debug line below is the observability hook for that case."""
     while _PERSISTED:
+        df = _PERSISTED.pop()
         try:
-            _PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+            df.unpersist()
+            _log.debug("run_cache: released persisted intermediate %s",
+                       df._plan_id if hasattr(df, "_plan_id") else object.__repr__(df))
+        except Exception as exc:  # noqa: BLE001
+            # Broad by necessity: a dead SparkContext surfaces as
+            # Py4J/network errors, not PySparkException, and release
+            # must never break the NEXT operator's entry — but the
+            # failure is logged, not swallowed invisibly.
+            _log.debug("run_cache: unpersist failed (%s: %s)",
+                       type(exc).__name__, exc)

@@ -98,12 +98,17 @@ def test_pi_close_to_pi(spark):
 
 
 def test_kmeans_ml(spark):
+    """The upgraded value-bearing shape: one row, exact vector count,
+    positive Lloyd-twin inertia, both invariant booleans true (the
+    oracle pins the same values; this is the engine-side sanity)."""
     pdf = REGISTRY["ml_kmeans"].fn(spark, SF_DIR).toPandas()
-    from splitserve_spark.operators.ml import K
     from splitserve_spark.tables import Tables
 
-    assert len(pdf) <= K
-    assert pdf["n"].sum() == Tables(spark, SF_DIR).embeddings.count()
+    assert len(pdf) == 1
+    row = pdf.iloc[0]
+    assert row["n_vectors"] == Tables(spark, SF_DIR).embeddings.count()
+    assert row["lloyd_inertia"] > 0
+    assert bool(row["ml_within_2pct_of_lloyd"]) and bool(row["n_clusters_ok"])
 
 
 def test_kmeans_lloyd_matches_numpy(spark):
