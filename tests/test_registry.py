@@ -42,6 +42,29 @@ def test_driver_window_composition():
             assert name in w, f"never-checked {name} left out of the window"
 
 
+def test_certification_debt_fits_one_window():
+    """The r7 verdict's closing condition, enforced mechanically: every
+    registered query is either already driver-certified (green under
+    the latest committed CORRECTNESS_r*.json verdict, at the strength
+    its oracle requires) or scheduled in the CURRENT driver window —
+    i.e. one driver round closes the debt to zero.  Registering a new
+    query is only possible while this still holds, so the registration
+    freeze degrades gracefully instead of rotting: growth that would
+    push an unsettled name out of the window fails here."""
+    from splitserve_spark.registry import (
+        REGISTRY, _settled, driver_window, load_all,
+    )
+    load_all()
+    w = set(driver_window())
+    stranded = [
+        n for n, s in REGISTRY.items() if not _settled(s) and n not in w
+    ]
+    assert not stranded, (
+        f"{len(stranded)} uncertified queries outside the driver window "
+        f"(debt no longer closes in one round): {stranded}"
+    )
+
+
 def test_driver_green_derived_from_evidence():
     """_DRIVER_GREEN comes from the committed CORRECTNESS_r*.json files,
     latest-round-wins — it can no longer go stale by hand-editing."""
