@@ -30,8 +30,28 @@ FUNNEL_STAGES = ("view", "click", "purchase")
 def _funnel_stages(t, deadline=None):
     """The three-stage view→click→purchase funnel chain.  With a
     deadline column-interval, stages 2/3 additionally require
-    conversion within that interval of the previous stage."""
-    ev = t.events.select("user_id", "event_type", "ts")
+    conversion within that interval of the previous stage.
+
+    One corpus scan, one shuffle: the stage chain embeds its upstream
+    stage in each branch (s3 ⊃ s2 ⊃ s1), so the naive composition
+    scans events 1+2+3 = 6 times.  Instead the funnel-relevant
+    projection is filtered to the three stage types, hash-partitioned
+    by user_id ONCE, and persisted for the run (run_cache contract —
+    released on the next tracked operator's entry): every stage
+    groupBy(user_id) and every stage join keys on user_id, so all of
+    them reuse the cached partitioning with zero further exchanges of
+    event rows."""
+    from splitserve_spark.operators.run_cache import (
+        persist_tracked, release_prior,
+    )
+
+    release_prior()
+    spark = t.events.sparkSession
+    ev = persist_tracked(
+        t.events.filter(F.col("event_type").isin(*FUNNEL_STAGES))
+        .select("user_id", "event_type", "ts")
+        .repartition(spark.sparkContext.defaultParallelism, "user_id")
+    )
 
     def within(prev_col):
         cond = F.col("ts") > F.col(prev_col)
@@ -523,16 +543,28 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two exact-median passes (value, then |value − median|), each a
     groupBy(event_type) whose tiny result broadcasts back over the
-    scan — the fact table is read twice but never shuffled on anything
-    wider than event_type.  At 100 TB swap the exact medians for
-    percentile_approx and the shape is unchanged."""
+    scan — the fact table is read three times (median, MAD, final
+    count: the two median passes are inherently sequential) but never
+    shuffled on anything wider than event_type.  The two per-type
+    aggregates (≤ |event types| rows each) are persisted for the run:
+    without that, every downstream reference re-derives its input
+    branch and the corpus is re-scanned up to 7× instead of 3.  At
+    100 TB swap the exact medians for percentile_approx and the shape
+    is unchanged."""
     ensure_parity_conf(spark)
-    t = Tables(spark, sf_dir)
-    ev = t.events.select("event_type", "value")
-    med = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med_v")
+    from splitserve_spark.operators.run_cache import (
+        persist_tracked, release_prior,
     )
-    mad = (
+
+    t = Tables(spark, sf_dir)
+    release_prior()
+    ev = t.events.select("event_type", "value")
+    med = persist_tracked(
+        ev.groupBy("event_type").agg(
+            F.percentile("value", F.lit(0.5)).alias("med_v")
+        )
+    )
+    mad = persist_tracked(
         ev.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(
@@ -988,8 +1020,20 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     |users| × horizon.  The oracle uses the equivalent range self-join
     formulation."""
     ensure_parity_conf(spark)
+    from splitserve_spark.operators.run_cache import (
+        persist_tracked, release_prior,
+    )
+
     t = Tables(spark, sf_dir)
-    du = (
+    # The (day, user) distinct pairs feed FIVE consumers (days, dau,
+    # the wau and mau contributions, and days' broadcast twin) —
+    # without a persist Catalyst re-scans events and re-runs the
+    # distinct once per branch (measured 5 corpus scans).  The pair
+    # set is |users|×|active days| — already the compacted form — so
+    # one materialization replaces five corpus scans (run_cache
+    # contract: released on the next tracked operator's entry).
+    release_prior()
+    du = persist_tracked(
         t.events.select(
             F.col("ts").cast("date").alias("day"), "user_id"
         ).distinct()

@@ -40,6 +40,7 @@ from splitserve_spark.registry import (
     PRI_NEXT_WINDOW,
     register,
 )
+from splitserve_spark.operators.run_cache import persist_tracked, release_prior
 from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
@@ -391,8 +392,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     replica (upgraded from the former rows-only check)."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
-    e = t.embeddings.filter(F.col("vec_id") < DEDUP_LSH_MAX_ID).select(
-        "vec_id", _as_double("embedding").alias("v")
+    # Consumed by the signature index and by both vector re-attach
+    # sides of the confirm join — persist so the corpus is scanned
+    # and decoded once, not three times (run_cache contract).
+    release_prior()
+    e = persist_tracked(
+        t.embeddings.filter(F.col("vec_id") < DEDUP_LSH_MAX_ID).select(
+            "vec_id", _as_double("embedding").alias("v")
+        )
     )
     buckets = _sig_kernel(_dedup_hyperplanes(EMB_DIM), DEDUP_LSH_BITS)
     idx = e.select(
@@ -660,7 +667,14 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
-    base = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    # Three consumers (init collect, centroid-update collect, final
+    # assignment) = three corpus scans without a persist; one
+    # materialization serves all (run_cache contract — released on
+    # the next tracked operator's entry).
+    release_prior()
+    base = persist_tracked(
+        t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    )
 
     def _nearest(cent_mat):
         """Assign each vector its argmin-distance centroid with ONE
@@ -881,15 +895,44 @@ def sim_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     — dim×N, but the per-(label, idx) mean is one map-side-combinable
     groupBy and everything downstream is centroid-sized (labels × dim).
     Means are rounded to 6 dp BEFORE the cosine on both engines, so the
-    float reduction order inside avg() can never leak into the hash."""
+    float reduction order inside avg() can never leak into the hash.
+
+    ONE corpus scan: the per-label means, the global mean, and the
+    per-label vector counts all come out of a single GROUPING SETS
+    ((label, idx), (idx)) aggregate (§2.4 machinery) — the naive
+    three-groupBy composition re-scanned and re-exploded the corpus
+    once per branch.  The per-(label, idx) row count IS the label's
+    vector count (every vector emits one row per component), read off
+    at idx = 0.  The aggregate itself ((labels+1)×dim rows) is
+    persisted for the run: Catalyst pushes each branch's grouping-id
+    filter into the Expand, so WITHOUT the persist the three branches
+    compile to three different (un-reusable) aggregates and the
+    corpus is scanned three times anyway — the cache pins the
+    single-scan contract (run_cache: released on the next tracked
+    operator's entry)."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
+    release_prior()
     e = t.embeddings.select(
         "label", F.posexplode(_as_double("embedding")).alias("idx", "v")
     )
-    per = e.groupBy("label", "idx").agg(F.round(F.avg("v"), 6).alias("m"))
-    g = e.groupBy("idx").agg(F.round(F.avg("v"), 6).alias("gm"))
-    n = t.embeddings.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    ga = persist_tracked(
+        e.groupingSets(
+            [[F.col("label"), F.col("idx")], [F.col("idx")]],
+            F.col("label"), F.col("idx"),
+        )
+        .agg(
+            F.round(F.avg("v"), 6).alias("m"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+    per = ga.filter(F.col("gid") == 0).select("label", "idx", "m")
+    g = ga.filter(F.col("gid") == 2).select("idx", F.col("m").alias("gm"))
+    n = (
+        ga.filter((F.col("gid") == 0) & (F.col("idx") == 0))
+        .select("label", F.col("cnt").alias("n_vecs"))
+    )
     return (
         per.join(g, "idx")
         .groupBy("label")
@@ -1050,7 +1093,16 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
-    base = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    # The raw-vector projection feeds five consumers (init collect,
+    # codebook training, final encode, the query set, and the rerank
+    # re-attach) and two of them EXECUTE eagerly (the collects) —
+    # without a persist that is five full corpus scans (+decodes).
+    # One materialization serves all of them; released on the next
+    # tracked operator's entry (run_cache contract).
+    release_prior()
+    base = persist_tracked(
+        t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    )
 
     # Every vector → M subvectors (m, sv).
     sub = base.select(
@@ -1222,7 +1274,16 @@ def sim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-materializing the corpus."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
-    base = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    # Both ranking passes and the query-set broadcast read the same
+    # raw-vector projection — persist it so the corpus is scanned and
+    # decoded once (run_cache contract).  The two passes stay separate
+    # window branches (NOT one shared exchange): each keeps its own
+    # partial WindowGroupLimit on its own order key, which prunes
+    # below the shuffle — a shared exchange would forfeit that.
+    release_prior()
+    base = persist_tracked(
+        t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    )
     q = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )

@@ -484,7 +484,12 @@ def text_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe (same skeleton as text_boilerplate); the rebuild is one more
     shuffle on doc_id with array_sort fixing segment order — 3 shuffles
     total regardless of corpus size, and the corpus text never moves
-    twice."""
+    twice.  The exploded (doc, pos, seg) table feeds the df rollup AND
+    the keep-probe, and the per-doc segment count is derived from it
+    too (count of exploded rows ≡ size(segs)), so the corpus is
+    tokenized exactly once (persisted for the run, run_cache contract);
+    only a doc_id-projection scan remains for the empty-document
+    universe."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     ws = _words(F.col("text"))
@@ -493,7 +498,8 @@ def text_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n_segs_col - 1),
         lambda j: F.array_join(F.slice(ws, j * SEG_LEN + 1, SEG_LEN), " "),
     )
-    e = (
+    release_prior()
+    e = persist_tracked(
         t.documents.select("doc_id", F.posexplode(segs).alias("pos", "seg"))
     )
     common = (
@@ -517,8 +523,19 @@ def text_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("cleaned_hash"),
     )
-    sized = t.documents.select(
-        "doc_id", F.size(segs).cast("bigint").alias("n_segs")
+    # Per-doc segment count from the cached explode (one row per
+    # segment), NOT a third corpus scan re-running the tokenizer; the
+    # cheap doc_id projection only restores zero-segment documents.
+    seg_counts = e.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs")
+    )
+    sized = (
+        t.documents.select("doc_id")
+        .join(seg_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segs", F.lit(0).cast("bigint")).alias("n_segs"),
+        )
     )
     return (
         sized.join(rebuilt, "doc_id", "left")

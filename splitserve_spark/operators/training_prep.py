@@ -130,8 +130,15 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the gram; the boilerplate set (df ≥ K) is orders of magnitude
     smaller than the corpus and broadcasts back for the per-doc probe —
     the corpus shuffles once (per-doc distinct), same skeleton as
-    text_contamination."""
+    text_contamination.  The distinct (doc, gram) table feeds both the
+    doc-frequency rollup and the per-doc probe, so it is persisted for
+    the run (run_cache contract) — without it Catalyst re-tokenizes
+    the corpus once per branch."""
     ensure_parity_conf(spark)
+    from splitserve_spark.operators.run_cache import (
+        persist_tracked, release_prior,
+    )
+
     t = Tables(spark, sf_dir)
     ws = F.split(F.trim(F.col("text")), " +")
     grams = F.when(
@@ -143,7 +150,8 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    e = (
+    release_prior()
+    e = persist_tracked(
         t.documents.select("doc_id", grams.alias("gs"))
         .select("doc_id", F.explode("gs").alias("g"))
         .distinct()

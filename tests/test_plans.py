@@ -637,6 +637,57 @@ def test_no_row_python_outside_designated_slow_path(registry_simple_plans):
     assert not offenders, offenders
 
 
+#: Queries allowed ≥3 base-table scans in one plan because each scan is
+#: justified — different pushed-down filters / spec semantics — not a
+#: re-derived shared intermediate.  Everything else must persist its
+#: shared intermediate (run_cache) or restructure to a single pass;
+#: the round-8 sweep fixed eleven offenders this way (funnel ×2,
+#: dau/wau/mau, MAD outliers, PQ/IVF/truncation/embedding-LSH/centroid
+#: -drift, boilerplate, segment-rewrite).
+REPEAT_SCAN_ALLOWED = {
+    "qds95_both_sites_view": "TPC-DS spec shape; executed plan reuses the "
+        "ws_wh exchange (verified ReusedExchange), remaining scans carry "
+        "different pushed filters",
+    "stat_heavy_hitters_exact": "per-column single-column scans emitting "
+        "map-side-combined partials; one scan per audited column + the "
+        "1-row count, documented in the op",
+    "subq_scalar_uncorrelated": "scalar-subquery semantics demo — each "
+        "scalar subquery executes once by design, tiny results",
+    "text_contamination": "eval/candidate branches scan DISJOINT doc_id "
+        "ranges (pushdown-pruned) + a doc_id-only projection; no "
+        "duplicated tokenize work",
+}
+
+
+def test_no_repeat_corpus_scans_anywhere(registry_simple_plans):
+    """Global scale guard #4 (round 8): no batch-relational registry
+    query may scan the same base parquet table ≥3 times in one plan,
+    outside the reasoned allow-list above.  A table scanned N times is
+    an N× corpus-read multiplier at 100 TB — the defect class fixed by
+    the run_cache persists (text r7, funnel/ANN/analytics r8).  Uses
+    the cache-aware counter from tools/scan_audit.py (persisted
+    subtrees count once), whose format assumptions tests/test_tools.py
+    pins."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(
+        _os.path.dirname(_os.path.abspath(__file__))), "tools"))
+    from scan_audit import _count_executed_scans
+
+    offenders = {}
+    for name, plan in registry_simple_plans.items():
+        if name in REPEAT_SCAN_ALLOWED:
+            continue
+        worst = {
+            t: c for t, c in _count_executed_scans(plan).items() if c >= 3
+        }
+        if worst:
+            offenders[name] = worst
+    assert not offenders, offenders
+    assert all(r.strip() for r in REPEAT_SCAN_ALLOWED.values())
+
+
 def test_audio_features_single_pass_no_exchange(spark):
     """mm_audio_features' 1:N frame expansion happens INSIDE the Arrow
     batch: the plan is scan → two ArrowEvalPython/mapInPandas stages →
