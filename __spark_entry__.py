@@ -7,12 +7,12 @@ queries()      — every registered operator query from SURVEY.md §2 plus
                  joins/aggregates/windows/setops/subqueries, scalar
                  functions, UDF surface, stats, DDL, RDD ops, streaming,
                  dedup/similarity/text/multimodal, graph/ML workloads).
-oracle_sql()   — matching DuckDB SQL per query (305 entries; None-oracle
-                 queries omitted → driver records a rows-only check;
-                 the 3 remaining are true RNG/sketch cases: seeded
-                 sampling ×2, freqItems.  agg_approx and ml_kmeans
-                 upgraded to value-checked in round 8 via exact twins
-                 + pinned error-band booleans).
+oracle_sql()   — matching DuckDB SQL per query (308 entries; ZERO
+                 rows-only checks since round 8: the last five
+                 RNG/sketch cases (agg_approx, ml_kmeans, seeded
+                 sampling ×2, freqItems) were upgraded to value-checked
+                 via exact twins + pinned invariant booleans computed
+                 on the live sketch/sample output).
 
 The two counts above are asserted against len(REGISTRY) in
 tests/test_entry.py — update them when registering queries.

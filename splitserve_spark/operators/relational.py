@@ -233,15 +233,46 @@ def range_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_bernoulli", oracle=None, tags=("sample",))
+@register(
+    "sample_bernoulli",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_population,
+           TRUE AS rate_within_3pct,
+           TRUE AS sample_is_subset
+    FROM lineitem
+    """,
+    tags=("sample",),
+)
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli TABLESAMPLE (SampleExec). Sampling RNGs differ across
-    engines, so no value oracle — correctness (fraction bounds,
-    subset-ness, seed determinism) is covered in tests/test_relational.py."""
+    """Bernoulli TABLESAMPLE (SampleExec).  Sampling RNGs differ across
+    engines, so the raw sample can never hash-match — instead
+    (round-8, the agg_approx pattern) the query emits the label-
+    invariant values an auditor checks: the exact population count,
+    |rate − 0.1| ≤ 0.03 (measured ≤0.007 at every shipped SF — the
+    seed is fixed, so the realized rate is a constant of the input
+    set), and the subset property (sampled keys ∖ population = ∅) —
+    all computed ON the live SampleExec output, so the §2 sample
+    operator still runs inside the checked plan.  Full per-row
+    invariants stay in tests/test_relational.py."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
-    return t.lineitem.sample(withReplacement=False, fraction=0.1, seed=42).select(
-        "l_orderkey", "l_linenumber", "l_quantity"
+    pop = t.lineitem.select("l_orderkey", "l_linenumber")
+    samp = t.lineitem.sample(
+        withReplacement=False, fraction=0.1, seed=42
+    ).select("l_orderkey", "l_linenumber")
+    stats = pop.agg(F.count(F.lit(1)).alias("n_population")).crossJoin(
+        samp.agg(F.count(F.lit(1)).alias("n_sample"))
+    )
+    strays = (
+        samp.join(pop, ["l_orderkey", "l_linenumber"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_stray"))
+    )
+    return stats.crossJoin(strays).select(
+        "n_population",
+        (
+            F.abs(F.col("n_sample") / F.col("n_population") - 0.1) <= 0.03
+        ).alias("rate_within_3pct"),
+        (F.col("n_stray") == 0).alias("sample_is_subset"),
     )
 
 

@@ -25,15 +25,22 @@ def test_oracle_match(spark, name):
 
 
 def test_sample_deterministic_subset(spark):
+    """Raw SampleExec semantics (seed determinism + rate band) on the
+    live API, plus the registered query's invariant row — the query
+    now emits (n_population, rate_within_3pct, sample_is_subset)
+    value-checked by the oracle."""
     from splitserve_spark.registry import REGISTRY
+    from splitserve_spark.tables import Tables
 
-    fn = REGISTRY["sample_bernoulli"].fn
-    a = fn(spark, SF_DIR).toPandas()
-    b = fn(spark, SF_DIR).toPandas()
+    t = Tables(spark, SF_DIR)
+    a = t.lineitem.sample(False, 0.1, seed=42).toPandas()
+    b = t.lineitem.sample(False, 0.1, seed=42).toPandas()
     # Same seed → same sample.
     assert a.equals(b)
     # Fraction in a sane band around 10%.
-    from splitserve_spark.tables import Tables
-
-    total = Tables(spark, SF_DIR).lineitem.count()
+    total = t.lineitem.count()
     assert 0.04 * total < len(a) < 0.2 * total
+
+    row = REGISTRY["sample_bernoulli"].fn(spark, SF_DIR).toPandas().iloc[0]
+    assert row["n_population"] == total
+    assert bool(row["rate_within_3pct"]) and bool(row["sample_is_subset"])

@@ -41,16 +41,15 @@ def test_oracle_match(spark, name):
 
 
 def test_freq_items_superset(spark):
-    """freqItems must return a superset of true items above support.
-    The registered query serializes each sketch array to a sorted JSON
-    string (driver-hashable scalars) — parse it back here."""
-    import json
-
-    out = REGISTRY["stat_freq_items"].fn(spark, SF_DIR).collect()[0]
-    freq_prio = set(json.loads(out["o_orderpriority_freqItems"]))
+    """freqItems must return a superset of true items above support —
+    checked here on the RAW sketch API; the registered query now emits
+    the same invariant as oracle-pinned values (n_true_hh +
+    superset_ok per column)."""
     from splitserve_spark.tables import Tables
 
     t = Tables(spark, SF_DIR)
+    fi = t.orders.stat.freqItems(["o_orderpriority"], support=0.2).collect()[0]
+    freq_prio = set(fi["o_orderpriority_freqItems"])
     total = t.orders.count()
     truth = {
         r["o_orderpriority"]
@@ -58,6 +57,11 @@ def test_freq_items_superset(spark):
         if r["count"] / total >= 0.2
     }
     assert truth <= freq_prio
+
+    out = REGISTRY["stat_freq_items"].fn(spark, SF_DIR).toPandas()
+    prio = out[out["col"] == "o_orderpriority"].iloc[0]
+    assert prio["n_true_hh"] == len(truth)
+    assert bool(prio["superset_ok"])
 
 
 def test_approx_quantile_rank_error(spark):
@@ -86,17 +90,29 @@ def test_approx_quantile_rank_error(spark):
 
 
 def test_sample_by_rates(spark):
-    """Stratified sample rates near requested fractions; P=1.0 exact."""
-    out = REGISTRY["stat_sample_by"].fn(spark, SF_DIR)
-    got = {r["o_orderstatus"]: r["count"] for r in out.groupBy("o_orderstatus").count().collect()}
+    """Stratified sample rates near requested fractions on the RAW
+    sampleBy API (P=1.0 exact); the registered query now emits the
+    same invariant as oracle-pinned values."""
+    from splitserve_spark.operators.stats import SAMPLE_BY_FRACTIONS
     from splitserve_spark.tables import Tables
 
     t = Tables(spark, SF_DIR)
-    tot = {r["o_orderstatus"]: r["count"] for r in t.orders.groupBy("o_orderstatus").count().collect()}
+    smp = t.orders.sampleBy(
+        "o_orderstatus", fractions=SAMPLE_BY_FRACTIONS, seed=42
+    )
+    got = {r["o_orderstatus"]: r["count"]
+           for r in smp.groupBy("o_orderstatus").count().collect()}
+    tot = {r["o_orderstatus"]: r["count"]
+           for r in t.orders.groupBy("o_orderstatus").count().collect()}
     assert got["P"] == tot["P"]
     for k, frac in (("F", 0.2), ("O", 0.1)):
         rate = got.get(k, 0) / tot[k]
         assert abs(rate - frac) < 0.1, (k, rate)
+
+    out = REGISTRY["stat_sample_by"].fn(spark, SF_DIR).toPandas()
+    assert set(out["o_orderstatus"]) == set(tot)
+    assert out["rate_within_5pct"].all()
+    assert dict(zip(out["o_orderstatus"], out["n_stratum"])) == tot
 
 
 def test_ks_statistic_bounded_and_sane(spark):
@@ -123,12 +139,23 @@ def test_mann_whitney_u_range_and_symmetry(spark):
 
 def test_freq_items_sketch_superset_of_exact_twin(spark):
     """Family coherence: the freqItems sketch (superset guarantee) must
-    contain every item the EXACT heavy-hitters twin reports."""
-    import json
+    contain every item the EXACT heavy-hitters twin reports — raw
+    sketch arrays vs the twin, plus the registered query's per-column
+    n_true_hh agreeing with the twin's row counts."""
+    from splitserve_spark.tables import Tables
 
-    sk = REGISTRY["stat_freq_items"].fn(spark, SF_DIR).collect()[0]
+    t = Tables(spark, SF_DIR)
+    sk = t.orders.stat.freqItems(
+        ["o_orderpriority", "o_orderstatus"], support=0.2
+    ).collect()[0]
     exact = REGISTRY["stat_heavy_hitters_exact"].fn(spark, SF_DIR).toPandas()
     for col in ("o_orderpriority", "o_orderstatus"):
-        sketch_items = set(json.loads(sk[f"{col}_freqItems"]))
+        sketch_items = set(sk[f"{col}_freqItems"])
         exact_items = set(exact.loc[exact["col"] == col, "item"])
         assert exact_items <= sketch_items, (col, exact_items, sketch_items)
+
+    out = REGISTRY["stat_freq_items"].fn(spark, SF_DIR).toPandas()
+    for col in ("o_orderpriority", "o_orderstatus"):
+        n_exact = int((exact["col"] == col).sum())
+        assert int(out.loc[out["col"] == col, "n_true_hh"].iloc[0]) == n_exact
+    assert out["superset_ok"].all()
