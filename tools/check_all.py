@@ -33,6 +33,17 @@ def main() -> int:
     argv = sys.argv[1:]
     strict = "--strict" in argv
     argv = [a for a in argv if a != "--strict"]
+    # --shuffle-partitions N: rerun the whole oracle suite under a
+    # different partitioning to prove partition-order INDEPENDENCE —
+    # a strict pass at several values (e.g. 5, 16, 64) is evidence the
+    # results are identical across cluster sizes, which is exactly the
+    # determinism a 1000-executor run needs.  Default 16 matches the
+    # committed evidence.
+    shuffle_partitions = 16
+    if "--shuffle-partitions" in argv:
+        i = argv.index("--shuffle-partitions")
+        shuffle_partitions = int(argv[i + 1])
+        del argv[i : i + 2]
     # First positional is the sf_dir ONLY if it is a real directory;
     # otherwise all positionals are query names ("check_all.py --strict q3"
     # must not treat 'q3' as a data dir and fail everything confusingly).
@@ -47,7 +58,7 @@ def main() -> int:
     from splitserve_spark.session import get_session
     from tests.oracle_utils import check_query
 
-    spark = get_session("check-all", shuffle_partitions=16)
+    spark = get_session("check-all", shuffle_partitions=shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
     names = [n for n in sorted(registry) if not only or n in only]
