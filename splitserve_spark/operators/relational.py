@@ -253,13 +253,22 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     set), and the subset property (sampled keys ∖ population = ∅) —
     all computed ON the live SampleExec output, so the §2 sample
     operator still runs inside the checked plan.  Full per-row
-    invariants stay in tests/test_relational.py."""
+    invariants stay in tests/test_relational.py.
+
+    ONE corpus scan: the population key projection feeds four branches
+    (its count, the sample's count, both sides of the subset
+    anti-join), so it is persisted for the run (run_cache contract)
+    and the sample is drawn from the cached projection — SampleExec
+    stays in the plan, the parquet is read once."""
     ensure_parity_conf(spark)
+    from splitserve_spark.operators.run_cache import (
+        persist_tracked, release_prior,
+    )
+
     t = Tables(spark, sf_dir)
-    pop = t.lineitem.select("l_orderkey", "l_linenumber")
-    samp = t.lineitem.sample(
-        withReplacement=False, fraction=0.1, seed=42
-    ).select("l_orderkey", "l_linenumber")
+    release_prior()
+    pop = persist_tracked(t.lineitem.select("l_orderkey", "l_linenumber"))
+    samp = pop.sample(withReplacement=False, fraction=0.1, seed=42)
     stats = pop.agg(F.count(F.lit(1)).alias("n_population")).crossJoin(
         samp.agg(F.count(F.lit(1)).alias("n_sample"))
     )

@@ -144,21 +144,42 @@ def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the superset invariant — every true heavy hitter appears in
     the live freqItems output (checked via anti-join against the
     exploded sketch arrays, no collect).  The sketch itself still runs
-    inside the checked plan; raw-output shape stays pinned in tests."""
+    inside the checked plan; raw-output shape stays pinned in tests.
+
+    TWO corpus scans, both single-column (the stat_heavy_hitters_exact
+    pattern — each reads one audited column and map-side-combines to
+    ≤|domain| partial rows): the sketch result (1 row) and each
+    per-column count rollup are persisted for the run (run_cache
+    contract), and the total row count derives from a cached rollup —
+    so the many downstream branches (threshold filter, anti-join,
+    final union) never re-derive a corpus pass."""
     ensure_parity_conf(spark)
-    t = Tables(spark, sf_dir)
-    fi = t.orders.stat.freqItems(
-        list(FREQ_ITEMS_COLS), support=FREQ_ITEMS_SUPPORT
+    from splitserve_spark.operators.run_cache import (
+        persist_tracked, release_prior,
     )
-    n = t.orders.agg(F.count(F.lit(1)).alias("n_rows"))
+
+    t = Tables(spark, sf_dir)
+    release_prior()
+    fi = persist_tracked(
+        t.orders.stat.freqItems(
+            list(FREQ_ITEMS_COLS), support=FREQ_ITEMS_SUPPORT
+        )
+    )
+    counts = {
+        col: persist_tracked(
+            t.orders.groupBy(F.col(col).alias("item"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        for col in FREQ_ITEMS_COLS
+    }
+    n = counts[FREQ_ITEMS_COLS[0]].agg(F.sum("cnt").alias("n_rows"))
 
     def check(col: str) -> DataFrame:
         sketch_items = fi.select(
             F.explode(F.col(f"{col}_freqItems")).alias("item")
         )
         hh = (
-            t.orders.groupBy(F.col(col).alias("item"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            counts[col]
             .crossJoin(F.broadcast(n))
             .filter(F.col("cnt") >= FREQ_ITEMS_SUPPORT * F.col("n_rows"))
         )
