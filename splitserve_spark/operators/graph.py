@@ -571,8 +571,14 @@ def _sssp_seeds(sym: DataFrame, n_sources: int | None = None) -> DataFrame:
     edge list, dist 0.  Within a replicated copy the prefix is constant,
     so applying this per copy (smoke) picks the SAME per-copy sources."""
     n_sources = SSSP_SOURCES if n_sources is None else n_sources
+    # Match the customer marker STRUCTURALLY: either the node id starts
+    # with 'c' (base corpus: c<custkey>) or 'c' directly follows the
+    # smoke's per-copy 'x<k>|' prefix.  A bare contains("c") (r8) only
+    # worked because s<digits> ids happen to contain no letter c — a
+    # future id scheme with a 'c' anywhere would silently widen the
+    # seed frontier.
     return (
-        sym.filter(F.col("a").contains("c"))
+        sym.filter(F.col("a").rlike(r"(^|\|)c"))
         .select(F.col("a").alias("node"))
         .distinct()
         .orderBy("node")

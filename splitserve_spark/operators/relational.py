@@ -255,11 +255,15 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator still runs inside the checked plan.  Full per-row
     invariants stay in tests/test_relational.py.
 
-    ONE corpus scan: the population key projection feeds four branches
-    (its count, the sample's count, both sides of the subset
-    anti-join), so it is persisted for the run (run_cache contract)
-    and the sample is drawn from the cached projection — SampleExec
-    stays in the plan, the parquet is read once."""
+    TWO corpus scans, deliberately (r8 ADVICE: drawing the sample from
+    the persisted population projection made the subset check
+    tautological — SampleExec over the cached rows can never stray).
+    The sample now runs over an INDEPENDENT base-table scan, so the
+    anti-join verifies a falsifiable property: every key SampleExec
+    emits from its own scan exists in the separately-scanned
+    population.  The population projection still persists for the run
+    (run_cache contract) because three branches consume it (its count
+    and the anti-join's right side)."""
     ensure_parity_conf(spark)
     from splitserve_spark.operators.run_cache import (
         persist_tracked, release_prior,
@@ -268,7 +272,9 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     release_prior()
     pop = persist_tracked(t.lineitem.select("l_orderkey", "l_linenumber"))
-    samp = pop.sample(withReplacement=False, fraction=0.1, seed=42)
+    samp = t.lineitem.select("l_orderkey", "l_linenumber").sample(
+        withReplacement=False, fraction=0.1, seed=42
+    )
     stats = pop.agg(F.count(F.lit(1)).alias("n_population")).crossJoin(
         samp.agg(F.count(F.lit(1)).alias("n_sample"))
     )

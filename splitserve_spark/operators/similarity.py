@@ -913,8 +913,14 @@ def sim_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     release_prior()
+    # posexplode_OUTER: a degenerate row (empty/null embedding) still
+    # emits one (label, null, null) row, so the per-label vector count
+    # below matches the oracle's plain count(*) over embeddings even if
+    # such a row ever appears (r8 ADVICE — plain posexplode silently
+    # dropped them from n_vecs).  Null-idx rows carry no v and never
+    # join per/g (null != anything), so the cosine is unaffected.
     e = t.embeddings.select(
-        "label", F.posexplode(_as_double("embedding")).alias("idx", "v")
+        "label", F.posexplode_outer(_as_double("embedding")).alias("idx", "v")
     )
     ga = persist_tracked(
         e.groupingSets(
@@ -929,9 +935,16 @@ def sim_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = ga.filter(F.col("gid") == 0).select("label", "idx", "m")
     g = ga.filter(F.col("gid") == 2).select("idx", F.col("m").alias("gm"))
+    # Every vector emits exactly one row with idx = 0 (non-degenerate)
+    # or idx IS NULL (degenerate, via posexplode_outer), so counting
+    # that slice per label IS the label's total vector count.
     n = (
-        ga.filter((F.col("gid") == 0) & (F.col("idx") == 0))
-        .select("label", F.col("cnt").alias("n_vecs"))
+        ga.filter(
+            (F.col("gid") == 0)
+            & ((F.col("idx") == 0) | F.col("idx").isNull())
+        )
+        .groupBy("label")
+        .agg(F.sum("cnt").alias("n_vecs"))
     )
     return (
         per.join(g, "idx")

@@ -110,25 +110,37 @@ def stat_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Columns audited by the frequent-items sketch and its exact check.
 FREQ_ITEMS_COLS = ("o_orderpriority", "o_orderstatus")
 FREQ_ITEMS_SUPPORT = 0.2
+#: Integer-exact form of the support threshold: cnt * MULT >= n_rows
+#: ⟺ cnt >= SUPPORT * n_rows, with NO float arithmetic on either
+#: engine (r8 ADVICE: Spark compared against a binary double while
+#: DuckDB parsed 0.2 as exact DECIMAL — a count landing exactly on
+#: n/5 could make the engines disagree at the boundary).
+FREQ_ITEMS_MULT = 5
+assert FREQ_ITEMS_MULT * FREQ_ITEMS_SUPPORT == 1.0
 
 
 @register(
     "stat_freq_items",
     oracle=f"""
     WITH n AS (SELECT count(*) AS n_rows FROM orders),
-    hh AS (
-        SELECT 'o_orderpriority' AS col, o_orderpriority AS item,
-               count(*) AS cnt
-        FROM orders GROUP BY o_orderpriority
-        UNION ALL
-        SELECT 'o_orderstatus', o_orderstatus, count(*)
-        FROM orders GROUP BY o_orderstatus
+    c1 AS (
+        SELECT count(*) AS n_hh FROM (
+            SELECT count(*) AS cnt FROM orders GROUP BY o_orderpriority
+        ) g CROSS JOIN n WHERE cnt * {FREQ_ITEMS_MULT} >= n_rows
+    ),
+    c2 AS (
+        SELECT count(*) AS n_hh FROM (
+            SELECT count(*) AS cnt FROM orders GROUP BY o_orderstatus
+        ) g CROSS JOIN n WHERE cnt * {FREQ_ITEMS_MULT} >= n_rows
     )
-    SELECT col, CAST(count(*) AS BIGINT) AS n_true_hh,
-           TRUE AS superset_ok
-    FROM hh CROSS JOIN n
-    WHERE cnt >= {FREQ_ITEMS_SUPPORT} * n.n_rows
-    GROUP BY col
+    SELECT col, n_true_hh, superset_ok FROM (
+        SELECT 'o_orderpriority' AS col,
+               CAST((SELECT n_hh FROM c1) AS BIGINT) AS n_true_hh,
+               TRUE AS superset_ok
+        UNION ALL
+        SELECT 'o_orderstatus',
+               CAST((SELECT n_hh FROM c2) AS BIGINT), TRUE
+    ) u
     ORDER BY col
     """,
     tags=("stat", "sketch"),
@@ -178,10 +190,12 @@ def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketch_items = fi.select(
             F.explode(F.col(f"{col}_freqItems")).alias("item")
         )
+        # Integer-exact threshold (cnt * MULT >= n_rows): identical
+        # arithmetic on both engines, no double/DECIMAL boundary.
         hh = (
             counts[col]
             .crossJoin(F.broadcast(n))
-            .filter(F.col("cnt") >= FREQ_ITEMS_SUPPORT * F.col("n_rows"))
+            .filter(F.col("cnt") * FREQ_ITEMS_MULT >= F.col("n_rows"))
         )
         missed = hh.join(F.broadcast(sketch_items), "item", "left_anti")
         return (
