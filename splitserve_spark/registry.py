@@ -115,12 +115,15 @@ def verdict_ok(v: dict) -> bool:
     return bool(v.get("rows_match"))
 
 
-def _load_driver_verdicts() -> tuple[dict[str, bool], frozenset]:
+def _load_driver_verdicts() -> tuple[dict[str, bool], frozenset,
+                                     dict[str, int]]:
     """(name → latest driver verdict, names whose latest PASS was the
-    weaker rows-only check) across all committed CORRECTNESS_r*.json
-    files, in round order (r01 < r02 < …)."""
+    weaker rows-only check, name → round of its latest verdict) across
+    all committed CORRECTNESS_r*.json files, in round order
+    (r01 < r02 < …)."""
     latest: dict[str, bool] = {}
     rows_only: dict[str, bool] = {}
+    rounds: dict[str, int] = {}
     for path in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
         try:
             results = _json.loads(path.read_text())
@@ -128,17 +131,22 @@ def _load_driver_verdicts() -> tuple[dict[str, bool], frozenset]:
             continue  # unreadable evidence file — skip, never crash import
         if not isinstance(results, dict):
             continue
+        m = re.search(r"r(\d+)", path.stem)
+        rnd = int(m.group(1)) if m else 0
         for name, v in results.items():
             if not isinstance(v, dict):
                 continue
             latest[name] = verdict_ok(v)
             rows_only[name] = v.get("err") == "no_oracle"
+            rounds[name] = rnd
     return latest, frozenset(
         n for n, ro in rows_only.items() if ro and latest.get(n)
-    )
+    ), rounds
 
 
-_DRIVER_VERDICTS, _DRIVER_ROWS_ONLY = _load_driver_verdicts()
+_DRIVER_VERDICTS, _DRIVER_ROWS_ONLY, _DRIVER_EVIDENCE_ROUND = (
+    _load_driver_verdicts()
+)
 #: Every name the driver has EVER checked (green or red).
 _DRIVER_CHECKED = frozenset(_DRIVER_VERDICTS)
 #: Names whose latest driver verdict passed — rotate behind never-checked.
@@ -195,18 +203,35 @@ def _settled(spec: QuerySpec) -> bool:
     return not (spec.name in _DRIVER_ROWS_ONLY and spec.oracle is not None)
 
 
+def _staleness_key(spec: QuerySpec) -> tuple:
+    """Sort key for settled specs: oldest-evidence-round first.  With
+    certification debt at zero (every name settled, round 8), a
+    (priority, seq) tie-break would re-check the SAME 50 names every
+    round while the other 258 certifications age — some date to r1,
+    several runtime upgrades ago.  Rotating by evidence round means
+    each round's window re-certifies the 50 longest-unverified names,
+    so every certification refreshes on a ~6-round cycle."""
+    return (_DRIVER_EVIDENCE_ROUND.get(spec.name, 0), spec.priority,
+            spec.seq)
+
+
 def ordered_registry() -> dict[str, QuerySpec]:
     """Registry in driver-facing order: never-driver-verified queries
     first (by priority tier, then registration sequence), already-green
-    ones last.  The driver checks only the first ~DRIVER_WINDOW entries
-    of queries() per round, so this rotation maximizes cumulative
-    driver-verified coverage while keeping proven names available."""
+    ones last — and among the settled, stalest certification first
+    (see _staleness_key).  The driver checks only the first
+    ~DRIVER_WINDOW entries of queries() per round, so this rotation
+    maximizes cumulative driver-verified coverage and keeps every
+    certification fresh."""
     load_all()
     return {
         spec.name: spec
         for spec in sorted(
             REGISTRY.values(),
-            key=lambda s: (_settled(s), s.priority, s.seq),
+            key=lambda s: (
+                (True,) + _staleness_key(s) if _settled(s)
+                else (False, 0, s.priority, s.seq)
+            ),
         )
     }
 

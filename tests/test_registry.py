@@ -42,6 +42,40 @@ def test_driver_window_composition():
             assert name in w, f"never-checked {name} left out of the window"
 
 
+def test_settled_rotation_is_oldest_evidence_first():
+    """r8 verdict task: with certification debt at zero, the driver
+    window must re-certify the STALEST certifications, not the same 50
+    low-(priority, seq) names every round.  Invariants: (a) settled
+    names appear in non-decreasing evidence-round order; (b) no settled
+    name sits in the window while a STALER settled name waits outside
+    (modulo unsettled names, which always come first); (c) when the
+    whole registry is settled, the window's max evidence round is ≤ the
+    min evidence round outside it."""
+    from splitserve_spark.registry import (
+        _DRIVER_EVIDENCE_ROUND, DRIVER_WINDOW, REGISTRY, _settled,
+        ordered_registry,
+    )
+    names = list(ordered_registry())
+    settled = [n for n in names if _settled(REGISTRY[n])]
+    rounds = [_DRIVER_EVIDENCE_ROUND.get(n, 0) for n in settled]
+    assert rounds == sorted(rounds), (
+        "settled names not in oldest-evidence-first order"
+    )
+    # Unsettled-first is preserved: no settled name may precede an
+    # unsettled one.
+    seen_settled = False
+    for n in names:
+        if _settled(REGISTRY[n]):
+            seen_settled = True
+        else:
+            assert not seen_settled, f"unsettled {n} after a settled name"
+    if len(settled) == len(names) and len(names) > DRIVER_WINDOW:
+        w, rest = names[:DRIVER_WINDOW], names[DRIVER_WINDOW:]
+        max_in = max(_DRIVER_EVIDENCE_ROUND.get(n, 0) for n in w)
+        min_out = min(_DRIVER_EVIDENCE_ROUND.get(n, 0) for n in rest)
+        assert max_in <= min_out, (max_in, min_out)
+
+
 def test_certification_debt_fits_one_window():
     """The r7 verdict's closing condition, enforced mechanically: every
     registered query is either already driver-certified (green under
