@@ -91,7 +91,16 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     session-scoped, so a new session in the same process must rebuild)."""
     import shutil
 
+    from splitserve_spark.operators.wh_util import (
+        proc_suffix,
+        sweep_stale_locations,
+    )
+
+    # Per-process token (see catalog_ddl._tag): two JVMs on one
+    # checkout must not write the same bucketed-table location.
+    sweep_stale_locations(spark)
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    tag = f"{tag}_{proc_suffix()}"
     t_orders, t_lineitem = f"orders_b_{tag}", f"lineitem_b_{tag}"
     t = Tables(spark, sf_dir)
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")

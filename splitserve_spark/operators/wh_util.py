@@ -1,0 +1,72 @@
+"""Per-process warehouse-name hygiene.
+
+Catalog objects written by the suite (bucketed join tables, the ddl_*
+family) embed a per-process token in their names so two JVMs running
+against the SAME repo checkout never write the same saveAsTable
+location (the r7/r8 judge pytest runs both corrupted a fixed-name
+bucketed table when run concurrently with check_all).
+
+The token means dead processes leave orphan warehouse directories
+behind; sweep_stale_locations() removes directories whose embedding
+pid no longer exists.  It never touches a LIVE process's locations,
+so the sweep itself cannot reintroduce the race.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from urllib.parse import unquote, urlparse
+
+#: Matches the trailing per-process token of suite-written catalog
+#: object directories: ..._p<pid> or ..._p<pid>.db (databases).
+_PROC_DIR = re.compile(r"_p(\d+)(\.db)?$")
+
+_SWEPT = False
+
+
+def proc_suffix() -> str:
+    """The per-process token appended to every suite catalog name."""
+    return f"p{os.getpid()}"
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+def local_warehouse_path(spark) -> str | None:
+    """Filesystem path of the warehouse dir, or None if remote
+    (hdfs://, s3a:// — there orphan cleanup belongs to the metastore
+    admin, not a test process)."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    parsed = urlparse(warehouse)
+    if parsed.scheme in ("", "file"):
+        return unquote(parsed.path) or warehouse
+    return None
+
+
+def sweep_stale_locations(spark) -> None:
+    """Once per process: delete warehouse directories left by DEAD
+    processes (their embedded pid no longer exists).  Live processes'
+    directories are never touched.  No catalog DROP is needed — the
+    catalog here is session-in-memory, so a dead process's entries
+    died with it."""
+    global _SWEPT
+    if _SWEPT:
+        return
+    _SWEPT = True
+    warehouse = local_warehouse_path(spark)
+    if warehouse is None or not os.path.isdir(warehouse):
+        return
+    for entry in os.listdir(warehouse):
+        m = _PROC_DIR.search(entry)
+        if m and not _pid_alive(int(m.group(1))):
+            shutil.rmtree(os.path.join(warehouse, entry),
+                          ignore_errors=True)
