@@ -269,6 +269,7 @@ _MODULES = (
     "splitserve_spark.operators.analytics",
     "splitserve_spark.sources.io",
     "splitserve_spark.sources.python_ds",
+    "splitserve_spark.sources.kafka_shaped",
     "splitserve_spark.functions.strings",
     "splitserve_spark.functions.math_fns",
     "splitserve_spark.functions.datetime_fns",

@@ -1,0 +1,345 @@
+"""Kafka-shaped streaming source (broker-free) — closes SURVEY §2.1's
+last streaming-source row.
+
+The reference ships a Kafka connector
+(`external/kafka-0-10-sql/.../KafkaSource.scala:84`): a partitioned
+topic, per-partition monotonically increasing offsets, JSON offset
+maps, `startingOffsets=earliest|latest`, `maxOffsetsPerTrigger` rate
+limiting (KafkaSource applies its ReadLimit inside latestOffset), and
+exactly-once replay of any committed offset range.  This environment
+has no broker and no spark-sql-kafka jar (README.md:193 waiver), so
+this module implements the same CONTRACT on the Python DataSource
+streaming API (`pyspark.sql.datasource.DataSourceStreamReader`, the
+partitioned variant — same extension point `sources/python_ds.py`
+already exercises for batch + simple streaming):
+
+* topic = N partitions, each an append-only log whose record at
+  (partition, offset) is a pure function of (partition, offset) —
+  which is what makes the source oracle-able AND lets executors read
+  any replayed range without contacting shared state;
+* the "broker" is a JSON state file under ``brokerDir`` holding the
+  per-partition produced watermark — it must live on the filesystem
+  (not module globals) because the streaming reader runs in a
+  per-query Python worker process: a stop/restart gets a FRESH
+  interpreter, exactly like reconnecting to a broker that outlived
+  the consumer;
+* ``latestOffset`` advances the produced watermark by
+  ``producePerPoll`` per partition per poll (bounded by the
+  per-partition log size) and then caps the returned end at
+  ``maxOffsetsPerTrigger`` records past the previous end — the
+  previous end is ALSO persisted, so the rate limit holds across
+  restart, as KafkaSource's does;
+* output schema is Kafka's exactly: key binary, value binary, topic
+  string, partition int, offset long, timestamp, timestampType.
+
+Exactly-once: offsets are checkpointed by the engine; ``partitions``
+replays any (start, end] range deterministically, and the
+stop/restart pytest (tests/test_kafka_shaped.py) asserts each
+(partition, offset) lands in a file sink exactly once.  If a real
+spark-sql-kafka jar ever appears, these contract tests transfer to
+the connector unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from splitserve_spark.registry import register
+from splitserve_spark.session import ensure_parity_conf
+
+#: Epoch for record timestamps: CreateTime of offset o is EPOCH + o s.
+KAFKA_EPOCH = datetime(2026, 1, 1, 0, 0, 0)
+
+#: Registered-query topic geometry (oracle replays these formulas).
+KQ_PARTS = 4
+KQ_BASE = 96  # log size of partition 0
+KQ_SKEW = 7  # partition p holds KQ_BASE + p*KQA_SKEW records
+KQ_TOTAL = sum(KQ_BASE + p * KQ_SKEW for p in range(KQ_PARTS))  # 426
+
+
+def _record(p: int, o: int) -> tuple:
+    """The record at (partition, offset): pure function of its
+    coordinates, shared by every executor-side replay and (as SQL) by
+    the DuckDB oracle."""
+    key = f"k{(o * 7 + p) % 13}"
+    payload = (o * 31 + p) % 1000
+    value = f"m|{p}|{o}|{payload}"
+    return (
+        key.encode("utf-8"),
+        value.encode("utf-8"),
+        None,  # topic, filled by caller
+        p,
+        o,
+        KAFKA_EPOCH + timedelta(seconds=o),
+        0,  # timestampType: CreateTime, like Kafka's default
+    )
+
+
+class KafkaShapedStreamReader(DataSourceStreamReader):
+    """Driver-side half of the contract: offset bookkeeping.
+
+    Offsets are dicts {partition(str): next_offset(int)} — the same
+    shape as Kafka's JSON offset maps ({"topic":{"0":123}}) minus the
+    redundant topic level.  String keys keep the JSON round-trip
+    through the engine's offset log stable."""
+
+    def __init__(self, schema, options) -> None:
+        # Spark option keys are case-insensitive; normalize like the
+        # JVM's CaseInsensitiveStringMap so camelCase options work.
+        options = {k.lower(): v for k, v in options.items()}
+        self.topic = options.get("topic", "ingest")
+        self.n_parts = int(options.get("numpartitions", 4))
+        self.base = int(options.get("logsize", KQ_BASE))
+        self.skew = int(options.get("logskew", KQ_SKEW))
+        self.backlog = int(options.get("initialbacklog", 0))
+        self.per_poll = int(options.get("produceperpoll", 32))
+        mopt = options.get("maxoffsetspertrigger")
+        self.max_per_trigger = int(mopt) if mopt is not None else None
+        self.starting = options.get("startingoffsets", "earliest")
+        broker_dir = options.get(
+            "brokerdir",
+            os.path.join(tempfile.gettempdir(), "kafka_shaped_broker"),
+        )
+        os.makedirs(broker_dir, exist_ok=True)
+        self._state_path = os.path.join(broker_dir, f"{self.topic}.json")
+
+    # -- broker state ---------------------------------------------------
+    def _log_size(self, p: int) -> int:
+        return self.base + p * self.skew
+
+    def _load_state(self) -> dict:
+        """Produced watermark + last returned end, from the broker file.
+        Single-writer by construction (one streaming query drives one
+        reader), so plain read-modify-write-rename is race-free."""
+        try:
+            with open(self._state_path) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            produced = {
+                str(p): min(self.backlog, self._log_size(p))
+                for p in range(self.n_parts)
+            }
+            return {"produced": produced, "last_end": None,
+                    "latest_start": None}
+
+    def _save_state(self, state: dict) -> None:
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, self._state_path)
+
+    # -- streaming contract ----------------------------------------------
+    def initialOffset(self) -> dict:
+        if self.starting == "latest":
+            # Skip the pre-existing backlog, exactly like Kafka's
+            # startingOffsets=latest: first batch begins at the
+            # produced watermark as of query start.  The start is
+            # PINNED into broker state by whichever contract call
+            # touches the topic first — the engine's runner prefetches
+            # latestOffset BEFORE initialOffset and may call
+            # initialOffset repeatedly; a start (re)derived from the
+            # live produced watermark drifts as production advances
+            # and silently skips records (observed: 25→33).
+            state = self._pin_latest_start(self._load_state())
+            return {p: int(o) for p, o in state["latest_start"].items()}
+        return {str(p): 0 for p in range(self.n_parts)}
+
+    def _pin_latest_start(self, state: dict) -> dict:
+        """First touch of a startingOffsets=latest topic freezes the
+        query's start at the CURRENT produced watermark (pre-advance)."""
+        if self.starting == "latest" and state.get("latest_start") is None:
+            state["latest_start"] = dict(state["produced"])
+            self._save_state(state)
+        return state
+
+    def latestOffset(self) -> dict:
+        state = self._pin_latest_start(self._load_state())
+        produced = {
+            p: min(int(o) + self.per_poll, self._log_size(int(p)))
+            for p, o in state["produced"].items()
+        }
+        end = dict(produced)
+        if self.max_per_trigger is not None:
+            # KafkaSource splits its ReadLimit across partitions; an
+            # even per-partition share keeps the math integral.  The
+            # reference point (previous end) is persisted so the cap
+            # holds across a stop/restart too.
+            cap = max(1, self.max_per_trigger // self.n_parts)
+            last = (
+                state.get("last_end")
+                or state.get("latest_start")
+                or {p: 0 for p in produced}
+            )
+            end = {
+                p: min(produced[p], int(last.get(p, 0)) + cap)
+                for p in produced
+            }
+        state.update(produced=produced, last_end=end)
+        self._save_state(state)
+        return {p: int(o) for p, o in end.items()}
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for p in sorted(start, key=int):
+            lo, hi = int(start[p]), int(end.get(p, start[p]))
+            if hi > lo:
+                parts.append(InputPartition((self.topic, int(p), lo, hi)))
+        return parts
+
+    def read(self, partition):
+        """Executor-side replay of one (partition, start, end] slice —
+        derived from coordinates alone, so ANY committed range replays
+        byte-identically (the exactly-once half of the contract)."""
+        topic, p, lo, hi = partition.value
+        for o in range(lo, hi):
+            rec = _record(p, o)
+            yield rec[:2] + (topic,) + rec[3:]
+
+    def commit(self, end: dict) -> None:
+        pass  # broker state already persisted in latestOffset
+
+    def stop(self) -> None:
+        pass
+
+
+class KafkaShapedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_shaped"
+
+    def schema(self) -> str:
+        # Kafka's exact source schema (KafkaSource.scala companion).
+        return (
+            "key binary, value binary, topic string, partition int, "
+            "offset bigint, timestamp timestamp, timestampType int"
+        )
+
+    def streamReader(self, schema) -> KafkaShapedStreamReader:
+        return KafkaShapedStreamReader(schema, self.options)
+
+
+def register_kafka_shaped(spark: SparkSession) -> None:
+    try:
+        spark.dataSource.register(KafkaShapedDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+
+@register(
+    "source_kafka_shaped",
+    oracle=f"""
+    WITH parts AS (SELECT CAST(p.range AS INTEGER) AS part
+                   FROM range(0, {KQ_PARTS}) p),
+    m AS (
+      SELECT part, o.range AS off,
+             'k' || ((o.range * 7 + part) % 13) AS key_s,
+             'm|' || part || '|' || o.range || '|'
+               || ((o.range * 31 + part) % 1000) AS val_s,
+             (o.range * 31 + part) % 1000 AS payload
+      FROM parts CROSS JOIN range(0, {KQ_BASE + (KQ_PARTS - 1) * KQ_SKEW}) o
+      WHERE o.range < {KQ_BASE} + part * {KQ_SKEW}
+    )
+    SELECT part AS partition,
+           CAST(count(*) AS BIGINT) AS n_msgs,
+           CAST(max(off) AS BIGINT) AS last_offset,
+           CAST(sum(payload) AS BIGINT) AS payload_sum,
+           CAST(count(DISTINCT key_s) AS BIGINT) AS n_keys,
+           md5(string_agg(val_s, ',' ORDER BY off)) AS log_digest,
+           CAST(TIMESTAMP '2026-01-01 00:00:00'
+                + (({KQ_BASE} + part * {KQ_SKEW}) - 1) * INTERVAL 1 SECOND
+                AS VARCHAR) AS last_ts
+    FROM m
+    GROUP BY part
+    ORDER BY part
+    """,
+    tags=("source", "streaming", "kafka-shaped", "python-datasource"),
+)
+def source_kafka_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consume a {KQ_PARTS}-partition Kafka-shaped topic from
+    startingOffsets=earliest under maxOffsetsPerTrigger rate limiting
+    until all {KQ_TOTAL} produced records land, then roll the log up
+    per partition: count, last offset, payload sum, distinct keys, and
+    an offset-ordered value digest — any duplicate, loss, or reorder
+    across the micro-batches breaks the digest.  Asymmetric partition
+    sizes prove per-partition (not global) offset bookkeeping."""
+    ensure_parity_conf(spark)
+    import time
+
+    register_kafka_shaped(spark)
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    name = f"kafka_q_{tag}_p{os.getpid()}"
+    broker_dir = tempfile.mkdtemp(prefix="kshape_broker_")
+    stream = (
+        spark.readStream.format("kafka_shaped")
+        .option("topic", name)
+        .option("brokerDir", broker_dir)
+        .option("numPartitions", KQ_PARTS)
+        .option("logSize", KQ_BASE)
+        .option("logSkew", KQ_SKEW)
+        .option("producePerPoll", 48)
+        .option("maxOffsetsPerTrigger", 64)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= KQ_TOTAL:
+                break
+            time.sleep(0.3)
+        else:
+            raise TimeoutError("kafka-shaped source did not drain the log")
+    finally:
+        q.stop()
+    val = F.col("value").cast("string")
+    return (
+        spark.table(name)
+        .select(
+            "partition",
+            "offset",
+            val.alias("val_s"),
+            F.col("key").cast("string").alias("key_s"),
+            F.split(val, r"\|").getItem(3).cast("bigint").alias("payload"),
+            "timestamp",
+        )
+        .groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.max("offset").alias("last_offset"),
+            F.sum("payload").alias("payload_sum"),
+            F.countDistinct("key_s").alias("n_keys"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("offset", "val_s"))
+                        ),
+                        lambda s: s["val_s"],
+                    ),
+                    ",",
+                ).cast("binary")
+            ).alias("log_digest"),
+            F.date_format(F.max("timestamp"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_ts"
+            ),
+        )
+        .orderBy("partition")
+    )
