@@ -525,11 +525,20 @@ def _sssp_core(sym: DataFrame, dist: DataFrame,
     with per-copy seeds (frontier work must grow ~K)."""
     iters = SSSP_ITER if iters is None else iters
     for _ in range(iters):
+        # Unlike SCC/k-core the frontier is referenced once per round,
+        # so lineage grows only linearly — but each round still stacks
+        # a join+agg over the whole history, and at the 32× smoke that
+        # re-analysis (plus recomputing every prior round inside each
+        # round's shuffle) made SSSP the family's steepest line (13.15×
+        # vs ≤4.4 norm).  localCheckpoint pins each round's frontier on
+        # the executors and resets its plan to a scan, the same hygiene
+        # k-core/SCC got in r7/r8.
         dist = (
             sym.join(dist, F.col("a") == F.col("node"))
             .groupBy("b")
             .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
             .withColumnRenamed("b", "node")
+            .localCheckpoint()
         )
     return dist.select(
         "node", F.col("dist").cast("int").alias("dist")

@@ -149,10 +149,12 @@ def graph_smoke(spark, src, scale):
     def sssp(k):
         sym = G._sssp_sym_edges(spark, src)
         seeds = G._sssp_seeds(sym)
-        return G._sssp_core(
-            _prefix_copies(sym, k, ["a", "b"]),
-            _prefix_copies(seeds, k, ["node"]),
-        )
+        # The registered op persists sym (it feeds every relaxation
+        # round); mirror that here, else each of the 5 rounds re-derives
+        # the k-branch union from parquet and the smoke measures scan
+        # replay, not the algorithm.
+        rep = _prefix_copies(sym, k, ["a", "b"]).localCheckpoint()
+        return G._sssp_core(rep, _prefix_copies(seeds, k, ["node"]))
 
     def triangle(k):
         os_ = G._co_membership_pairs(spark, src)
