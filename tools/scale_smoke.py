@@ -68,6 +68,17 @@ SMOKE_QUERIES = [
 ]
 
 
+#: Stateful-streaming smoke: these operators are guard-exempt
+#: (GUARD_SKIP_REASONS["stream_"]) — their plans are not one batch DAG
+#: — so replication smoke is their ONLY scale check.  Each runs the
+#: real micro-batch engine on the 1× source and the K× corpus and
+#: records, besides wall time, the peak state-store row count
+#: (lastProgress stateOperators numRowsTotal): state must track KEYS
+#: (sessions / ids / in-horizon join rows / event types), never input
+#: history — the property that bounds an unbounded 100 TB/day stream.
+STREAM_SMOKE = ["session_window", "dedup_ids", "stream_stream_join", "cusum"]
+
+
 #: Graph-family smoke: the iterative operators are exempt from the
 #: three registry-wide plan guards (GUARD_SKIP_PREFIXES) and their
 #: fixtures are FENCED (SF-invariant node blocks), so corpus
@@ -175,6 +186,168 @@ def graph_smoke(spark, src, scale):
         yield name, (lambda b=b: b(1)), (lambda b=b, k=scale: b(k))
 
 
+def streaming_smoke(spark, src, out, scale):
+    """Yield (name, runner(sf_dir)) pairs over the stateful streaming
+    operators.  Each runner executes a REAL micro-batch query
+    (availableNow) against the given events directory and returns
+    {rows, state, keys}: sink rows, the peak state-store row count
+    across all progress events, and the batch-computed key count the
+    state is supposed to track.  The K× corpus replicates events with
+    per-copy user_id/event_id offsets and identical ts/event_type, so
+    keys grow exactly K× for user- and id-keyed state and stay CONSTANT
+    for event_type-keyed state (CUSUM) — the sharpest form of the
+    state-tracks-keys claim."""
+    from pyspark.sql import functions as F
+
+    from splitserve_spark.streaming.stateful import GAP, _events_stream
+
+    run_tag = f"sm{os.getpid()}_{scale}"
+
+    def drive(writer, name):
+        q = writer.queryName(name).trigger(availableNow=True).start()
+        q.awaitTermination()
+        state = 0
+        for p in q.recentProgress:
+            tot = sum(
+                so.get("numRowsTotal", 0)
+                for so in p.get("stateOperators", [])
+            )
+            state = max(state, tot)
+        return spark.table(name).count(), state
+
+    def session_window(sf_dir):
+        tag = "ssw_" + run_tag + ("_k" if sf_dir == out else "_1")
+        agg = (
+            _events_stream(spark, sf_dir)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", GAP), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        # Session-window streaming aggregations support append only;
+        # sessions ending after (max_ts - watermark) stay open in state
+        # and never reach the sink, so rows < keys here — the state
+        # peak is the signal, the sink count is informational.
+        rows, state = drive(
+            agg.writeStream.format("memory").outputMode("append"), tag
+        )
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        keys = (  # batch twin: the true session count state must track
+            ev.groupBy(F.session_window("ts", GAP), "user_id").count().count()
+        )
+        return {"rows": rows, "state": state, "keys": keys,
+                "inputs": ev.count()}
+
+    def dedup_ids(sf_dir):
+        tag = "sdd_" + run_tag + ("_k" if sf_dir == out else "_1")
+        ded = (
+            _events_stream(spark, sf_dir)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicates(["event_id"])
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n_unique"))
+        )
+        rows, state = drive(
+            ded.writeStream.format("memory").outputMode("complete"), tag
+        )
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        keys = ev.select("event_id").distinct().count()
+        return {"rows": rows, "state": state, "keys": keys,
+                "inputs": ev.count()}
+
+    def stream_stream_join(sf_dir):
+        from splitserve_spark.streaming.stateful import ATTRIB_GAP
+
+        tag = "ssj_" + run_tag + ("_k" if sf_dir == out else "_1")
+        clicks = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "1 hour")
+        )
+        buys = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("buy_id"),
+                F.col("user_id").alias("b_user"),
+                F.col("ts").alias("buy_ts"),
+            )
+            .withWatermark("buy_ts", "1 hour")
+        )
+        joined = clicks.join(
+            buys,
+            (F.col("c_user") == F.col("b_user"))
+            & (F.col("buy_ts") >= F.col("click_ts"))
+            & (F.col("buy_ts")
+               <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIB_GAP}")),
+            "inner",
+        )
+        rows, state = drive(
+            joined.writeStream.format("memory").outputMode("append"), tag
+        )
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        keys = ev.filter(
+            F.col("event_type").isin("click", "purchase")
+        ).count()  # join state buffers in-horizon rows of both sides
+        return {"rows": rows, "state": state, "keys": keys,
+                "inputs": ev.count()}
+
+    def cusum(sf_dir):
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        from splitserve_spark.streaming import custom_state as C
+        from splitserve_spark.tables import normalize_event_ts
+
+        tag = "scu_" + run_tag + ("_k" if sf_dir == out else "_1")
+        src_dir = C._ordered_event_splits(spark, sf_dir)
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = normalize_event_ts(
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src_dir}/b*.parquet")
+        ).select("event_type", "ts", "event_id", "value")
+        upd = stream.groupBy("event_type").applyInPandasWithState(
+            C._fold_cusum,
+            outputStructType=C.CUSUM_OUTPUT_SCHEMA,
+            stateStructType=C.CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        rows, state = drive(
+            upd.writeStream.format("memory").outputMode("update"), tag
+        )
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        keys = ev.select("event_type").distinct().count()
+        return {"rows": rows, "state": state, "keys": keys,
+                "inputs": ev.count()}
+
+    builders = {
+        "session_window": session_window,
+        "dedup_ids": dedup_ids,
+        "stream_stream_join": stream_stream_join,
+        "cusum": cusum,
+    }
+    for name in STREAM_SMOKE:
+        yield name, builders[name]
+
+
+def _stream_state_verdict(name, rec, scale):
+    """The state-tracks-keys contract, per operator: peak state is
+    bounded by the key count at BOTH scales (small slack for the agg
+    operator's own rows / in-flight duplicates), and for the
+    event_type-keyed CUSUM the state must not grow with K at all."""
+    s1, sk = rec["state_1x"], rec[f"state_{scale}x"]
+    k1, kk = rec["keys_1x"], rec[f"keys_{scale}x"]
+    if name == "cusum":
+        return sk == s1 == k1 == kk
+    slack = 1.05
+    return s1 <= k1 * slack + 2 and sk <= kk * slack + 2
+
+
 REL_TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
 ]
@@ -223,17 +396,28 @@ def main() -> int:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--ratio-limit", type=float, default=None,
                     help="fail if sec_Kx/sec_1x exceeds this (default 3*scale)")
-    ap.add_argument("--family", choices=["pipeline", "graph", "all"],
+    ap.add_argument("--family",
+                    choices=["pipeline", "graph", "streaming", "all"],
                     default="all")
     args = ap.parse_args()
     ratio_limit = args.ratio_limit or 3.0 * args.scale
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = os.path.join(repo, "tmp_scale", f"x{args.scale}")
-    if args.family in ("pipeline", "all"):
+    if args.family in ("pipeline", "streaming", "all"):
         if os.path.isdir(out):
             shutil.rmtree(out)
         build_corpus(args.src, out, args.scale)
+        if args.family in ("streaming", "all"):
+            # The CUSUM splits fixture memoizes per sf_dir tag; the K×
+            # corpus was just rebuilt, so drop any stale splits for it.
+            import tempfile
+            tag = "".join(c if c.isalnum() else "_" for c in out.strip("/"))
+            shutil.rmtree(
+                os.path.join(tempfile.gettempdir(),
+                             "splitserve_spark_stream", f"cusum_{tag}"),
+                ignore_errors=True,
+            )
 
     from splitserve_spark.registry import REGISTRY, load_all
     from splitserve_spark.session import get_session
@@ -265,6 +449,38 @@ def main() -> int:
                 failures.append(f"graph:{name}")
             print(json.dumps(rec), flush=True)
 
+    if args.family in ("streaming", "all"):
+        for name, runner in streaming_smoke(spark, args.src, out, args.scale):
+            rec = {"query": f"stream:{name}"}
+            try:
+                for tag, sf_dir in (("1x", args.src), (f"{args.scale}x", out)):
+                    t0 = time.time()
+                    res = runner(sf_dir)
+                    rec[f"sec_{tag}"] = round(time.time() - t0, 3)
+                    rec[f"rows_{tag}"] = res["rows"]
+                    rec[f"state_{tag}"] = res["state"]
+                    rec[f"keys_{tag}"] = res["keys"]
+                    rec[f"inputs_{tag}"] = res["inputs"]
+                rec["time_ratio"] = round(
+                    rec[f"sec_{args.scale}x"] / max(rec["sec_1x"], 1e-9), 2
+                )
+                rec["state_ratio"] = round(
+                    rec[f"state_{args.scale}x"] / max(rec["state_1x"], 1), 2
+                )
+                key_bound = _stream_state_verdict(name, rec, args.scale)
+                if not key_bound:
+                    rec["verdict"] = "STATE_NOT_KEY_BOUND"
+                    failures.append(f"stream:{name}")
+                elif rec["time_ratio"] > ratio_limit:
+                    rec["verdict"] = "SUPERLINEAR"
+                    failures.append(f"stream:{name}")
+                else:
+                    rec["verdict"] = "ok"
+            except Exception as exc:  # noqa: BLE001 — report, keep smoking
+                rec["error"] = f"{type(exc).__name__}: {exc}"[:300]
+                failures.append(f"stream:{name}")
+            print(json.dumps(rec), flush=True)
+
     pipeline_queries = SMOKE_QUERIES if args.family in ("pipeline", "all") else []
     for name in pipeline_queries:
         spec = REGISTRY[name]
@@ -290,6 +506,8 @@ def main() -> int:
         print(json.dumps(rec), flush=True)
     n = len(pipeline_queries) + (
         len(GRAPH_SMOKE) if args.family in ("graph", "all") else 0
+    ) + (
+        len(STREAM_SMOKE) if args.family in ("streaming", "all") else 0
     )
     print(json.dumps({
         "scale": args.scale,
