@@ -335,6 +335,176 @@ def streaming_smoke(spark, src, out, scale):
         yield name, builders[name]
 
 
+#: Hot-key smoke: a corpus where ONE user owns 50% of events — the
+#: shape the uniform replication smoke can never produce.  Checks that
+#: (a) AQE's skew-join split actually engages on the hot shuffle
+#: partition of a fact-side join (OptimizeSkewedJoin marks the join
+#: skew=true in the final adaptive plan), (b) two-phase hash
+#: aggregation neutralizes the hot key map-side (wall parity with the
+#: uniform twin), and (c) the per-user window family's honest limit is
+#: measured: a gap-sessionization window serializes the hot user
+#: through one task by SEMANTICS, which no engine mechanism splits.
+SKEW_SMOKE = ["join_user_rollup", "agg_user_totals", "window_sessionize"]
+
+
+def build_skew_corpus(src: str, out: str, scale: int) -> None:
+    """events replicated scale× where HALF the copies reassign every
+    row to user 1 (one user owns 50% of all events) and half keep
+    per-copy-offset users; event ids stay globally unique.  A uniform
+    twin of identical size (all copies offset) lands alongside, so
+    skew cost is measured against equal-volume uniform data."""
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    src_file = f"{src}/events.parquet"
+    n = con.execute(
+        f"SELECT max(event_id) + 1 FROM '{src_file}'"
+    ).fetchone()[0]
+    hot, uni = [], []
+    for k in range(scale):
+        off = k * n
+        user = "1" if k < scale // 2 else f"user_id + {off}"
+        hot.append(
+            f"SELECT event_id + {off} AS event_id, ts, {user} AS user_id,"
+            f" event_type, value, props FROM '{src_file}'"
+        )
+        uni.append(
+            f"SELECT event_id + {off} AS event_id, ts,"
+            f" user_id + {off} AS user_id,"
+            f" event_type, value, props FROM '{src_file}'"
+        )
+    for name, sels in (("events_hot", hot), ("events_uniform", uni)):
+        con.execute(
+            f"COPY ({' UNION ALL '.join(sels)}) TO "
+            f"'{out}/{name}.parquet' (FORMAT PARQUET)"
+        )
+
+
+def skew_smoke(spark, skew_dir, scale):
+    """Yield (name, runner(variant)) pairs; variant is 'hot' or
+    'uniform'.  Runners return {rows, plan} — plan is the FINAL
+    adaptive physical plan (post-execution), where OptimizeSkewedJoin's
+    skew=true marker is visible."""
+    from pyspark.sql import functions as F
+
+    def _events(variant):
+        return spark.read.parquet(f"{skew_dir}/events_{variant}.parquet")
+
+    def _final_plan(df):
+        # Execute df's OWN QueryExecution (count() would clone a new
+        # one and leave this plan isFinalPlan=false), then read the
+        # finalized adaptive plan.  Every skew runner reduces to a
+        # tiny summary first, so the collect is driver-safe.
+        rows = df.collect()
+        return rows, df._jdf.queryExecution().executedPlan().toString()
+
+    def join_user_rollup(variant):
+        """Fact-side shuffle join keyed on the hot column: events ⋈
+        per-user rollup.  At 100 TB both sides are big and the planner
+        picks a shuffle join; locally the rollup (≤|users| rows) would
+        broadcast — which IS the production skew mitigation, but would
+        leave the skew-split path untested — so the smoke pins the
+        SHUFFLE path (broadcast off) with thresholds scaled to the
+        corpus (256 KiB advisory / 1 MiB skew threshold vs the 256 MiB
+        production default: same factor-5 median rule, test-sized
+        bytes)."""
+        ev = _events(variant)
+        # Materialize the rollup (a production dim is a stored table).
+        # This also matters mechanically: OptimizeSkewedJoin only
+        # rewrites an SMJ whose children are bare shuffle(+sort)
+        # stages — an aggregate between the build side's shuffle and
+        # the join disqualifies the split (the partial partition could
+        # not be re-aggregated), so an inline groupBy here would mask
+        # the mechanism this smoke exists to exercise.
+        rollup_path = f"{skew_dir}/rollup_{variant}.parquet"
+        if not os.path.exists(rollup_path):
+            ev.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("user_events"),
+            ).write.parquet(rollup_path)
+        rollup = spark.read.parquet(rollup_path)
+        old = {
+            "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold"
+            ),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+                spark.conf.get(
+                    "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+                ),
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                spark.conf.get(
+                    "spark.sql.adaptive.skewJoin."
+                    "skewedPartitionThresholdInBytes"
+                ),
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k"
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes", "1m"
+            )
+            joined = (
+                ev.join(rollup, "user_id")
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("user_events").alias("weight"),
+                )
+            )
+            rows, plan = _final_plan(joined)
+            return {"rows": len(rows), "plan": plan}
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+
+    def agg_user_totals(variant):
+        ev = _events(variant)
+        agg = (
+            ev.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_users"))  # tiny driver result
+        )
+        rows, plan = _final_plan(agg)
+        return {"rows": rows[0][0], "plan": plan}
+
+    def window_sessionize(variant):
+        from pyspark.sql.window import Window
+
+        from splitserve_spark.tables import normalize_event_ts
+
+        ev = normalize_event_ts(_events(variant))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = (
+            F.when(
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"))
+                .over(w) > 1800, 1
+            ).otherwise(0)
+        )
+        sess = (
+            ev.withColumn("new_s", F.coalesce(gap, F.lit(1)))
+            .withColumn("sid", F.sum("new_s").over(w))
+            .groupBy("user_id", "sid")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+        )
+        rows, plan = _final_plan(sess)
+        return {"rows": rows[0][0], "plan": plan}
+
+    builders = {
+        "join_user_rollup": join_user_rollup,
+        "agg_user_totals": agg_user_totals,
+        "window_sessionize": window_sessionize,
+    }
+    for name in SKEW_SMOKE:
+        yield name, builders[name]
+
+
 def _stream_state_verdict(name, rec, scale):
     """The state-tracks-keys contract, per operator: peak state is
     bounded by the key count at BOTH scales (small slack for the agg
@@ -397,7 +567,8 @@ def main() -> int:
     ap.add_argument("--ratio-limit", type=float, default=None,
                     help="fail if sec_Kx/sec_1x exceeds this (default 3*scale)")
     ap.add_argument("--family",
-                    choices=["pipeline", "graph", "streaming", "all"],
+                    choices=["pipeline", "graph", "streaming", "skew",
+                             "all"],
                     default="all")
     args = ap.parse_args()
     ratio_limit = args.ratio_limit or 3.0 * args.scale
@@ -481,6 +652,52 @@ def main() -> int:
                 failures.append(f"stream:{name}")
             print(json.dumps(rec), flush=True)
 
+    if args.family in ("skew", "all"):
+        skew_dir = os.path.join(repo, "tmp_scale", f"skew{args.scale}")
+        if os.path.isdir(skew_dir):
+            shutil.rmtree(skew_dir)
+        build_skew_corpus(args.src, skew_dir, args.scale)
+        # Warmup outside the timed window: scan both variants (JVM
+        # codegen, file-index) and pre-materialize the join rollups so
+        # the first timed runner doesn't absorb one-time setup.
+        from pyspark.sql import functions as _F
+        for variant in ("uniform", "hot"):
+            ev = spark.read.parquet(f"{skew_dir}/events_{variant}.parquet")
+            ev.count()
+            ev.groupBy("user_id").agg(
+                _F.count(_F.lit(1)).alias("user_events")
+            ).write.parquet(f"{skew_dir}/rollup_{variant}.parquet")
+        for name, runner in skew_smoke(spark, skew_dir, args.scale):
+            rec = {"query": f"skew:{name}"}
+            try:
+                for variant in ("uniform", "hot"):
+                    t0 = time.time()
+                    res = runner(variant)
+                    rec[f"sec_{variant}"] = round(time.time() - t0, 3)
+                    rec[f"rows_{variant}"] = res["rows"]
+                    rec[f"skew_split_{variant}"] = "skew=true" in res["plan"]
+                rec["hot_over_uniform"] = round(
+                    rec["sec_hot"] / max(rec["sec_uniform"], 1e-9), 2
+                )
+                if name == "join_user_rollup" and not rec["skew_split_hot"]:
+                    rec["verdict"] = "SKEW_SPLIT_DID_NOT_ENGAGE"
+                    failures.append(f"skew:{name}")
+                # A hot key costing >4x its equal-volume uniform twin
+                # means the hot partition serialized the stage; the
+                # sessionization window is EXPECTED to degrade (no
+                # engine mechanism splits a semantic per-key window) —
+                # it reports, the other two gate.
+                elif name != "window_sessionize" and \
+                        rec["hot_over_uniform"] > 4.0:
+                    rec["verdict"] = "HOT_KEY_SERIALIZED"
+                    failures.append(f"skew:{name}")
+                else:
+                    rec["verdict"] = "ok"
+            except Exception as exc:  # noqa: BLE001 — report, keep smoking
+                rec["error"] = f"{type(exc).__name__}: {exc}"[:300]
+                failures.append(f"skew:{name}")
+            print(json.dumps(rec), flush=True)
+
     pipeline_queries = SMOKE_QUERIES if args.family in ("pipeline", "all") else []
     for name in pipeline_queries:
         spec = REGISTRY[name]
@@ -508,6 +725,8 @@ def main() -> int:
         len(GRAPH_SMOKE) if args.family in ("graph", "all") else 0
     ) + (
         len(STREAM_SMOKE) if args.family in ("streaming", "all") else 0
+    ) + (
+        len(SKEW_SMOKE) if args.family in ("skew", "all") else 0
     )
     print(json.dumps({
         "scale": args.scale,
