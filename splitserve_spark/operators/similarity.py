@@ -1468,6 +1468,7 @@ def _seed_assign_kernel(seed_mat: list, n_seeds: int):
 
 @register(
     "sim_semantic_dedup",
+    bench=True,
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                WHERE vec_id < {SEM_N}),

@@ -691,6 +691,7 @@ def _bm25_oracle() -> str:
 
 @register(
     "text_bm25_search",
+    bench=True,
     oracle=_bm25_oracle(),
     tags=("text", "pipeline"),
 )
