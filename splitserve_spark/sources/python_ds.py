@@ -18,6 +18,9 @@ oracle-able: DuckDB replays the formulas over range(n).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
@@ -216,4 +219,163 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("seq").cast("bigint").alias("seq_sum"),
         )
         .orderBy("site")
+    )
+
+
+# ---------------------------------------------------------------------
+# Batch WRITER half of the Python DataSource surface (§2.1 sinks).
+# The reference's sink extension point is Scala DataSource V1/V2
+# (`sql/core/.../execution/datasources/DataSource.scala:89` provider
+# resolution + WriteSupport); modern PySpark exposes the same
+# two-phase commit contract natively in Python:
+# executor-side write(RecordBatch iterator) -> WriterCommitMessage,
+# driver-side commit(messages) / abort(messages).  Visibility is
+# manifest-gated: tasks write parquet shards into a _staging dir,
+# COMMIT moves exactly the files named in the commit messages into the
+# publish dir and writes _MANIFEST.json; a failed job aborts and the
+# publish dir never changes — files from failed or speculative task
+# attempts are swept with the staging dir, never published.  That is
+# the same atomic-visibility discipline as Spark's file commit
+# protocol (HadoopMapReduceCommitProtocol), expressed in ~60 lines of
+# Python.  (Local mode shares one filesystem; on a cluster the path
+# must be shared storage, same as any file sink.)
+
+import shutil as _shutil
+import uuid as _uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceArrowWriter, WriterCommitMessage
+
+
+@dataclass
+class ShardCommit(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class ShardSinkWriter(DataSourceArrowWriter):
+    """Arrow-batched writer: one parquet shard per non-empty task."""
+
+    def __init__(self, options) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+
+        batches = list(iterator)
+        if not batches:
+            return ShardCommit("", 0)
+        tbl = pa.Table.from_batches(batches)
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = (
+            f"shard-{TaskContext.get().partitionId()}"
+            f"-{_uuid.uuid4().hex[:8]}.parquet"
+        )
+        pq.write_table(tbl, os.path.join(staging, fname))
+        return ShardCommit(fname, tbl.num_rows)
+
+    def commit(self, messages) -> None:
+        staging = os.path.join(self.path, "_staging")
+        shards = []
+        for m in messages:
+            if m is None or not m.filename:
+                continue
+            os.replace(
+                os.path.join(staging, m.filename),
+                os.path.join(self.path, m.filename),
+            )
+            shards.append({"file": m.filename, "n_rows": m.n_rows})
+        # Staging may still hold files from failed/speculative task
+        # attempts (they returned no commit message): swept, never
+        # published.
+        _shutil.rmtree(staging, ignore_errors=True)
+        manifest = {
+            "shards": sorted(shards, key=lambda s: s["file"]),
+            "total_rows": sum(s["n_rows"] for s in shards),
+        }
+        tmp = os.path.join(self.path, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages) -> None:
+        _shutil.rmtree(
+            os.path.join(self.path, "_staging"), ignore_errors=True
+        )
+
+
+class ShardSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "shard_sink"
+
+    def writer(self, schema, overwrite) -> ShardSinkWriter:
+        return ShardSinkWriter(self.options)
+
+
+def register_shard_sink(spark: SparkSession) -> None:
+    try:
+        spark.dataSource.register(ShardSinkDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+
+@register(
+    "sink_python_datasource",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value * 100 AS BIGINT)) AS BIGINT) AS cents,
+           count(DISTINCT event_id) AS n_ids
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("sink", "python-datasource"),
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events through the custom Python sink (4 repartitioned
+    tasks → 4 staged parquet shards → manifest-gated publish), then
+    read back ONLY the manifest-listed shards and aggregate per
+    event_type.  The oracle aggregates the source table directly, so
+    any row lost, duplicated, or published outside the two-phase
+    commit breaks count / exact-cents sum / distinct-id count; the
+    abort path (nothing published on task failure) is pinned in
+    tests/test_python_ds_writer.py."""
+    ensure_parity_conf(spark)
+    import tempfile
+
+    register_shard_sink(spark)
+    out = tempfile.mkdtemp(prefix="shard_sink_")
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .repartition(4)
+        .write.format("shard_sink")
+        .mode("append")
+        .option("path", out)
+        .save()
+    )
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(out, s["file"]) for s in manifest["shards"]]
+    back = spark.read.parquet(*files)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("cents"),
+            F.countDistinct("event_id").alias("n_ids"),
+        )
+        .orderBy("event_type")
     )
