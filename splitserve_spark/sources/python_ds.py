@@ -244,7 +244,11 @@ import shutil as _shutil
 import uuid as _uuid
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSourceArrowWriter, WriterCommitMessage
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceArrowWriter,
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
 
 
 @dataclass
@@ -372,6 +376,174 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(*files)
     return (
         back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("cents"),
+            F.countDistinct("event_id").alias("n_ids"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@dataclass
+class StreamShardCommit(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class ShardStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the writer contract: per-BATCH two-phase
+    commit.  Tasks stage shards exactly like the batch writer; the
+    engine calls commit(messages, batchId) once per micro-batch, which
+    publishes that batch's shards under a batch-scoped manifest
+    `_MANIFEST-{batchId}.json`.  A replayed batch (failure/restart
+    between sink write and checkpoint commit) re-stages NEW uniquely
+    named files and REWRITES its manifest atomically, so the
+    manifest-gated read path sees each batch exactly once — orphaned
+    files from a superseded attempt exist on disk but are unreachable,
+    the same idempotent-per-batch rule foreachBatch sinks must
+    implement by hand."""
+
+    def __init__(self, options) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+
+        rows = list(iterator)
+        if not rows:
+            return StreamShardCommit("", 0)
+        cols = rows[0].asDict().keys()
+        tbl = pa.table(
+            {c: [r[c] for r in rows] for c in cols}
+        )
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = (
+            f"shard-{TaskContext.get().partitionId()}"
+            f"-{_uuid.uuid4().hex[:8]}.parquet"
+        )
+        pq.write_table(tbl, os.path.join(staging, fname))
+        return StreamShardCommit(fname, tbl.num_rows)
+
+    def commit(self, messages, batchId) -> None:
+        staging = os.path.join(self.path, "_staging")
+        shards = []
+        for m in messages:
+            if m is None or not m.filename:
+                continue
+            final = f"b{batchId}-{m.filename}"
+            os.replace(
+                os.path.join(staging, m.filename),
+                os.path.join(self.path, final),
+            )
+            shards.append({"file": final, "n_rows": m.n_rows})
+        _shutil.rmtree(staging, ignore_errors=True)
+        manifest = {
+            "batch_id": batchId,
+            "shards": sorted(shards, key=lambda s: s["file"]),
+            "total_rows": sum(s["n_rows"] for s in shards),
+        }
+        tmp = os.path.join(self.path, f"_MANIFEST-{batchId}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.path, f"_MANIFEST-{batchId}.json"))
+
+    def abort(self, messages, batchId) -> None:
+        _shutil.rmtree(
+            os.path.join(self.path, "_staging"), ignore_errors=True
+        )
+
+
+class ShardStreamSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "shard_stream_sink"
+
+    def streamWriter(self, schema, overwrite) -> ShardStreamWriter:
+        return ShardStreamWriter(self.options)
+
+
+def register_shard_stream_sink(spark: SparkSession) -> None:
+    try:
+        spark.dataSource.register(ShardStreamSinkDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+
+def read_manifested_shards(spark: SparkSession, path: str) -> DataFrame:
+    """The exactly-once read path shared by query and tests: only
+    shards reachable through a batch manifest are visible."""
+    files = []
+    for f in sorted(os.listdir(path)):
+        if f.startswith("_MANIFEST-") and f.endswith(".json"):
+            with open(os.path.join(path, f)) as fh:
+                m = json.load(fh)
+            files += [os.path.join(path, s["file"]) for s in m["shards"]]
+    return spark.read.parquet(*files)
+
+
+@register(
+    "sink_python_stream",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value * 100 AS BIGINT)) AS BIGINT) AS cents,
+           count(DISTINCT event_id) AS n_ids
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("sink", "python-datasource", "streaming"),
+)
+def sink_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch stream → custom Python STREAMING sink: events replay
+    as 4 ordered time-split files (one per trigger), each batch commits
+    its shards under a batch-scoped manifest, and the manifest-gated
+    read-back must aggregate to exactly the batch answer — any row
+    lost, duplicated across batch replays, or published outside a
+    manifest breaks count / exact-cents sum / distinct-id parity.
+    The stop/restart exactly-once pytest lives in
+    tests/test_python_ds_writer.py."""
+    ensure_parity_conf(spark)
+    import tempfile
+
+    from splitserve_spark.streaming.custom_state import (
+        _ordered_event_splits,
+    )
+
+    register_shard_stream_sink(spark)
+    src_dir = _ordered_event_splits(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="shard_stream_sink_")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/b*.parquet")
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    q = (
+        stream.writeStream.format("shard_stream_sink")
+        .option("path", out)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="shard_ss_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        read_manifested_shards(spark, out)
+        .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("cents").alias("cents"),
