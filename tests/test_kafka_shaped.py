@@ -227,3 +227,92 @@ def test_kafka_schema_and_timestamps(spark, tmp_path):
         seconds=3
     )
     assert bytes(row.key) == b"k8"  # (3*7 + 0) % 13 = 8
+
+
+# ---- offset-contract property tests (no JVM: the reader's offset
+# bookkeeping is pure driver-side Python over a state file) -----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from splitserve_spark.sources.kafka_shaped import KafkaShapedStreamReader
+
+
+def _mk_reader(tmpdir, **opts):
+    base = {
+        "topic": f"prop_{uuid.uuid4().hex[:8]}",
+        "brokerDir": str(tmpdir),
+        "numPartitions": "3",
+        "logSize": "50",
+        "logSkew": "5",
+        "producePerPoll": "7",
+        "startingOffsets": "earliest",
+    }
+    base.update({k: str(v) for k, v in opts.items()})
+    return KafkaShapedStreamReader(None, base)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    per_poll=st.integers(min_value=1, max_value=200),
+    cap=st.one_of(st.none(), st.integers(min_value=1, max_value=100)),
+    polls=st.integers(min_value=1, max_value=40),
+    backlog=st.integers(min_value=0, max_value=60),
+)
+def test_offset_stream_is_monotone_capped_and_draining(
+    tmp_path_factory, per_poll, cap, polls, backlog
+):
+    """For ANY (producePerPoll, maxOffsetsPerTrigger, backlog): the
+    per-partition end-offset sequence is monotone non-decreasing,
+    never exceeds the log size, each step respects the per-partition
+    rate cap, and enough polls drain every partition to its log end —
+    the invariants KafkaSource's ReadLimit contract promises."""
+    tmpdir = tmp_path_factory.mktemp("broker")
+    opts = {"producePerPoll": per_poll, "initialBacklog": backlog}
+    if cap is not None:
+        opts["maxOffsetsPerTrigger"] = cap
+    r = _mk_reader(tmpdir, **opts)
+    sizes = {str(p): r._log_size(p) for p in range(r.n_parts)}
+    prev = {p: int(o) for p, o in r.initialOffset().items()}
+    per_part_cap = (
+        max(1, cap // r.n_parts) if cap is not None else None
+    )
+    for _ in range(polls):
+        end = r.latestOffset()
+        for p, o in end.items():
+            assert prev[p] <= o <= sizes[p], (p, prev[p], o)
+            if per_part_cap is not None:
+                assert o - prev[p] <= per_part_cap, (p, prev[p], o)
+        prev = dict(end)
+    # Sufficient polls always drain the whole log.
+    need = max(sizes.values())
+    steps = min(per_poll, per_part_cap) if per_part_cap else per_poll
+    for _ in range((need // steps) + 2):
+        prev = r.latestOffset()
+    assert prev == sizes, prev
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    backlog=st.integers(min_value=0, max_value=80),
+    polls=st.integers(min_value=0, max_value=5),
+)
+def test_latest_start_is_pinned_across_calls(
+    tmp_path_factory, backlog, polls
+):
+    """startingOffsets=latest: the query start is frozen at the
+    produced watermark of the FIRST contact with the topic — later
+    initialOffset calls must return the same start even after
+    production advances (the drift bug the pinning fixed)."""
+    tmpdir = tmp_path_factory.mktemp("broker")
+    r = _mk_reader(
+        tmpdir, startingOffsets="latest", initialBacklog=backlog
+    )
+    first = r.initialOffset()
+    expect = {
+        str(p): min(backlog, r._log_size(p)) for p in range(r.n_parts)
+    }
+    assert first == expect
+    for _ in range(polls):
+        r.latestOffset()  # production advances
+    assert r.initialOffset() == first
