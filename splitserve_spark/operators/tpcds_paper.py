@@ -804,3 +804,318 @@ def qds98_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("class", F.col("revenueratio").desc(), "item_id")
     )
+
+
+@register(
+    "qds1_returns_above_avg",
+    oracle="""
+    WITH cr AS (
+      SELECT o_custkey AS ck, c_nationkey AS nk,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS ret
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+      GROUP BY o_custkey, c_nationkey
+    ),
+    na AS (
+      SELECT nk, sum(ret) AS tot, count(*) AS cnt FROM cr GROUP BY nk
+    )
+    SELECT cr.ck AS custkey, cr.nk AS nationkey,
+           round(CAST(cr.ret AS DOUBLE), 4) AS returns
+    FROM cr JOIN na ON cr.nk = na.nk
+    WHERE cr.ret * 5 * na.cnt > na.tot * 6
+    ORDER BY returns DESC, custkey
+    LIMIT 100
+    """,
+    tags=("tpcds", "correlated-avg"),
+)
+def qds1_returns_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q1 plan shape (spec query 1: customers whose total store
+    returns exceed 1.2x the average of their store's customers): a
+    per-customer returns rollup compared against its GROUP's average —
+    the correlated-aggregate-filter pattern.  Store maps to nation;
+    returns to l_returnflag='R' revenue.
+
+    The 1.2x comparison is done in INTEGER-EXACT form on both engines:
+    ret > 1.2 * (tot / cnt)  ⟺  ret * 5 * cnt > tot * 6, with ret/tot
+    as exact DECIMAL(18,4) sums — no double division or float literal
+    anywhere near the boundary (the r8 heavy-hitter ADVICE class).
+
+    Shape's point at scale: the group average is a partitioned window
+    over the per-customer ROLLUP (|customers| rows, not the fact
+    table), so the second pass shuffles only aggregates; the fact
+    scans once."""
+    ensure_parity_conf(spark)
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    cr = (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("ret")
+        )
+    )
+    w = Window.partitionBy("nationkey")
+    return (
+        cr.withColumn("tot", F.sum("ret").over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("ret") * 5 * F.col("cnt") > F.col("tot") * 6)
+        .select(
+            "custkey",
+            "nationkey",
+            F.round(F.col("ret").cast("double"), 4).alias("returns"),
+        )
+        .orderBy(F.col("returns").desc(), "custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "qds11_yoy_channel_growth",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS ck,
+             sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+                       AND o_orderdate < TIMESTAMP '1996-01-01'
+                      THEN CAST(o_totalprice AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS o95,
+             sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                       AND o_orderdate < TIMESTAMP '1997-01-01'
+                      THEN CAST(o_totalprice AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS o96
+      FROM orders GROUP BY o_custkey
+    ),
+    l AS (
+      SELECT o_custkey AS ck,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01'
+                       AND l_shipdate < TIMESTAMP '1996-01-01'
+                      THEN CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS l95,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate < TIMESTAMP '1997-01-01'
+                      THEN CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS l96
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey
+    )
+    SELECT c_mktsegment AS segment,
+           count(*) AS n_candidates,
+           CAST(sum(CASE WHEN o96 * l95 > l96 * o95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orders_outgrew
+    FROM o JOIN l USING (ck)
+    JOIN customer ON ck = c_custkey
+    WHERE o95 > 0 AND o96 > 0 AND l95 > 0 AND l96 > 0
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+    tags=("tpcds", "yoy", "self-join"),
+)
+def qds11_yoy_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q11/Q4 plan shape (spec: customers whose year-over-year
+    growth in one channel exceeds their growth in another): two
+    per-customer per-year channel rollups joined back on customer, the
+    cross-channel ratio comparison, then a segment report.  Channels
+    map to order headers (o_totalprice by o_orderdate year) vs line
+    items (revenue by l_shipdate year), 1995 → 1996.
+
+    The ratio comparison is EXACT: o96/o95 > l96/l95 on positive
+    denominators is evaluated as o96*l95 > l96*o95 — products of exact
+    DECIMAL sums, no division, so Spark and DuckDB agree at every
+    boundary.  Output is integer counts per segment (nothing float at
+    all).
+
+    Shape's point at scale: both channel rollups reduce the facts to
+    |customers| rows BEFORE the join; the YoY comparison joins
+    aggregates, never facts, and the final report is a |segments|-row
+    aggregate."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    d18_2, d18_4 = "decimal(18,2)", "decimal(18,4)"
+
+    def year_sum(col, datecol, lo, hi, dec):
+        return F.sum(
+            F.when(
+                (F.col(datecol) >= F.lit(lo).cast("timestamp"))
+                & (F.col(datecol) < F.lit(hi).cast("timestamp")),
+                col.cast(dec),
+            ).otherwise(F.lit(0).cast(dec))
+        )
+
+    o = t.orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        year_sum(F.col("o_totalprice"), "o_orderdate",
+                 "1995-01-01", "1996-01-01", d18_2).alias("o95"),
+        year_sum(F.col("o_totalprice"), "o_orderdate",
+                 "1996-01-01", "1997-01-01", d18_2).alias("o96"),
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    li = (
+        t.lineitem.select(
+            "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+        )
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            year_sum(rev, "l_shipdate",
+                     "1995-01-01", "1996-01-01", d18_4).alias("l95"),
+            year_sum(rev, "l_shipdate",
+                     "1996-01-01", "1997-01-01", d18_4).alias("l96"),
+        )
+    )
+    return (
+        o.join(li, "ck")
+        .filter(
+            (F.col("o95") > 0) & (F.col("o96") > 0)
+            & (F.col("l95") > 0) & (F.col("l96") > 0)
+        )
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+            F.col("ck") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(
+                F.when(
+                    F.col("o96") * F.col("l95")
+                    > F.col("l96") * F.col("o95"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_orders_outgrew"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "qds90_time_band_ratio",
+    oracle="""
+    WITH am AS (
+      SELECT count(*) AS n FROM events
+      WHERE CAST(extract(hour FROM ts) AS INTEGER) BETWEEN 7 AND 9
+    ),
+    pm AS (
+      SELECT count(*) AS n FROM events
+      WHERE CAST(extract(hour FROM ts) AS INTEGER) BETWEEN 16 AND 18
+    )
+    SELECT CAST(am.n AS BIGINT) AS am_count,
+           CAST(pm.n AS BIGINT) AS pm_count,
+           round(CAST(am.n AS DOUBLE) / pm.n, 4) AS am_pm_ratio
+    FROM am, pm
+    """,
+    tags=("tpcds", "scalar-ratio"),
+)
+def qds90_time_band_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q90 plan shape (spec: ratio of morning to evening web
+    sales): two disjoint time-band scalar aggregates joined into one
+    ratio row.  On this schema the web_sales time bands map to events
+    hours 7-9 (am) and 16-18 (pm).
+
+    Shape's point at scale: ONE scan computes both band counts as
+    conditional aggregates (no second corpus pass, no cartesian of two
+    subquery scans — the spec's two-subquery formulation is the
+    repeat-scan defect class guard #4 hunts); the division happens on
+    two driver-visible longs cast identically on both engines."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    hour = F.hour("ts")
+    return t.events.agg(
+        F.count(F.when(hour.between(7, 9), 1)).alias("am_count"),
+        F.count(F.when(hour.between(16, 18), 1)).alias("pm_count"),
+    ).select(
+        "am_count",
+        "pm_count",
+        F.round(
+            F.col("am_count").cast("double") / F.col("pm_count"), 4
+        ).alias("am_pm_ratio"),
+    )
+
+
+@register(
+    "qds97_channel_overlap",
+    oracle="""
+    WITH h1 AS (
+      SELECT DISTINCT o_custkey AS ck FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-07-01'
+    ),
+    h2 AS (
+      SELECT DISTINCT o_custkey AS ck FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+    )
+    SELECT CAST(sum(CASE WHEN h1.ck IS NOT NULL AND h2.ck IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS both_halves,
+           CAST(sum(CASE WHEN h2.ck IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS first_only,
+           CAST(sum(CASE WHEN h1.ck IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS second_only
+    FROM h1 FULL OUTER JOIN h2 ON h1.ck = h2.ck
+    """,
+    tags=("tpcds", "full-outer", "overlap"),
+)
+def qds97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q97 plan shape (spec: customers buying from store only,
+    catalog only, or both, via FULL OUTER JOIN of the two channels'
+    distinct-customer sets): the canonical audience-overlap report.
+    Channels map to 1995-H1 vs 1995-H2 order activity.
+
+    Shape's point at scale: each side reduces to DISTINCT customer
+    keys BEFORE the full-outer join (|customers| rows, not |orders|),
+    the join is a key-partitioned SortMergeJoin FullOuter (both sides
+    shuffle once on ck — no broadcast: full-outer cannot broadcast
+    either side), and the overlap counts are one final scalar
+    aggregate.  Integer output, nothing float."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+
+    def half(lo, hi, alias):
+        return (
+            t.orders.filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            )
+            .select(F.col("o_custkey").alias(alias))
+            .distinct()
+        )
+
+    h1 = half("1995-01-01", "1995-07-01", "ck1")
+    h2 = half("1995-07-01", "1996-01-01", "ck2")
+    return (
+        h1.join(h2, F.col("ck1") == F.col("ck2"), "full_outer")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ck1").isNotNull() & F.col("ck2").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("both_halves"),
+            F.sum(
+                F.when(F.col("ck2").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("first_only"),
+            F.sum(
+                F.when(F.col("ck1").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("second_only"),
+        )
+    )
