@@ -378,3 +378,125 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("mktsegment")
+
+
+#: Block width for the hot-key-safe sessionization decomposition.
+SESSION_BLOCK = "day"
+_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "sessionize_hot_key_safe",
+    # Same sessions as _SESSION_ORACLE, but total_value sums through
+    # DECIMAL(18,2): the stitch JOIN reshuffles rows before the final
+    # aggregate, so a double sum's addition order (and its last-ULP
+    # result) is partitioning-dependent — the classic form matches the
+    # oracle's order only by construction.  Decimal makes the sum
+    # order-independent on both engines (the r5 streaming-window fix).
+    oracle=_SESSION_ORACLE.replace(
+        "sum(value) AS total_value",
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+        " AS total_value",
+    ),
+    tags=("streaming", "session", "window", "skew"),
+)
+def sessionize_hot_key_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-sessionization WITHOUT the per-user serialization bottleneck
+    — the split-and-stitch decomposition, same answer as
+    sessionize_lag_cumsum (they share one oracle literally).
+
+    The classic lag→flag→cumsum form partitions the window by user_id,
+    so a hot user (the skew smoke's 50%-owner) serializes through ONE
+    task no matter how big the cluster — measured in SCALE_SMOKE.md's
+    skew table as the one line with no engine mitigation.  This
+    operator supplies the mitigation as a composition:
+
+    1. split: events bucket into (user_id, day) blocks; the lag/flag/
+       cumsum windows partition by (user_id, block), so the hot user's
+       history fans out over #days tasks instead of one;
+    2. summarize: per block, (first_ts, last_ts, n_session_starts) —
+       a map-side-combinable aggregate, O(#blocks) rows;
+    3. stitch: one tiny per-user window over the BLOCK SUMMARIES
+       (#blocks rows, not events) decides for each block whether its
+       first event continues the previous block's last session
+       (boundary gap ≤ 30 min; empty days are naturally skipped
+       because only non-empty blocks appear) and assigns each block a
+       session-id offset = Σ prior (starts − continuations);
+    4. rejoin: global session_id = block offset + local cumsum − own
+       continuation; aggregate as usual.
+
+    This is the gap-sessionization analog of the prefix-rank
+    decomposition (operators/prefix_rank.py) the r6 single-reducer
+    sweep introduced for global windows: per-key windows shrink to
+    bounded partitions, the unbounded dimension (time) becomes the
+    parallel axis, and the only cross-block pass runs over per-block
+    aggregates.  At 100 TB a 50%-hot user costs #days tasks of work
+    instead of one task owning half the corpus."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    return _hot_safe_sessions(
+        t.events.select("user_id", "ts", "event_id", "value")
+    )
+
+
+def _hot_safe_sessions(events: DataFrame) -> DataFrame:
+    """The split-and-stitch core over (user_id, ts, event_id, value) —
+    factored so tools/scale_smoke.py can drive it on the 50%-hot-user
+    corpus next to the classic single-window form."""
+    ev = events.withColumn(
+        "block", F.date_trunc(SESSION_BLOCK, F.col("ts"))
+    )
+    wb = Window.partitionBy("user_id", "block").orderBy("ts", "event_id")
+    run_b = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(wb)
+    gap_us = F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts"))
+    flagged = ev.withColumn(
+        "flag", (prev_ts.isNull() | (gap_us > _GAP_US)).cast("int")
+    ).withColumn("local_sid", F.sum("flag").over(run_b))
+
+    summaries = flagged.groupBy("user_id", "block").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum("flag").alias("k"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("block")
+    prev_last = F.lag("last_ts").over(ws)
+    cont = (
+        prev_last.isNotNull()
+        & (
+            F.timestamp_diff("MICROSECOND", prev_last, F.col("first_ts"))
+            <= _GAP_US
+        )
+    ).cast("int")
+    offsets = (
+        summaries.withColumn("cont", cont)
+        .withColumn(
+            "prior",
+            F.coalesce(
+                F.sum(F.col("k") - F.col("cont")).over(
+                    ws.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(
+            "user_id",
+            "block",
+            (F.col("prior") - F.col("cont")).alias("sid_offset"),
+        )
+    )
+    return (
+        flagged.join(offsets, ["user_id", "block"])
+        .withColumn(
+            "session_id", F.col("sid_offset") + F.col("local_sid")
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double").alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )

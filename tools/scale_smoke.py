@@ -344,7 +344,8 @@ def streaming_smoke(spark, src, out, scale):
 #: uniform twin), and (c) the per-user window family's honest limit is
 #: measured: a gap-sessionization window serializes the hot user
 #: through one task by SEMANTICS, which no engine mechanism splits.
-SKEW_SMOKE = ["join_user_rollup", "agg_user_totals", "window_sessionize"]
+SKEW_SMOKE = ["join_user_rollup", "agg_user_totals", "window_sessionize",
+              "window_sessionize_hotsafe"]
 
 
 def build_skew_corpus(src: str, out: str, scale: int) -> None:
@@ -496,10 +497,30 @@ def skew_smoke(spark, skew_dir, scale):
         rows, plan = _final_plan(sess)
         return {"rows": rows[0][0], "plan": plan}
 
+    def window_sessionize_hotsafe(variant):
+        """The split-and-stitch mitigation for the hot-user window:
+        same sessions as window_sessionize (the per-session aggregate
+        is identical), but the per-event windows partition by
+        (user, day) so the hot user fans out over #days tasks."""
+        from splitserve_spark.streaming.stateful import (
+            _hot_safe_sessions,
+        )
+        from splitserve_spark.tables import normalize_event_ts
+
+        ev = normalize_event_ts(_events(variant)).select(
+            "user_id", "ts", "event_id", "value"
+        )
+        sess = _hot_safe_sessions(ev).agg(
+            F.count(F.lit(1)).alias("n_sessions")
+        )
+        rows, plan = _final_plan(sess)
+        return {"rows": rows[0][0], "plan": plan}
+
     builders = {
         "join_user_rollup": join_user_rollup,
         "agg_user_totals": agg_user_totals,
         "window_sessionize": window_sessionize,
+        "window_sessionize_hotsafe": window_sessionize_hotsafe,
     }
     for name in SKEW_SMOKE:
         yield name, builders[name]
