@@ -20,6 +20,7 @@ EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
     "name",
     [
         "sessionize_lag_cumsum",
+        "sessionize_hot_key_safe",
         "stream_session_window",
         "stream_file_source_agg",
         "stream_dedup_ids",
@@ -272,3 +273,24 @@ def test_rate_source(spark):
         q.stop()
     assert got, "rate source produced no rows in 15s"
     assert {"timestamp", "value"} <= set(got[0].asDict())
+
+
+def test_hot_key_safe_equals_classic_sessionization(spark):
+    """Cross-form equivalence: the split-and-stitch decomposition must
+    produce the SAME sessions as the classic single-window form on the
+    same corpus — identical (user, session) keys, bounds, and event
+    counts; total_value compared at 1e-9 (classic sums raw doubles in
+    window order, hotsafe through exact DECIMAL)."""
+    from splitserve_spark.registry import REGISTRY
+
+    classic = (
+        REGISTRY["sessionize_lag_cumsum"].fn(spark, SF_DIR).toPandas()
+    )
+    safe = (
+        REGISTRY["sessionize_hot_key_safe"].fn(spark, SF_DIR).toPandas()
+    )
+    assert len(classic) == len(safe)
+    for col in ("user_id", "session_id", "session_start",
+                "session_end", "n_events"):
+        assert classic[col].tolist() == safe[col].tolist(), col
+    assert (classic["total_value"] - safe["total_value"]).abs().max() < 1e-9
