@@ -450,9 +450,20 @@ def _hot_safe_sessions(events: DataFrame) -> DataFrame:
     run_b = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ts = F.lag("ts").over(wb)
     gap_us = F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts"))
-    flagged = ev.withColumn(
-        "flag", (prev_ts.isNull() | (gap_us > _GAP_US)).cast("int")
-    ).withColumn("local_sid", F.sum("flag").over(run_b))
+    from splitserve_spark.operators.run_cache import (
+        persist_tracked, release_prior,
+    )
+
+    # flagged (one corpus scan + the per-block window pass) feeds BOTH
+    # the summaries branch and the final rejoin — persist it once so
+    # the window pass doesn't execute twice (run_cache contract; the
+    # repeat-scan guard class).
+    release_prior()
+    flagged = persist_tracked(
+        ev.withColumn(
+            "flag", (prev_ts.isNull() | (gap_us > _GAP_US)).cast("int")
+        ).withColumn("local_sid", F.sum("flag").over(run_b))
+    )
 
     summaries = flagged.groupBy("user_id", "block").agg(
         F.min("ts").alias("first_ts"),
