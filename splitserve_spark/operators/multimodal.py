@@ -671,3 +671,111 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zero_crossings int, peak int"
         ),
     ).orderBy("doc_id", "frame_id")
+
+
+#: Autocorrelation lag range for the pitch-detection feature.
+AC_MAX_LAG = 8
+
+
+def _autocorr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """payload → whole-clip autocorrelation features.  Every value is
+    INTEGER-exact: r(ℓ) = Σ x_i·x_{i+ℓ} over int64, pitch_lag is the
+    argmax over lags 1..AC_MAX_LAG with ties to the smallest lag
+    (np.argmax returns the first maximum, matching the oracle's
+    ORDER BY r DESC, lag)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _, _, samples = _parse_wav(bytes(payload))
+            x = samples.astype(np.int64)
+            n = len(x)
+            rs = [int(np.dot(x[:-l], x[l:])) for l in range(1, AC_MAX_LAG + 1)]
+            best = int(np.argmax(rs))
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "n_samples": n,
+                    "r0": int(np.dot(x, x)),
+                    "r1": rs[0],
+                    "r2": rs[1],
+                    "pitch_lag": best + 1,
+                    "r_peak": rs[best],
+                }
+            )
+        out = pd.DataFrame(rows)
+        for c, dt in (("doc_id", "int64"), ("n_samples", "int32"),
+                      ("r0", "int64"), ("r1", "int64"), ("r2", "int64"),
+                      ("pitch_lag", "int32"), ("r_peak", "int64")):
+            out[c] = out[c].astype(dt)
+        yield out
+
+
+@register(
+    "mm_audio_autocorr",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, 50 + doc_id % 32 AS n
+      FROM documents WHERE doc_id < {MM_WAV_DOCS}
+    ), s AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n),
+               i -> ((doc_id * 31 + i * 17) % 2048) - 1024) AS samples
+      FROM d
+    ), lags AS (
+      SELECT doc_id, n, samples, unnest(range(1, {AC_MAX_LAG} + 1)) AS lag
+      FROM s
+    ), vals AS (
+      SELECT doc_id, CAST(lag AS INTEGER) AS lag,
+             CAST(list_sum(list_transform(range(0, n - lag),
+                    i -> samples[i + 1] * samples[i + 1 + lag]))
+                  AS BIGINT) AS r
+      FROM lags
+    ), pick AS (
+      SELECT doc_id, lag, r,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY r DESC, lag) AS rk
+      FROM vals
+    )
+    SELECT s.doc_id,
+           CAST(s.n AS INTEGER) AS n_samples,
+           CAST(list_sum(list_transform(range(0, n),
+                  i -> samples[i + 1] * samples[i + 1])) AS BIGINT) AS r0,
+           v1.r AS r1,
+           v2.r AS r2,
+           pick.lag AS pitch_lag,
+           pick.r AS r_peak
+    FROM s
+    JOIN vals v1 ON v1.doc_id = s.doc_id AND v1.lag = 1
+    JOIN vals v2 ON v2.doc_id = s.doc_id AND v2.lag = 2
+    JOIN pick ON pick.doc_id = s.doc_id AND pick.rk = 1
+    ORDER BY s.doc_id
+    """,
+    tags=("multimodal", "pipeline", "feature-extract", "dsp"),
+)
+def mm_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-clip autocorrelation + pitch-lag detection — the YIN-
+    family pitch front-end, and the only spectral-adjacent feature
+    that is exactly replayable by a SQL oracle: r(ℓ) = Σ x_i·x_{{i+ℓ}}
+    is pure int64 arithmetic (an FFT-based spectrogram would hit
+    libm-trig last-ULP divergence between numpy and DuckDB — the
+    autocorrelation theorem gives the same information content with
+    zero float surface).  pitch_lag = argmax over lags 1..{AC_MAX_LAG}
+    with deterministic smallest-lag tie-break.
+
+    Same Arrow discipline as mm_audio_features: scan → encode →
+    feature kernel in one mapInPandas pass, zero exchanges before the
+    presentation sort; the per-clip kernel is O(n·{AC_MAX_LAG}) numpy
+    dot products inside the batch."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id").filter(F.col("doc_id") < MM_WAV_DOCS)
+    wav = docs.mapInPandas(
+        _encode_wav_batches, schema="doc_id bigint, payload binary"
+    )
+    return wav.mapInPandas(
+        _autocorr_batches,
+        schema=(
+            "doc_id bigint, n_samples int, r0 bigint, r1 bigint, "
+            "r2 bigint, pitch_lag int, r_peak bigint"
+        ),
+    ).orderBy("doc_id")
