@@ -316,3 +316,72 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_parity_conf(spark)
     return sql_entry.sql(spark, _PIPE_SQL, sf_dir)
+
+
+_SCRIPT_SQL = """
+BEGIN
+  DECLARE total DECIMAL(38,2);
+  DECLARE cum   DECIMAL(38,2) DEFAULT 0;
+  DECLARE k     INT DEFAULT 0;
+  SET total = (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               FROM orders WHERE year(o_orderdate) = 1996);
+  WHILE cum * 2 < total AND k < 12 DO
+    SET k = k + 1;
+    SET cum = (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               FROM orders
+               WHERE year(o_orderdate) = 1996 AND month(o_orderdate) <= k);
+  END WHILE;
+  SELECT k AS break_even_month,
+         CAST(cum AS DOUBLE)   AS cum_revenue,
+         CAST(total AS DOUBLE) AS total_revenue;
+END
+"""
+
+
+@register(
+    "sql_scripting_while",
+    oracle="""
+    WITH monthly AS (
+      SELECT month(o_orderdate) AS m,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+    ), cums AS (
+      SELECT m,
+             sum(rev) OVER (ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(rev) OVER () AS total
+      FROM monthly
+    )
+    SELECT CAST(m AS INTEGER) AS break_even_month,
+           CAST(cum AS DOUBLE) AS cum_revenue,
+           CAST(total AS DOUBLE) AS total_revenue
+    FROM cums
+    WHERE cum * 2 >= total
+    ORDER BY m LIMIT 1
+    """,
+    tags=("sql", "modern", "scripting"),
+)
+def sql_scripting_while(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.0, SPARK-48338 / ANSI SQL/PSM):
+    BEGIN…END with DECLARE, SET from scalar subqueries, and a WHILE
+    loop that re-queries the catalog each iteration — the procedural
+    surface stored-procedure users expect.  The script finds the
+    break-even month: the smallest k whose cumulative 1996 revenue
+    reaches half the year's total, by looping a monthly cumulative
+    query.  The oracle computes the same k declaratively (cumulative
+    window + first row ≥ half), proving loop and window forms agree.
+
+    All comparisons are decimal-exact (cum * 2 < total over
+    DECIMAL(38,2) sums — no double division at the loop boundary).
+    Scale note: procedural loops re-scan per iteration by design (12
+    scans here); the declarative twin is the 1-scan plan you deploy —
+    the pair documents exactly that trade."""
+    from splitserve_spark.session import ensure_parity_conf
+
+    ensure_parity_conf(spark)
+    prior = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return sql_entry.sql(spark, _SCRIPT_SQL, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prior)
