@@ -385,3 +385,63 @@ def sql_scripting_while(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sql_entry.sql(spark, _SCRIPT_SQL, sf_dir)
     finally:
         spark.conf.set("spark.sql.scripting.enabled", prior)
+
+
+@register(
+    "sql_udf_identifier_params",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice * 0.9 AS DECIMAL(18,4)))
+                AS DOUBLE) AS discounted_total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("sql", "modern", "sql-udf"),
+)
+def sql_udf_identifier_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three modern SQL-surface features in one checked query:
+
+    * **SQL scalar UDF** (CREATE TEMPORARY FUNCTION … RETURN expr,
+      Spark 3.4 SPARK-28264): `discounted(p)` is declared in SQL and
+      inlined by Catalyst — unlike a Python UDF it stays inside
+      whole-stage codegen, so this is the RIGHT way to package reused
+      business expressions (the registry-wide no-row-Python guard's
+      positive counterpart).
+    * **IDENTIFIER(:param) clause** (Spark 3.4, SQL:2016): the table
+      name arrives as a BOUND PARAMETER, not string interpolation —
+      injection-safe templated SQL.
+    * **Parameterized spark.sql(args=…)** (Spark 3.4): the year
+      boundaries bind as named scalar parameters.
+
+    The oracle is the fully-inlined classic form; matching proves the
+    UDF inlining, identifier binding, and parameter substitution all
+    resolve to the same plan semantics.  Decimal-exact money math
+    inside the UDF application (p * 0.9 cast to DECIMAL before the
+    sum)."""
+    from splitserve_spark.session import ensure_parity_conf
+    from splitserve_spark.tables import Tables
+
+    ensure_parity_conf(spark)
+    Tables(spark, sf_dir).register_temp_views()
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION discounted(p DOUBLE) "
+        "RETURNS DECIMAL(18,4) RETURN CAST(p * 0.9 AS DECIMAL(18,4))"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(discounted(o_totalprice)) AS DOUBLE)
+                   AS discounted_total
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderdate >= CAST(:lo AS TIMESTAMP)
+          AND o_orderdate < CAST(:hi AS TIMESTAMP)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"tbl": "orders", "lo": "1996-01-01", "hi": "1997-01-01"},
+    )
