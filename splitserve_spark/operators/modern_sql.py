@@ -445,3 +445,51 @@ def sql_udf_identifier_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "lo": "1996-01-01", "hi": "1997-01-01"},
     )
+
+
+@register(
+    "sql_table_function",
+    oracle="""
+    SELECT c_mktsegment AS seg,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY seg
+    """,
+    tags=("sql", "modern", "sql-udf", "table-function"),
+)
+def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLE function (CREATE TEMPORARY FUNCTION … RETURNS TABLE,
+    Spark 3.4 SPARK-28264): `seg_orders(seg)` encapsulates a
+    join-and-filter as a relation-valued function, invoked here
+    CORRELATED — once per segment row via scalar subqueries — so
+    Catalyst must decorrelate the TVF body (the same rewrite the
+    subquery family pins for plain subqueries).  The oracle is the
+    equivalent single left-join aggregate; matching proves the
+    function body inlines to the same semantics in every per-segment
+    invocation, including decimal-exact totals."""
+    from splitserve_spark.session import ensure_parity_conf
+    from splitserve_spark.tables import Tables
+
+    ensure_parity_conf(spark)
+    Tables(spark, sf_dir).register_temp_views()
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION seg_orders(seg STRING) "
+        "RETURNS TABLE(o_orderkey BIGINT, o_totalprice DOUBLE) "
+        "RETURN SELECT o_orderkey, o_totalprice "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = seg"
+    )
+    return spark.sql(
+        """
+        SELECT s.seg,
+               (SELECT count(*) FROM seg_orders(s.seg)) AS n_orders,
+               (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                            AS DOUBLE)
+                FROM seg_orders(s.seg)) AS total
+        FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer) s
+        ORDER BY s.seg
+        """
+    )
