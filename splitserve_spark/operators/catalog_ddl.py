@@ -378,3 +378,52 @@ def ddl_alter_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "r_regionkey int, r_name string, r_zone string"
     )
+
+
+@register(
+    "ddl_column_defaults",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'explicit', CAST(10 AS INTEGER)),
+      (CAST(2 AS BIGINT), 'pending',  CAST(10 AS INTEGER)),
+      (CAST(3 AS BIGINT), 'pending',  CAST(99 AS INTEGER)),
+      (CAST(4 AS BIGINT), 'altered',  CAST(10 AS INTEGER))
+    ) AS t(id, status, prio)
+    ORDER BY id
+    """,
+    tags=("ddl", "defaults"),
+)
+def ddl_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DEFAULT values (Spark 3.4, SPARK-38334; ANSI feature the
+    reference's 2.1 DDL lacks): CREATE TABLE with DEFAULTs, INSERTs
+    that omit columns or use the DEFAULT keyword, and ALTER TABLE …
+    ALTER COLUMN SET DEFAULT changing the default for SUBSEQUENT
+    inserts only — existing rows keep the value they were written
+    with (defaults are materialized at write time, not read time,
+    which is why the ALTER cannot rewrite history).  The oracle pins
+    the exact expected rows."""
+    ensure_parity_conf(spark)
+    name = f"defaults_{_tag(sf_dir)}"
+    _clear_managed_location(spark, name)
+    spark.sql(
+        f"CREATE TABLE {name} ("
+        " id BIGINT,"
+        " status STRING DEFAULT 'pending',"
+        " prio INT DEFAULT 10"
+        ") USING parquet"
+    )
+    try:
+        spark.sql(f"INSERT INTO {name} VALUES (1, 'explicit', DEFAULT)")
+        spark.sql(f"INSERT INTO {name} (id) VALUES (2)")
+        spark.sql(f"INSERT INTO {name} (id, prio) VALUES (3, 99)")
+        spark.sql(
+            f"ALTER TABLE {name} ALTER COLUMN status SET DEFAULT 'altered'"
+        )
+        spark.sql(f"INSERT INTO {name} (id) VALUES (4)")
+        return (
+            spark.table(name)
+            .orderBy("id")
+            .localCheckpoint(eager=True)  # materialize before DROP
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
