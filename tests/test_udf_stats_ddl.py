@@ -32,6 +32,7 @@ ORACLE_CHECKED = [
     "ddl_show_partitions",
     "ddl_truncate_table",
     "ddl_alter_add_column",
+    "ddl_column_defaults",
 ]
 
 
