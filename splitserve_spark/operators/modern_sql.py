@@ -469,7 +469,14 @@ def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery family pins for plain subqueries).  The oracle is the
     equivalent single left-join aggregate; matching proves the
     function body inlines to the same semantics in every per-segment
-    invocation, including decimal-exact totals."""
+    invocation, including decimal-exact totals.
+
+    Scale note (and why this query sits on the repeat-scan allow
+    list): every correlated invocation inlines the TVF body, so the
+    fact side scans once PER SUBQUERY — the cost model stored
+    procedures hide.  The oracle's single left-join aggregate is the
+    one-scan deployment form; the pair documents that trade the same
+    way the scripting WHILE loop does."""
     from splitserve_spark.session import ensure_parity_conf
     from splitserve_spark.tables import Tables
 

@@ -656,6 +656,11 @@ REPEAT_SCAN_ALLOWED = {
     "text_contamination": "eval/candidate branches scan DISJOINT doc_id "
         "ranges (pushdown-pruned) + a doc_id-only projection; no "
         "duplicated tokenize work",
+    "sql_table_function": "correlated SQL-TVF demo — each per-segment "
+        "scalar-subquery invocation inlines the function body (orders ⋈ "
+        "customer) by design, plus the segment driving scan; the oracle's "
+        "single left-join aggregate is the deployment form, and the "
+        "docstring records exactly this trade",
 }
 
 
