@@ -1008,3 +1008,132 @@ def mix_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Documents kept by the DSIR selection step.
+DSIR_K = 100
+
+_DSIR_WEIGHTS_SQL = f"""
+    WITH words AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(text), ' +')) AS w
+        FROM documents
+    ), wb AS (
+        SELECT doc_id, lang,
+               ((('0x' || substr(md5(w), 1, 15))::BIGINT % {DSIR_B}
+                 + {DSIR_B}) % {DSIR_B}) AS b
+        FROM words
+    ), bstats AS (
+        SELECT b, count(*) AS rc,
+               count(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS tc
+        FROM wb GROUP BY b
+    ), tots AS (
+        SELECT sum(rc) AS r_tot, sum(tc) AS t_tot FROM bstats
+    ), ratio AS (
+        SELECT b,
+               ln((tc + 1.0) / (t_tot + {DSIR_B}))
+                 - ln((rc + 1.0) / (r_tot + {DSIR_B})) AS lr
+        FROM bstats CROSS JOIN tots
+    ), perdoc AS (
+        SELECT doc_id, b, count(*) AS cnt FROM wb GROUP BY doc_id, b
+    ), weights AS (
+        SELECT perdoc.doc_id, round(sum(cnt * lr), 4) AS log_weight
+        FROM perdoc JOIN ratio USING (b)
+        GROUP BY perdoc.doc_id
+    )
+"""
+
+
+@register(
+    "mix_dsir_select",
+    oracle=_DSIR_WEIGHTS_SQL + f"""
+    SELECT CAST(rk AS INTEGER) AS rank, doc_id, log_weight, lang, source
+    FROM (
+      SELECT w.doc_id, w.log_weight, d.lang, d.source,
+             row_number() OVER (ORDER BY w.log_weight DESC, w.doc_id)
+               AS rk
+      FROM weights w JOIN documents d USING (doc_id)
+    )
+    WHERE rk <= {DSIR_K}
+    ORDER BY rk
+    """,
+    tags=("mix", "pipeline", "dsir"),
+)
+def mix_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection half of DSIR: rank the corpus by the hashed
+    importance log-weight (mix_dsir_importance's statistic) and keep
+    the top {DSIR_K} — the deterministic-greedy variant of the paper's
+    selection step.  (The paper's Gumbel-top-k RESAMPLING variant is
+    this exact plan with the sort key perturbed by an md5-derived
+    Gumbel noise term — the construction sample_weighted_aes already
+    value-checks; greedy keeps this manifest reproducible byte-for-
+    byte.)  Ties break on doc_id, so the manifest is a total order.
+
+    Scale shape: the weight computation is the importance operator's
+    (one corpus explode, conditional aggregates, bounded broadcast);
+    selection adds one TakeOrderedAndProject over |docs| weight rows —
+    never a global sort of the corpus."""
+    ensure_parity_conf(spark)
+    from splitserve_spark.functions.parity_hash import md5_hash60
+    from splitserve_spark.operators.run_cache import (
+        persist_tracked, release_prior,
+    )
+
+    t = Tables(spark, sf_dir)
+    release_prior()
+    words = t.documents.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), " +")).alias("w"),
+    )
+    wb = words.select(
+        "doc_id",
+        "lang",
+        F.pmod(md5_hash60(F.col("w")), F.lit(DSIR_B)).alias("b"),
+    )
+    perdoc = persist_tracked(
+        wb.groupBy("doc_id", "b").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1)
+            ).alias("tcnt"),
+        )
+    )
+    bstats = perdoc.groupBy("b").agg(
+        F.sum("cnt").alias("rc"), F.sum("tcnt").alias("tc")
+    )
+    tots = bstats.agg(
+        F.sum("rc").alias("r_tot"), F.sum("tc").alias("t_tot")
+    )
+    ratio = bstats.crossJoin(F.broadcast(tots)).select(
+        "b",
+        (
+            F.log((F.col("tc") + 1.0) / (F.col("t_tot") + DSIR_B))
+            - F.log((F.col("rc") + 1.0) / (F.col("r_tot") + DSIR_B))
+        ).alias("lr"),
+    )
+    weights = (
+        perdoc.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("cnt") * F.col("lr")), 4).alias(
+                "log_weight"
+            )
+        )
+    )
+    # Top-K FIRST via orderBy+limit (TakeOrderedAndProject: per-
+    # partition heaps, no global single-reducer sort of |docs| weight
+    # rows), THEN the rank window over the K selected rows — bounded
+    # by the LIMIT by construction (the text_tokenize_ids pattern; see
+    # UNPARTITIONED_WINDOW_ALLOWED).
+    topk = (
+        weights.orderBy(F.col("log_weight").desc(), "doc_id")
+        .limit(DSIR_K)
+    )
+    w = Window.orderBy(F.col("log_weight").desc(), "doc_id")
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
+        .join(t.documents.select("doc_id", "lang", "source"), "doc_id")
+        .select("rank", "doc_id", "log_weight", "lang", "source")
+        .orderBy("rank")
+    )

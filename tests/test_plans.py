@@ -533,6 +533,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "text_tokenize_ids": "id-assignment window over the top-V vocab AFTER .limit(512)",
     "stat_chi2_independence": "N-window over the contingency cells, O(|types|×|bands|)",
     "qds51_cumulative_channels": "cumulative window over the per-day aggregate, bounded by the calendar",
+    "mix_dsir_select": "rank window over the selected manifest AFTER "
+        ".limit(DSIR_K) — bounded by the LIMIT; the corpus-sized weight "
+        "table goes through TakeOrderedAndProject, never this window",
 }
 
 
