@@ -294,3 +294,93 @@ def test_hot_key_safe_equals_classic_sessionization(spark):
                 "session_end", "n_events"):
         assert classic[col].tolist() == safe[col].tolist(), col
     assert (classic["total_value"] - safe["total_value"]).abs().max() < 1e-9
+
+
+def test_hot_key_safe_boundary_cases(spark):
+    """Adversarial fixture for the split-and-stitch decomposition: the
+    session boundary cases day-block splitting could get wrong —
+    sessions continuing across midnight, a cross-boundary gap of
+    EXACTLY 30 minutes (not > gap ⇒ same session), exactly 30 min +
+    1 µs (new session), an event exactly at a block edge, EMPTY days
+    inside a user's history (the stitch must look at the previous
+    non-empty block), same-timestamp ties at a block edge (event_id
+    tie-break), and one session chaining across three days.  The
+    classic single-window form is the ground truth."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql.window import Window
+
+    from splitserve_spark.streaming.stateful import _hot_safe_sessions
+
+    D = datetime
+    rows, eid = [], 0
+
+    def ev(user, ts):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, user, ts, 1.0))
+
+    # u1: session continues across midnight (gaps < 30 min).
+    ev(1, D(2026, 1, 1, 23, 40)); ev(1, D(2026, 1, 1, 23, 50))
+    ev(1, D(2026, 1, 2, 0, 5));   ev(1, D(2026, 1, 2, 0, 20))
+    # u2: cross-boundary gap of EXACTLY 30 min → same session.
+    ev(2, D(2026, 1, 1, 23, 30)); ev(2, D(2026, 1, 2, 0, 0))
+    # u3: 30 min + 1 µs across the boundary → NEW session.
+    ev(3, D(2026, 1, 1, 23, 29, 59, 999999))
+    ev(3, D(2026, 1, 2, 0, 0, 0))
+    # u4: single event exactly at a block edge.
+    ev(4, D(2026, 1, 2, 0, 0, 0))
+    # u5: empty days between two sessions (stitch must skip them).
+    ev(5, D(2026, 1, 1, 12, 0)); ev(5, D(2026, 1, 4, 12, 0))
+    # u6/u7: same-timestamp ties, u7's exactly at midnight.
+    for _ in range(3):
+        ev(6, D(2026, 1, 1, 10, 0))
+    for _ in range(3):
+        ev(7, D(2026, 1, 2, 0, 0))
+    # u8: one session chaining across three days (20-min steps).
+    t = D(2026, 1, 1, 23, 0)
+    for _ in range(9):
+        ev(8, t); t += timedelta(minutes=20)
+
+    events = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double"
+    ).select("user_id", "ts", "event_id", "value")
+
+    # Classic single-window ground truth (the operator's exact form).
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(by_user)
+    gap_us = F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts"))
+    classic = (
+        events
+        .withColumn(
+            "f", (prev_ts.isNull() | (gap_us > 30 * 60 * 1_000_000))
+            .cast("int")
+        )
+        .withColumn("session_id", F.sum("f").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+        .collect()
+    )
+    safe = (
+        _hot_safe_sessions(events)
+        .select("user_id", "session_id", "session_start",
+                "session_end", "n_events")
+        .orderBy("user_id", "session_id")
+        .collect()
+    )
+    assert [tuple(r) for r in safe] == [tuple(r) for r in classic]
+    # Spot-pin the semantics themselves (not just form equality):
+    per_user = {}
+    for r in classic:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert len(per_user[1]) == 1 and per_user[1][0].n_events == 4
+    assert len(per_user[2]) == 1  # exactly-30-min gap continues
+    assert len(per_user[3]) == 2  # 30 min + 1 µs starts a new one
+    assert len(per_user[5]) == 2  # empty days between sessions
+    assert len(per_user[8]) == 1 and per_user[8][0].n_events == 9
