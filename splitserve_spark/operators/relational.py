@@ -262,7 +262,7 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join verifies a falsifiable property: every key SampleExec
     emits from its own scan exists in the separately-scanned
     population.  The population projection still persists for the run
-    (run_cache contract) because three branches consume it (its count
+    (run_cache contract) because TWO branches consume it (its count
     and the anti-join's right side)."""
     ensure_parity_conf(spark)
     from splitserve_spark.operators.run_cache import (

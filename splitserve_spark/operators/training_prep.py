@@ -895,10 +895,13 @@ DSIR_B = 256
 #: domain" stand-in on this corpus — any predicate works).
 DSIR_TARGET_LANG = "en"
 
+#: Documents kept by the DSIR selection step.
+DSIR_K = 100
 
-@register(
-    "mix_dsir_importance",
-    oracle=f"""
+#: The shared weight pipeline, ONE definition for both DSIR oracles
+#: (importance report + selection) — smoothing, bucket count, hash fn
+#: and rounding cannot drift between them.
+_DSIR_WEIGHTS_SQL = f"""
     WITH words AS (
         SELECT doc_id, lang,
                unnest(string_split_regex(trim(text), ' +')) AS w
@@ -921,41 +924,24 @@ DSIR_TARGET_LANG = "en"
         FROM bstats CROSS JOIN tots
     ), perdoc AS (
         SELECT doc_id, b, count(*) AS cnt FROM wb GROUP BY doc_id, b
+    ), weights AS (
+        SELECT perdoc.doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_feats,
+               round(sum(cnt * lr), 4) AS log_weight
+        FROM perdoc JOIN ratio USING (b)
+        GROUP BY perdoc.doc_id
     )
-    SELECT perdoc.doc_id,
-           CAST(sum(cnt) AS BIGINT) AS n_feats,
-           round(sum(cnt * lr), 4) AS log_weight
-    FROM perdoc JOIN ratio USING (b)
-    GROUP BY perdoc.doc_id
-    ORDER BY perdoc.doc_id
-    """,
-    tags=("mix", "pipeline", "dsir"),
-)
-def mix_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
-    for Language Models via Importance Resampling" — public method):
-    score every raw document by log p_target(d)/p_raw(d) under hashed
-    bag-of-token models, where the target distribution is estimated
-    from the {DSIR_TARGET_LANG!r}-language slice and the raw
-    distribution from the whole corpus.  Gumbel-top-k over these
-    log-weights (the epoch-shuffle operator's race-key trick) then
-    selects a target-like subcorpus — the standard
-    domain-upsampling step between raw crawl and tokenizer.
+"""
 
-    Hashing: tokens land in {DSIR_B} buckets via the cross-engine
-    md5 60-bit hash (functions/parity_hash.py), so DuckDB replays the
-    EXACT feature space — no engine-internal murmur anywhere.  +1
-    smoothing on both distributions keeps every bucket finite.
 
-    Plan shape at scale: ONE corpus explode feeds both distributions
-    (target counts are a conditional aggregate of the same pass —
-    never a second scan); the {DSIR_B}-row ratio table is bounded by
-    construction and hint-broadcast (the ONLY broadcast here — the
-    per-doc bucket rollup stays shuffled); per-doc scoring joins
-    aggregates, not tokens, so the heavy side shuffles once on
-    (doc_id, bucket) with map-side combine.  All JVM codegen, no
-    UDF."""
-    ensure_parity_conf(spark)
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared Spark weight pipeline (doc_id, n_feats, log_weight)
+    — the single implementation both registered DSIR operators build
+    on, mirroring _DSIR_WEIGHTS_SQL term for term.  Calls
+    release_prior()/persist_tracked itself: the per-(doc, bucket)
+    rollup feeds the corpus-wide bucket stats AND the per-doc scoring
+    join, and re-deriving it means re-running the explode + hash over
+    the corpus."""
     from splitserve_spark.functions.parity_hash import md5_hash60
     from splitserve_spark.operators.run_cache import (
         persist_tracked, release_prior,
@@ -973,9 +959,6 @@ def mix_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.pmod(md5_hash60(F.col("w")), F.lit(DSIR_B)).alias("b"),
     )
-    # Per-(doc, bucket) rollup persists: it feeds the corpus-wide
-    # bucket stats AND the per-doc scoring join, and re-deriving it
-    # means re-running the explode + hash over the corpus.
     perdoc = persist_tracked(
         wb.groupBy("doc_id", "b").agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -1006,42 +989,43 @@ def mix_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "log_weight"
             ),
         )
-        .orderBy("doc_id")
     )
 
 
-#: Documents kept by the DSIR selection step.
-DSIR_K = 100
 
-_DSIR_WEIGHTS_SQL = f"""
-    WITH words AS (
-        SELECT doc_id, lang,
-               unnest(string_split_regex(trim(text), ' +')) AS w
-        FROM documents
-    ), wb AS (
-        SELECT doc_id, lang,
-               ((('0x' || substr(md5(w), 1, 15))::BIGINT % {DSIR_B}
-                 + {DSIR_B}) % {DSIR_B}) AS b
-        FROM words
-    ), bstats AS (
-        SELECT b, count(*) AS rc,
-               count(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS tc
-        FROM wb GROUP BY b
-    ), tots AS (
-        SELECT sum(rc) AS r_tot, sum(tc) AS t_tot FROM bstats
-    ), ratio AS (
-        SELECT b,
-               ln((tc + 1.0) / (t_tot + {DSIR_B}))
-                 - ln((rc + 1.0) / (r_tot + {DSIR_B})) AS lr
-        FROM bstats CROSS JOIN tots
-    ), perdoc AS (
-        SELECT doc_id, b, count(*) AS cnt FROM wb GROUP BY doc_id, b
-    ), weights AS (
-        SELECT perdoc.doc_id, round(sum(cnt * lr), 4) AS log_weight
-        FROM perdoc JOIN ratio USING (b)
-        GROUP BY perdoc.doc_id
-    )
-"""
+@register(
+    "mix_dsir_importance",
+    oracle=_DSIR_WEIGHTS_SQL + """
+    SELECT doc_id, n_feats, log_weight FROM weights ORDER BY doc_id
+    """,
+    tags=("mix", "pipeline", "dsir"),
+)
+def mix_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public method):
+    score every raw document by log p_target(d)/p_raw(d) under hashed
+    bag-of-token models, where the target distribution is estimated
+    from the {DSIR_TARGET_LANG!r}-language slice and the raw
+    distribution from the whole corpus.  Gumbel-top-k over these
+    log-weights (the epoch-shuffle operator's race-key trick) then
+    selects a target-like subcorpus — the standard
+    domain-upsampling step between raw crawl and tokenizer.
+
+    Hashing: tokens land in {DSIR_B} buckets via the cross-engine
+    md5 60-bit hash (functions/parity_hash.py), so DuckDB replays the
+    EXACT feature space — no engine-internal murmur anywhere.  +1
+    smoothing on both distributions keeps every bucket finite.
+
+    Plan shape at scale: ONE corpus explode feeds both distributions
+    (target counts are a conditional aggregate of the same pass —
+    never a second scan); the {DSIR_B}-row ratio table is bounded by
+    construction and hint-broadcast (the ONLY broadcast here — the
+    per-doc bucket rollup stays shuffled); per-doc scoring joins
+    aggregates, not tokens, so the heavy side shuffles once on
+    (doc_id, bucket) with map-side combine.  All JVM codegen, no
+    UDF."""
+    ensure_parity_conf(spark)
+    return _dsir_weights(spark, sf_dir).orderBy("doc_id")
 
 
 @register(
@@ -1074,53 +1058,8 @@ def mix_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection adds one TakeOrderedAndProject over |docs| weight rows —
     never a global sort of the corpus."""
     ensure_parity_conf(spark)
-    from splitserve_spark.functions.parity_hash import md5_hash60
-    from splitserve_spark.operators.run_cache import (
-        persist_tracked, release_prior,
-    )
-
     t = Tables(spark, sf_dir)
-    release_prior()
-    words = t.documents.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(F.trim(F.col("text")), " +")).alias("w"),
-    )
-    wb = words.select(
-        "doc_id",
-        "lang",
-        F.pmod(md5_hash60(F.col("w")), F.lit(DSIR_B)).alias("b"),
-    )
-    perdoc = persist_tracked(
-        wb.groupBy("doc_id", "b").agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.count(
-                F.when(F.col("lang") == DSIR_TARGET_LANG, 1)
-            ).alias("tcnt"),
-        )
-    )
-    bstats = perdoc.groupBy("b").agg(
-        F.sum("cnt").alias("rc"), F.sum("tcnt").alias("tc")
-    )
-    tots = bstats.agg(
-        F.sum("rc").alias("r_tot"), F.sum("tc").alias("t_tot")
-    )
-    ratio = bstats.crossJoin(F.broadcast(tots)).select(
-        "b",
-        (
-            F.log((F.col("tc") + 1.0) / (F.col("t_tot") + DSIR_B))
-            - F.log((F.col("rc") + 1.0) / (F.col("r_tot") + DSIR_B))
-        ).alias("lr"),
-    )
-    weights = (
-        perdoc.join(F.broadcast(ratio), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum(F.col("cnt") * F.col("lr")), 4).alias(
-                "log_weight"
-            )
-        )
-    )
+    weights = _dsir_weights(spark, sf_dir).select("doc_id", "log_weight")
     # Top-K FIRST via orderBy+limit (TakeOrderedAndProject: per-
     # partition heaps, no global single-reducer sort of |docs| weight
     # rows), THEN the rank window over the K selected rows — bounded

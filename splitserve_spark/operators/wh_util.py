@@ -23,6 +23,10 @@ from urllib.parse import unquote, urlparse
 #: object directories: ..._p<pid> or ..._p<pid>.db (databases).
 _PROC_DIR = re.compile(r"_p(\d+)(\.db)?$")
 
+#: Warehouse names the pre-round-9 code wrote WITHOUT a per-process
+#: token; anything else without a _p<pid> suffix is left alone.
+_LEGACY_PREFIXES = ("lineitem_b_", "orders_b_")
+
 _SWEPT = False
 
 
@@ -68,5 +72,13 @@ def sweep_stale_locations(spark) -> None:
     for entry in os.listdir(warehouse):
         m = _PROC_DIR.search(entry)
         if m and not _pid_alive(int(m.group(1))):
+            shutil.rmtree(os.path.join(warehouse, entry),
+                          ignore_errors=True)
+        elif m is None and entry.startswith(_LEGACY_PREFIXES):
+            # Pre-round-9 fixed-name bucketed-table locations (no
+            # _p<pid> token).  The name scheme changed under them, so
+            # no code path reuses OR sweeps them — without this
+            # one-time cleanup they orphan forever on any checkout
+            # that ran earlier rounds (r9 review finding).
             shutil.rmtree(os.path.join(warehouse, entry),
                           ignore_errors=True)

@@ -171,18 +171,45 @@ class KafkaShapedStreamReader(DataSourceStreamReader):
         }
         end = dict(produced)
         if self.max_per_trigger is not None:
-            # KafkaSource splits its ReadLimit across partitions; an
-            # even per-partition share keeps the math integral.  The
-            # reference point (previous end) is persisted so the cap
-            # holds across a stop/restart too.
-            cap = max(1, self.max_per_trigger // self.n_parts)
+            # KafkaSource splits its ReadLimit across partitions.
+            # Allot floor(cap/n) per partition and spread the
+            # remainder over the first (cap mod n) partitions — a
+            # partition MAY get 0 this trigger (exactly Kafka's
+            # proportional split when cap < #partitions), so the TOTAL
+            # batch never exceeds maxOffsetsPerTrigger; a flat
+            # max(1, cap//n) floor would ship n rows under cap < n.
+            #
+            # Reference point: the previous returned end, persisted so
+            # the cap normally holds across a stop/restart too.  One
+            # honest API gap: DataSourceStreamReader.latestOffset()
+            # does not receive the engine's committed start (the JVM
+            # connector gets it via SupportsAdmissionControl), so if
+            # the process dies AFTER this state write but BEFORE the
+            # engine commits the batch to its offset log, the replayed
+            # first batch spans up to 2x the cap.  Delivery stays
+            # exactly-once; only the rate bound is briefly loose.
             last = (
                 state.get("last_end")
                 or state.get("latest_start")
                 or {p: 0 for p in produced}
             )
+            base, rem = divmod(self.max_per_trigger, self.n_parts)
+            # Remainder goes to the largest backlogs (ties by
+            # partition id) — deterministic AND starvation-free: a
+            # fixed first-k assignment would never drain partitions
+            # k.. when cap < #partitions.
+            backlog_order = sorted(
+                produced,
+                key=lambda p: (
+                    -(produced[p] - int(last.get(p, 0))), int(p)
+                ),
+            )
+            bonus = set(backlog_order[:rem])
             end = {
-                p: min(produced[p], int(last.get(p, 0)) + cap)
+                p: min(
+                    produced[p],
+                    int(last.get(p, 0)) + base + (1 if p in bonus else 0),
+                )
                 for p in produced
             }
         state.update(produced=produced, last_end=end)

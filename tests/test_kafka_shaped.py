@@ -274,20 +274,27 @@ def test_offset_stream_is_monotone_capped_and_draining(
     r = _mk_reader(tmpdir, **opts)
     sizes = {str(p): r._log_size(p) for p in range(r.n_parts)}
     prev = {p: int(o) for p, o in r.initialOffset().items()}
-    per_part_cap = (
-        max(1, cap // r.n_parts) if cap is not None else None
-    )
     for _ in range(polls):
         end = r.latestOffset()
+        step_total = 0
         for p, o in end.items():
             assert prev[p] <= o <= sizes[p], (p, prev[p], o)
-            if per_part_cap is not None:
-                assert o - prev[p] <= per_part_cap, (p, prev[p], o)
+            step_total += o - prev[p]
+            if cap is not None:
+                # Per-partition allotment: floor(cap/n) + at most 1.
+                assert o - prev[p] <= cap // r.n_parts + 1, (p, prev[p], o)
+        if cap is not None:
+            # The TOTAL batch never exceeds maxOffsetsPerTrigger —
+            # including when cap < #partitions (the r9 review fix; a
+            # flat per-partition floor shipped n rows under that cap).
+            assert step_total <= cap, (step_total, cap)
         prev = dict(end)
-    # Sufficient polls always drain the whole log.
-    need = max(sizes.values())
-    steps = min(per_poll, per_part_cap) if per_part_cap else per_poll
-    for _ in range((need // steps) + 2):
+    # Sufficient polls always drain the whole log, even when cap <
+    # #partitions (backlog-ranked remainder assignment cannot starve
+    # a partition forever).
+    total = sum(sizes.values())
+    per_poll_bound = min(per_poll, cap) if cap is not None else per_poll
+    for _ in range((total // max(1, per_poll_bound)) + r.n_parts + 2):
         prev = r.latestOffset()
     assert prev == sizes, prev
 

@@ -60,7 +60,9 @@ def test_catalog_tag_is_per_process():
 def test_sweep_removes_dead_keeps_live_and_foreign(spark, tmp_path, monkeypatch):
     warehouse = tmp_path / "wh"
     warehouse.mkdir()
-    dead = warehouse / f"orders_b_sf_{_dead_pid()}x"  # no _p → untouched
+    # Pre-r9 fixed-name bucketed location (no _p token): legacy, OURS,
+    # swept by the one-time legacy cleanup (r9 review finding).
+    dead = warehouse / f"orders_b_sf_{_dead_pid()}x"
     dead_tok = warehouse / f"orders_b_sf_p{_dead_pid()}"
     dead_db = warehouse / f"ddl_db_sf_p{_dead_pid()}.db"
     live = warehouse / f"orders_b_sf_{proc_suffix()}"
@@ -79,7 +81,10 @@ def test_sweep_removes_dead_keeps_live_and_foreign(spark, tmp_path, monkeypatch)
     assert not dead_db.exists(), "dead process's database dir must be swept"
     assert live.exists(), "live process's dir must never be touched"
     assert foreign.exists(), "non-suite dirs must never be touched"
-    assert dead.exists(), "names without the _p<pid> token are not ours"
+    assert not dead.exists(), (
+        "legacy fixed-name bucketed dirs (pre-r9, no _p token) are ours "
+        "and must be swept once"
+    )
 
 
 def test_sweep_runs_once_per_process(spark, tmp_path, monkeypatch):

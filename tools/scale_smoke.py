@@ -356,6 +356,15 @@ def build_skew_corpus(src: str, out: str, scale: int) -> None:
     skew cost is measured against equal-volume uniform data."""
     import duckdb
 
+    # scale < 2 builds NO hot copies (k < scale//2 never holds) and an
+    # odd scale under-delivers the advertised 50% share — either way
+    # the skew gate downstream would report a phantom engine
+    # regression, so fail the precondition loudly here instead.
+    if scale < 2 or scale % 2:
+        raise ValueError(
+            f"skew corpus needs an even scale >= 2 (got {scale}): "
+            "half the copies reassign to the hot user"
+        )
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     src_file = f"{src}/events.parquet"
