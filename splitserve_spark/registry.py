@@ -266,6 +266,7 @@ _MODULES = (
     "splitserve_spark.operators.graph",
     "splitserve_spark.operators.ml",
     "splitserve_spark.operators.modern_sql",
+    "splitserve_spark.operators.sql_corpus_shapes",
     "splitserve_spark.operators.analytics",
     "splitserve_spark.sources.io",
     "splitserve_spark.sources.python_ds",
