@@ -198,10 +198,25 @@ def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("UPDATED").alias("new_segment"),
         F.round(F.col("c_acctbal") + 100.0, 2).alias("new_acctbal"),
     )
-    ins = target.filter(F.col("c_custkey") % INS_MOD == 0).select(
-        (F.col("c_custkey") + INS_BASE).alias("c_custkey"),
-        F.lit("NEWSEG").alias("new_segment"),
-        F.lit(0.0).alias("new_acctbal"),
+    ins = (
+        target.filter(F.col("c_custkey") % INS_MOD == 0)
+        # Row-level guard, zero extra scan: at SF ~33+ real custkeys
+        # would exceed INS_BASE and the synthetic inserts would
+        # silently collide with real keys (turning 'insert' rows into
+        # matched updates — r9 ADVICE).  assert_true fails the job
+        # loudly instead; coalesce(NULL, true) keeps every valid row.
+        .where(F.coalesce(
+            F.assert_true(
+                F.col("c_custkey") < F.lit(INS_BASE),
+                F.lit("merge_upsert_scd1: c_custkey >= INS_BASE — "
+                      "synthetic insert keys would collide; raise "
+                      "INS_BASE for this scale factor")),
+            F.lit(True)))
+        .select(
+            (F.col("c_custkey") + INS_BASE).alias("c_custkey"),
+            F.lit("NEWSEG").alias("new_segment"),
+            F.lit(0.0).alias("new_acctbal"),
+        )
     )
     src = upd.unionByName(ins)
     s_matched = F.col("new_segment").isNotNull()

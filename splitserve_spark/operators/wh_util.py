@@ -27,6 +27,17 @@ _PROC_DIR = re.compile(r"_p(\d+)(\.db)?$")
 #: token; anything else without a _p<pid> suffix is left alone.
 _LEGACY_PREFIXES = ("lineitem_b_", "orders_b_")
 
+#: Every warehouse name this suite writes (tables, databases, and the
+#: sql-corpus replay database).  The dead-pid sweep deletes ONLY
+#: entries under these prefixes: a user table that merely *looks*
+#: per-process (e.g. `metrics_p123`) must never be swept (r9 ADVICE).
+_SUITE_PREFIXES = (
+    "lineitem_b_", "orders_b_",            # scale_patterns bucketed tables
+    "ddl_db_", "nation_part_", "region_trunc_", "region_alter_",
+    "defaults_",                            # catalog_ddl objects
+    "sqlcorpus_",                           # sql_corpus replay database
+)
+
 _SWEPT = False
 
 
@@ -70,15 +81,28 @@ def sweep_stale_locations(spark) -> None:
     if warehouse is None or not os.path.isdir(warehouse):
         return
     for entry in os.listdir(warehouse):
+        if not entry.lower().startswith(_SUITE_PREFIXES):
+            # Not a name this suite ever writes — leave it alone even
+            # if it happens to end in _p<digits> (r9 ADVICE: a user
+            # table named metrics_p123 must survive the sweep).
+            continue
+        path = os.path.join(warehouse, entry)
         m = _PROC_DIR.search(entry)
         if m and not _pid_alive(int(m.group(1))):
-            shutil.rmtree(os.path.join(warehouse, entry),
-                          ignore_errors=True)
+            shutil.rmtree(path, ignore_errors=True)
         elif m is None and entry.startswith(_LEGACY_PREFIXES):
             # Pre-round-9 fixed-name bucketed-table locations (no
             # _p<pid> token).  The name scheme changed under them, so
             # no code path reuses OR sweeps them — without this
             # one-time cleanup they orphan forever on any checkout
-            # that ran earlier rounds (r9 review finding).
-            shutil.rmtree(os.path.join(warehouse, entry),
-                          ignore_errors=True)
+            # that ran earlier rounds (r9 review finding).  The mtime
+            # guard keeps a still-RUNNING pre-round-9 process's live
+            # table safe: old-code JVMs can only coexist with this
+            # code mid-upgrade, and theirs are minutes old.
+            import time
+            try:
+                stale = time.time() - os.path.getmtime(path) > 6 * 3600
+            except OSError:
+                stale = True
+            if stale:
+                shutil.rmtree(path, ignore_errors=True)

@@ -373,6 +373,12 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(out, "_MANIFEST.json")) as fh:
         manifest = json.load(fh)
     files = [os.path.join(out, s["file"]) for s in manifest["shards"]]
+    if not files:
+        raise RuntimeError(
+            f"shard_sink manifest at {out} lists zero committed shards — "
+            "the write finished without publishing data (r9 ADVICE: fail "
+            "loudly instead of spark.read.parquet()'s opaque "
+            "'unable to infer schema')")
     back = spark.read.parquet(*files)
     return (
         back.groupBy("event_type")
@@ -483,6 +489,11 @@ def read_manifested_shards(spark: SparkSession, path: str) -> DataFrame:
             with open(os.path.join(path, f)) as fh:
                 m = json.load(fh)
             files += [os.path.join(path, s["file"]) for s in m["shards"]]
+    if not files:
+        raise RuntimeError(
+            f"no manifest-committed shards under {path} — either no batch "
+            "ever committed or the sink aborted before publishing (r9 "
+            "ADVICE: diagnose the zero-committed-batch edge explicitly)")
     return spark.read.parquet(*files)
 
 

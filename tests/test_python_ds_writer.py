@@ -155,3 +155,16 @@ def test_stream_sink_exactly_once_across_restart(spark, tmp_path):
     back = read_manifested_shards(spark, out)
     assert back.count() == total, "lost or duplicated rows across restart"
     assert back.select("event_id").distinct().count() == total
+
+
+def test_empty_manifest_readback_fails_loudly(spark, tmp_path):
+    """r9 ADVICE: zero committed batches must surface as an explicit
+    diagnosis, not spark.read.parquet()'s opaque schema-inference error."""
+    import pytest
+
+    from splitserve_spark.sources.python_ds import read_manifested_shards
+
+    empty = tmp_path / "no_batches"
+    empty.mkdir()
+    with pytest.raises(RuntimeError, match="no manifest-committed shards"):
+        read_manifested_shards(spark, str(empty))

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import re
+import time
 
 import pytest
 
@@ -67,9 +68,19 @@ def test_sweep_removes_dead_keeps_live_and_foreign(spark, tmp_path, monkeypatch)
     dead_db = warehouse / f"ddl_db_sf_p{_dead_pid()}.db"
     live = warehouse / f"orders_b_sf_{proc_suffix()}"
     foreign = warehouse / "user_table"  # not suite-written: untouched
-    for d in (dead, dead_tok, dead_db, live, foreign):
+    # r10 ADVICE: a USER table that merely looks per-process must
+    # survive even though its embedded pid is dead.
+    foreign_pid = warehouse / f"metrics_p{_dead_pid()}"
+    # A legacy fixed-name dir that is FRESH could belong to a
+    # still-running pre-r9 process mid-upgrade: kept.
+    legacy_fresh = warehouse / f"lineitem_b_sf_{_dead_pid()}x"
+    for d in (dead, dead_tok, dead_db, live, foreign, foreign_pid,
+              legacy_fresh):
         d.mkdir()
         (d / "part-0.parquet").write_bytes(b"x")
+    # Age the sweepable legacy dir past the 6h mid-upgrade guard.
+    old = time.time() - 7 * 3600
+    os.utime(dead, (old, old))
 
     monkeypatch.setattr(
         wh_util, "local_warehouse_path", lambda _s: str(warehouse)
@@ -81,9 +92,17 @@ def test_sweep_removes_dead_keeps_live_and_foreign(spark, tmp_path, monkeypatch)
     assert not dead_db.exists(), "dead process's database dir must be swept"
     assert live.exists(), "live process's dir must never be touched"
     assert foreign.exists(), "non-suite dirs must never be touched"
+    assert foreign_pid.exists(), (
+        "user dirs with a coincidental _p<pid> suffix are not suite-"
+        "written and must never be swept"
+    )
+    assert legacy_fresh.exists(), (
+        "fresh legacy dirs may belong to a still-running pre-r9 "
+        "process — only >6h-old ones are orphans"
+    )
     assert not dead.exists(), (
         "legacy fixed-name bucketed dirs (pre-r9, no _p token) are ours "
-        "and must be swept once"
+        "and must be swept once aged"
     )
 
 

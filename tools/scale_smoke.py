@@ -488,12 +488,19 @@ def skew_smoke(spark, skew_dir, scale):
 
         from splitserve_spark.tables import normalize_event_ts
 
+        from splitserve_spark.streaming.stateful import _GAP_US
+
         ev = normalize_event_ts(_events(variant))
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # Microsecond gap arithmetic, exactly as the registered
+        # operators and _hot_safe_sessions compute it — a cast('long')
+        # second-diff would disagree with the hotsafe twin on
+        # sub-second timestamps (r10 ADVICE).
         gap = (
             F.when(
-                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"))
-                .over(w) > 1800, 1
+                F.timestamp_diff(
+                    "MICROSECOND", F.lag("ts").over(w), F.col("ts")
+                ) > _GAP_US, 1
             ).otherwise(0)
         )
         sess = (
