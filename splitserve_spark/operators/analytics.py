@@ -353,7 +353,8 @@ SESSION_GAP_HOURS = 24
     GROUP BY user_id, session_no
     ORDER BY user_id, session_start
     """,
-    tags=("analytics", "events", "session"),
+    tags=("analytics", "events", "session",
+          "skew_hazard:sessionize_hot_key_safe"),
     priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,7 +369,10 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in's merge semantics against first principles.  Plan: one
     shuffle on user_id (session assignment is a per-partition sort
     within it) — exactly the sessionization shape that holds at
-    100 TB, where the gap bounds state instead of history length."""
+    100 TB, where the gap bounds state instead of history length.
+
+    SKEW HAZARD: per-user-key window — a hot key serializes through one task; mitigation pattern: sessionize_hot_key_safe (split-and-stitch, see its docstring / SCALE_SMOKE.md skew table).
+    """
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     sw = F.session_window("ts", f"{SESSION_GAP_HOURS} hours")
@@ -402,7 +406,8 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     ORDER BY event_id
     """,
-    tags=("analytics", "window"),
+    tags=("analytics", "window",
+          "skew_hazard:sessionize_hot_key_safe"),
     priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,7 +420,10 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     The window order is made total (ts, event_id) so running values
     are deterministic under timestamp ties.  Scale: partitioned by
     user_id — state per partition is the per-user type set, bounded by
-    |event_type| (5), so the frame never buffers history."""
+    |event_type| (5), so the frame never buffers history.
+
+    SKEW HAZARD: per-user-key window — a hot key serializes through one task; mitigation pattern: sessionize_hot_key_safe (split-and-stitch, see its docstring / SCALE_SMOKE.md skew table).
+    """
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     w = (
@@ -614,7 +622,8 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type, next_type
     ORDER BY from_type, to_type
     """,
-    tags=("analytics", "events", "sequence"),
+    tags=("analytics", "events", "sequence",
+          "skew_hazard:sessionize_hot_key_safe"),
     priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,7 +636,10 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the lead window, then a 5×5-bounded aggregation; the
     normalizing sum runs over the tiny aggregated matrix, not the
     events.  The per-user window state is one row — streamable at any
-    scale."""
+    scale.
+
+    SKEW HAZARD: per-user-key window — a hot key serializes through one task; mitigation pattern: sessionize_hot_key_safe (split-and-stitch, see its docstring / SCALE_SMOKE.md skew table).
+    """
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -920,7 +932,8 @@ BOT_MIN_GAP_MIN = 90
     FROM burst b JOIN gapstats g ON b.user_id = g.user_id
     ORDER BY b.user_id
     """,
-    tags=("analytics", "events", "abuse"),
+    tags=("analytics", "events", "abuse",
+          "skew_hazard:sessionize_hot_key_safe"),
     priority=PRI_NEXT_WINDOW,  # current round's window is full
 )
 def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -932,7 +945,10 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the burst side is two stacked map-side-combinable groupBys
     (user×hour, then user); the cadence side is one lag window over
     (user, ts).  All three shuffles hash on user_id → exchange reuse.
-    Both signals are O(1) state per user streaming."""
+    Both signals are O(1) state per user streaming.
+
+    SKEW HAZARD: per-user-key window — a hot key serializes through one task; mitigation pattern: sessionize_hot_key_safe (split-and-stitch, see its docstring / SCALE_SMOKE.md skew table).
+    """
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     ev = t.events.select("user_id", "event_id", "ts")

@@ -269,7 +269,8 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     ORDER BY user_id, event_id
     """,
-    tags=("window", "frame", "interval"),
+    tags=("window", "frame", "interval",
+          "skew_hazard:sessionize_hot_key_safe"),
 )
 def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame with a TIME-INTERVAL boundary: per user, events in
@@ -277,7 +278,10 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     window shape.  Distinct from window_range_frame's numeric offset:
     the boundary is calendar arithmetic on the ORDER BY timestamp, and
     RANGE peer semantics make ties deterministic without a tiebreaker.
-    (SQL form: the DataFrame rangeBetween API takes only long offsets.)"""
+    (SQL form: the DataFrame rangeBetween API takes only long offsets.)
+
+    SKEW HAZARD: per-user-key window — a hot key serializes through one task; mitigation pattern: sessionize_hot_key_safe (split-and-stitch, see its docstring / SCALE_SMOKE.md skew table).
+    """
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     import os as _os

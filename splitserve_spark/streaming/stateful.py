@@ -84,12 +84,20 @@ _SESSION_ORACLE = """
     "sessionize_lag_cumsum",
     priority=35,  # fixed round 3 (HUGEINT session_id oracle) — must re-verify
     oracle=_SESSION_ORACLE,
-    tags=("streaming", "session", "window"),
+    tags=("streaming", "session", "window",
+          "skew_hazard:sessionize_hot_key_safe"),
 )
 def sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization by lag→gap-flag→cumsum: one shuffle on user_id,
     then two window passes over the same partitioning (Catalyst
-    collapses them into a single sort+window stage)."""
+    collapses them into a single sort+window stage).
+
+    SKEW HAZARD: the per-user window serializes a hot user through ONE
+    task by semantics — no engine mechanism (AQE skew split included)
+    can divide a window partition.  On skewed key distributions use
+    the strict-equivalent split-and-stitch twin
+    ``sessionize_hot_key_safe`` (measured flat at 64× hot-key skew
+    where this form saturates — SCALE_SMOKE.md skew table)."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -146,13 +154,17 @@ def sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, sid
     ORDER BY user_id, session_start
     """,
-    tags=("streaming", "session", "window"),
+    tags=("streaming", "session", "window",
+          "skew_hazard:sessionize_hot_key_safe"),
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (`F.session_window(ts, gap)`) — Spark's
     merging-window stateful operator; in streaming this maintains
     per-key open sessions in the state store. Window end = last event
-    + gap, which the oracle mirrors."""
+    + gap, which the oracle mirrors.
+
+    SKEW HAZARD: per-user-key window — a hot key serializes through one task; mitigation pattern: sessionize_hot_key_safe (split-and-stitch, see its docstring / SCALE_SMOKE.md skew table).
+    """
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     return (
@@ -398,7 +410,7 @@ _GAP_US = 30 * 60 * 1_000_000
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
         " AS total_value",
     ),
-    tags=("streaming", "session", "window", "skew"),
+    tags=("streaming", "session", "window", "skew", "skew_mitigation"),
 )
 def sessionize_hot_key_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-sessionization WITHOUT the per-user serialization bottleneck

@@ -127,3 +127,55 @@ def test_driver_green_derived_from_evidence():
     assert _DRIVER_GREEN == frozenset(
         n for n, ok in _DRIVER_VERDICTS.items() if ok
     )
+
+
+def test_skew_hazard_tags_name_existing_mitigations():
+    """r9 VERDICT item 4: every per-key-window operator (a hot key
+    serializes through ONE task — the shape no engine mechanism can
+    split) must point its users at a registered split-and-stitch
+    mitigation AT THE API LEVEL: a `skew_hazard:<name>` tag whose
+    target exists and is itself tagged `skew_mitigation`, plus a
+    SKEW HAZARD docstring note.
+
+    The hazard set is detected MECHANICALLY from each query's source
+    (Window.partitionBy on the user-scale key, or a SQL window
+    `PARTITION BY user_id` in its oracle/text), so a future per-user
+    window operator cannot land untagged."""
+    import inspect
+    import re
+
+    from splitserve_spark.registry import load_all
+
+    reg = load_all()
+    hazard_pat = re.compile(
+        r'Window\.partitionBy\(\s*"user_id"\s*\)'  # full-key window
+        r"|partition\s+by\s+user_id\s+order\s+by", re.I)
+    for name, spec in reg.items():
+        tags = set(spec.tags)
+        if "skew_mitigation" in tags:
+            continue
+        try:
+            src = inspect.getsource(spec.fn)
+        except (OSError, TypeError):
+            continue
+        oracle = spec.oracle or ""
+        is_hazard = bool(hazard_pat.search(src) or hazard_pat.search(oracle))
+        pointers = [t for t in tags if t.startswith("skew_hazard:")]
+        if is_hazard:
+            assert pointers, (
+                f"{name}: per-user-key window detected but no "
+                "skew_hazard:<mitigation> tag")
+            assert "SKEW HAZARD" in (spec.doc or ""), (
+                f"{name}: tagged skew_hazard but the docstring doesn't "
+                "warn the user")
+        for t in pointers:
+            target = t.split(":", 1)[1]
+            assert target in reg, f"{name}: mitigation {target} not registered"
+            assert "skew_mitigation" in reg[target].tags, (
+                f"{name}: mitigation {target} lacks the skew_mitigation tag")
+    # The known hazard set must be tagged (regression pin).
+    for known in ("sessionize_lag_cumsum", "stream_session_window",
+                  "window_range_interval", "window_session_batch",
+                  "window_running_distinct", "events_markov_transitions",
+                  "events_bot_detection"):
+        assert any(t.startswith("skew_hazard:") for t in reg[known].tags), known
