@@ -4,9 +4,13 @@ last streaming-source row.
 The reference ships a Kafka connector
 (`external/kafka-0-10-sql/.../KafkaSource.scala:84`): a partitioned
 topic, per-partition monotonically increasing offsets, JSON offset
-maps, `startingOffsets=earliest|latest`, `maxOffsetsPerTrigger` rate
-limiting (KafkaSource applies its ReadLimit inside latestOffset), and
-exactly-once replay of any committed offset range.  This environment
+maps, `startingOffsets=earliest|latest|{"0": 23, "1": -1, ...}` (the
+per-partition JSON form: -1 latest, -2 earliest), `failOnDataLoss`
+(fail vs skip when retention ages records out under a committed
+offset — modeled here by the `logStartOffsets` retention knob),
+`maxOffsetsPerTrigger` rate limiting (KafkaSource applies its
+ReadLimit inside latestOffset), and exactly-once replay of any
+committed offset range.  This environment
 has no broker and no spark-sql-kafka jar (README.md:193 waiver), so
 this module implements the same CONTRACT on the Python DataSource
 streaming API (`pyspark.sql.datasource.DataSourceStreamReader`, the
@@ -107,6 +111,35 @@ class KafkaShapedStreamReader(DataSourceStreamReader):
         mopt = options.get("maxoffsetspertrigger")
         self.max_per_trigger = int(mopt) if mopt is not None else None
         self.starting = options.get("startingoffsets", "earliest")
+        # Kafka's failOnDataLoss (KafkaSource.scala option): when a
+        # committed/requested offset falls below the log start (records
+        # aged out by retention), true fails the query, false skips to
+        # the earliest retained offset.  Default true, like Kafka's.
+        self.fail_on_data_loss = (
+            options.get("failondataloss", "true").lower() == "true"
+        )
+        # Per-partition earliest RETAINED offset — the sim's retention
+        # knob.  Accepts an int (all partitions) or a JSON map
+        # {"0": 5, ...}; restarting a topic with a higher value models
+        # the broker aging out records under a live checkpoint.
+        self._log_starts = self._parse_log_starts(
+            options.get("logstartoffsets", "0")
+        )
+        # startingOffsets also accepts Kafka's per-partition JSON map —
+        # {"0": 23, "1": -1, "2": -2} (or nested under the topic name,
+        # {"<topic>": {...}}): -1 = latest, -2 = earliest, an explicit
+        # offset otherwise; unlisted partitions default to earliest.
+        s = self.starting.strip()
+        self._json_spec = None
+        if s.startswith("{"):
+            spec = json.loads(s)
+            if isinstance(spec.get(self.topic), dict):
+                spec = spec[self.topic]
+            self._json_spec = {str(k): int(v) for k, v in spec.items()}
+        self._wants_latest = self.starting == "latest" or (
+            self._json_spec is not None
+            and -1 in self._json_spec.values()
+        )
         broker_dir = options.get(
             "brokerdir",
             os.path.join(tempfile.gettempdir(), "kafka_shaped_broker"),
@@ -118,6 +151,39 @@ class KafkaShapedStreamReader(DataSourceStreamReader):
     def _log_size(self, p: int) -> int:
         return self.base + p * self.skew
 
+    def _parse_log_starts(self, raw: str) -> dict:
+        """logStartOffsets option → {partition(int): first retained
+        offset}.  Clamped to the log size (a fully-aged partition is
+        empty, never negative-length)."""
+        raw = raw.strip()
+        per = json.loads(raw) if raw.startswith("{") else {
+            str(p): int(raw) for p in range(self.n_parts)
+        }
+        return {
+            p: min(int(per.get(str(p), 0)), self._log_size(p))
+            for p in range(self.n_parts)
+        }
+
+    def _log_start(self, p: int) -> int:
+        return self._log_starts.get(int(p), 0)
+
+    def _data_loss(self, p, requested: int, where: str) -> int:
+        """A requested offset below the log start means those records
+        were aged out.  Kafka's contract: failOnDataLoss=true aborts
+        the query; false skips to the earliest retained offset."""
+        ls = self._log_start(int(p))
+        if requested >= ls:
+            return requested
+        if self.fail_on_data_loss:
+            raise RuntimeError(
+                f"data loss detected on topic={self.topic} partition={p}: "
+                f"{where} offset {requested} is below the log start {ls} "
+                "(records aged out by retention). Set the source option "
+                "failOnDataLoss=false to skip to the earliest retained "
+                "offset instead of failing."
+            )
+        return ls
+
     def _load_state(self) -> dict:
         """Produced watermark + last returned end, from the broker file.
         Single-writer by construction (one streaming query drives one
@@ -126,8 +192,13 @@ class KafkaShapedStreamReader(DataSourceStreamReader):
             with open(self._state_path) as fh:
                 return json.load(fh)
         except (OSError, ValueError):
+            # Aged-out records were necessarily produced, so the
+            # produced watermark starts at least at the log start.
             produced = {
-                str(p): min(self.backlog, self._log_size(p))
+                str(p): min(
+                    max(self.backlog, self._log_start(p)),
+                    self._log_size(p),
+                )
                 for p in range(self.n_parts)
             }
             return {"produced": produced, "last_end": None,
@@ -141,6 +212,8 @@ class KafkaShapedStreamReader(DataSourceStreamReader):
 
     # -- streaming contract ----------------------------------------------
     def initialOffset(self) -> dict:
+        if self._json_spec is not None:
+            return self._json_start()
         if self.starting == "latest":
             # Skip the pre-existing backlog, exactly like Kafka's
             # startingOffsets=latest: first batch begins at the
@@ -153,12 +226,41 @@ class KafkaShapedStreamReader(DataSourceStreamReader):
             # and silently skips records (observed: 25→33).
             state = self._pin_latest_start(self._load_state())
             return {p: int(o) for p, o in state["latest_start"].items()}
-        return {str(p): 0 for p in range(self.n_parts)}
+        # earliest = the first RETAINED offset per partition, not 0 —
+        # records below the log start were aged out before query start
+        # (never a data-loss event; they were never promised).
+        return {str(p): self._log_start(p) for p in range(self.n_parts)}
+
+    def _json_start(self) -> dict:
+        """Per-partition JSON startingOffsets: -1 = latest (pinned at
+        first topic contact, like the scalar form), -2 = earliest
+        retained, an explicit offset otherwise — an explicit offset
+        below the log start is a data-loss event at query start."""
+        state = None
+        start = {}
+        for p in range(self.n_parts):
+            v = int(self._json_spec.get(str(p), -2))
+            if v == -1:
+                if state is None:
+                    state = self._pin_latest_start(self._load_state())
+                v = int(state["latest_start"][str(p)])
+            elif v == -2:
+                v = self._log_start(p)
+            else:
+                if v > self._log_size(p):
+                    raise ValueError(
+                        f"startingOffsets for partition {p} ({v}) is past "
+                        f"the log end ({self._log_size(p)})"
+                    )
+                v = self._data_loss(p, v, "requested starting")
+            start[str(p)] = v
+        return start
 
     def _pin_latest_start(self, state: dict) -> dict:
-        """First touch of a startingOffsets=latest topic freezes the
-        query's start at the CURRENT produced watermark (pre-advance)."""
-        if self.starting == "latest" and state.get("latest_start") is None:
+        """First touch of a topic whose query start involves 'latest'
+        (scalar form, or -1 in the JSON form) freezes that start at the
+        CURRENT produced watermark (pre-advance)."""
+        if self._wants_latest and state.get("latest_start") is None:
             state["latest_start"] = dict(state["produced"])
             self._save_state(state)
         return state
@@ -191,7 +293,11 @@ class KafkaShapedStreamReader(DataSourceStreamReader):
             last = (
                 state.get("last_end")
                 or state.get("latest_start")
-                or {p: 0 for p in produced}
+                or (
+                    self._json_start()
+                    if self._json_spec is not None
+                    else {p: self._log_start(int(p)) for p in produced}
+                )
             )
             base, rem = divmod(self.max_per_trigger, self.n_parts)
             # Remainder goes to the largest backlogs (ties by
@@ -219,7 +325,11 @@ class KafkaShapedStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         parts = []
         for p in sorted(start, key=int):
-            lo, hi = int(start[p]), int(end.get(p, start[p]))
+            # A committed start below the log start means the broker
+            # aged records out under the checkpoint (the restart-after-
+            # retention scenario): failOnDataLoss decides fail vs skip.
+            lo = self._data_loss(p, int(start[p]), "committed")
+            hi = int(end.get(p, lo))
             if hi > lo:
                 parts.append(InputPartition((self.topic, int(p), lo, hi)))
         return parts
@@ -254,6 +364,27 @@ class KafkaShapedDataSource(DataSource):
 
     def streamReader(self, schema) -> KafkaShapedStreamReader:
         return KafkaShapedStreamReader(schema, self.options)
+
+
+#: Geometry for the JSON-startingOffsets registered variant — oracle
+#: and query derive from the SAME dicts so they cannot desynchronize.
+#: p0: explicit offset; p1: UNLISTED (defaults to earliest); p2:
+#: explicit -2 (earliest); p3: explicit offset BELOW the log start —
+#: a data-loss event that failOnDataLoss=false resolves by skipping to
+#: the first retained offset.
+KJ_LOG_START = {0: 0, 1: 5, 2: 8, 3: 6}
+KJ_STARTING = {0: 10, 2: -2, 3: 2}
+
+
+def _kj_effective_start(p: int) -> int:
+    """What the contract resolves partition p's start to."""
+    v = KJ_STARTING.get(p, -2)
+    return max(v, KJ_LOG_START[p]) if v >= 0 else KJ_LOG_START[p]
+
+
+KJ_TOTAL = sum(
+    KQ_BASE + p * KQ_SKEW - _kj_effective_start(p) for p in range(KQ_PARTS)
+)
 
 
 def register_kafka_shaped(spark: SparkSession) -> None:
@@ -367,6 +498,127 @@ def source_kafka_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.max("timestamp"), "yyyy-MM-dd HH:mm:ss").alias(
                 "last_ts"
             ),
+        )
+        .orderBy("partition")
+    )
+
+
+def _kj_starts_values() -> str:
+    """Inline VALUES table of (partition, effective start) for the
+    oracle, generated from the shared geometry dicts."""
+    rows = ", ".join(
+        f"({p}, {_kj_effective_start(p)})" for p in range(KQ_PARTS)
+    )
+    return f"(VALUES {rows}) AS s(part, start_off)"
+
+
+@register(
+    "source_kafka_json_offsets",
+    oracle=f"""
+    WITH starts AS (SELECT * FROM {_kj_starts_values()}),
+    m AS (
+      SELECT part, o.range AS off,
+             'm|' || part || '|' || o.range || '|'
+               || ((o.range * 31 + part) % 1000) AS val_s,
+             (o.range * 31 + part) % 1000 AS payload
+      FROM starts CROSS JOIN range(0, {KQ_BASE + (KQ_PARTS - 1) * KQ_SKEW}) o
+      WHERE o.range >= start_off
+        AND o.range < {KQ_BASE} + part * {KQ_SKEW}
+    )
+    SELECT part AS partition,
+           CAST(count(*) AS BIGINT) AS n_msgs,
+           CAST(min(off) AS BIGINT) AS first_offset,
+           CAST(max(off) AS BIGINT) AS last_offset,
+           CAST(sum(payload) AS BIGINT) AS payload_sum,
+           md5(string_agg(val_s, ',' ORDER BY off)) AS log_digest
+    FROM m
+    GROUP BY part
+    ORDER BY part
+    """,
+    tags=("source", "streaming", "kafka-shaped", "python-datasource"),
+)
+def source_kafka_json_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consume the Kafka-shaped topic from PER-PARTITION JSON
+    startingOffsets under a retention-aged log (logStartOffsets) with
+    failOnDataLoss=false, then roll the consumed slice up per
+    partition.  The four partitions cover the whole option surface the
+    reference's KafkaSource resolves (KafkaSource.scala:84 area):
+    an explicit offset (p0), an UNLISTED partition defaulting to
+    earliest-retained (p1), an explicit -2 = earliest (p2), and an
+    explicit offset BELOW the log start (p3) — aged-out data that
+    failOnDataLoss=false resolves by skipping to the first retained
+    offset (=true would abort the query; the contract pytest pins
+    that arm).  first_offset per partition proves each resolution
+    rule; the offset-ordered digest proves no duplicate/loss/reorder
+    in the consumed range."""
+    ensure_parity_conf(spark)
+    import time
+
+    register_kafka_shaped(spark)
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    name = f"kafka_j_{tag}_p{os.getpid()}"
+    broker_dir = tempfile.mkdtemp(prefix="kshape_json_")
+    starting = json.dumps({str(p): v for p, v in KJ_STARTING.items()})
+    log_starts = json.dumps({str(p): v for p, v in KJ_LOG_START.items()})
+    stream = (
+        spark.readStream.format("kafka_shaped")
+        .option("topic", name)
+        .option("brokerDir", broker_dir)
+        .option("numPartitions", KQ_PARTS)
+        .option("logSize", KQ_BASE)
+        .option("logSkew", KQ_SKEW)
+        .option("producePerPoll", 64)
+        .option("maxOffsetsPerTrigger", 96)
+        .option("startingOffsets", starting)
+        .option("logStartOffsets", log_starts)
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= KJ_TOTAL:
+                break
+            time.sleep(0.3)
+        else:
+            raise TimeoutError(
+                "kafka-shaped JSON-offsets source did not drain the log"
+            )
+    finally:
+        q.stop()
+    val = F.col("value").cast("string")
+    return (
+        spark.table(name)
+        .select(
+            "partition",
+            "offset",
+            val.alias("val_s"),
+            F.split(val, r"\|").getItem(3).cast("bigint").alias("payload"),
+        )
+        .groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.min("offset").alias("first_offset"),
+            F.max("offset").alias("last_offset"),
+            F.sum("payload").alias("payload_sum"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("offset", "val_s"))
+                        ),
+                        lambda s: s["val_s"],
+                    ),
+                    ",",
+                ).cast("binary")
+            ).alias("log_digest"),
         )
         .orderBy("partition")
     )

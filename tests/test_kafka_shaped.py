@@ -10,6 +10,7 @@ to the connector unchanged (swap the format string).
 
 from __future__ import annotations
 
+import json
 import os
 import time
 import uuid
@@ -323,3 +324,199 @@ def test_latest_start_is_pinned_across_calls(
     for _ in range(polls):
         r.latestOffset()  # production advances
     assert r.initialOffset() == first
+
+
+# ---- per-partition JSON startingOffsets + failOnDataLoss (r10) -------
+
+from splitserve_spark.sources.kafka_shaped import (
+    KJ_LOG_START,
+    KJ_STARTING,
+    _kj_effective_start,
+)
+
+
+def test_oracle_match_json_offsets(spark):
+    check_query(spark, "source_kafka_json_offsets", SF_DIR)
+
+
+def test_json_starting_offsets_resolution(spark, tmp_path):
+    """JSON form resolves -1 to the pinned produced watermark and an
+    explicit offset to itself — each partition independently."""
+    topic = f"t_json_{uuid.uuid4().hex[:8]}"
+    name = f"k_json_{os.getpid()}"
+    stream = _reader(
+        spark,
+        tmp_path,
+        topic,
+        startingOffsets='{"0": -1, "1": 5}',
+        initialBacklog="10",
+        maxOffsetsPerTrigger="20",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        expected = (40 - 10) + (40 - 5)
+        _wait(lambda: spark.table(name).count() >= expected)
+    finally:
+        q.stop()
+    per = {
+        r.partition: (r.lo, r.hi, r.n)
+        for r in spark.table(name)
+        .groupBy("partition")
+        .agg(
+            F.min("offset").alias("lo"),
+            F.max("offset").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert per[0] == (10, 39, 30), "-1 must start at the produced watermark"
+    assert per[1] == (5, 39, 35), "explicit offset must start exactly there"
+
+
+def _run_until_mid_then_stop(spark, tmp_path, topic, out, ckpt, **overrides):
+    """Start the standard 2x40 topic into a parquet sink, stop after at
+    least one committed batch while every partition is still well below
+    offset 35 (so a restart with logStartOffsets=35 is a real
+    data-loss scenario).  Returns the committed row count at stop."""
+    q = (
+        _reader(spark, tmp_path, topic, maxOffsetsPerTrigger="4", **overrides)
+        .selectExpr("partition", "offset")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        _wait(lambda: _sink_count(spark, out) >= 4)
+    finally:
+        q.stop()
+    mid = _sink_count(spark, out)
+    hi = (
+        spark.read.parquet(out)
+        .groupBy("partition")
+        .agg(F.max("offset").alias("hi"))
+        .agg(F.max("hi"))
+        .head()[0]
+    )
+    assert hi < 34, f"stopped too late for the aging scenario (hi={hi})"
+    return mid
+
+
+def test_fail_on_data_loss_true_aborts_after_retention(spark, tmp_path):
+    """Restarting from a checkpoint after the broker aged records out
+    past the committed offset fails the query (failOnDataLoss defaults
+    to true), naming the partition and offsets."""
+    topic = f"t_agedfail_{uuid.uuid4().hex[:8]}"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_until_mid_then_stop(spark, tmp_path, topic, out, ckpt)
+
+    q2 = (
+        _reader(
+            spark, tmp_path, topic,
+            maxOffsetsPerTrigger="4", logStartOffsets="35",
+        )
+        .selectExpr("partition", "offset")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        _wait(lambda: q2.exception() is not None)
+    finally:
+        q2.stop()
+    msg = str(q2.exception())
+    assert "data loss" in msg and "failOnDataLoss" in msg, msg[:500]
+
+
+def test_fail_on_data_loss_false_skips_aged_records(spark, tmp_path):
+    """Same scenario with failOnDataLoss=false: the query skips to the
+    first retained offset and drains — committed pre-stop rows survive,
+    the aged gap is absent, nothing duplicates."""
+    topic = f"t_agedskip_{uuid.uuid4().hex[:8]}"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    mid = _run_until_mid_then_stop(spark, tmp_path, topic, out, ckpt)
+
+    q2 = (
+        _reader(
+            spark, tmp_path, topic,
+            maxOffsetsPerTrigger="4", logStartOffsets="35",
+            failOnDataLoss="false",
+        )
+        .selectExpr("partition", "offset")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        _wait(lambda: _sink_count(spark, out) >= mid + 2 * 5)
+    finally:
+        q2.stop()
+    df = spark.read.parquet(out)
+    assert df.count() == mid + 10, "exactly the retained tail lands"
+    assert df.select("partition", "offset").distinct().count() == mid + 10
+    # Every retained offset [35, 40) present once per partition; the
+    # aged gap (committed..35) never reaches the sink.
+    tail = df.filter("offset >= 35")
+    assert tail.count() == 10
+    assert df.filter("offset >= 30 AND offset < 35").count() == 0
+
+
+def test_registered_json_offsets_starts_match_contract(spark):
+    """The registered variant's effective starts re-derive from the
+    geometry dicts: explicit >= log-start wins, explicit below
+    log-start clamps, -2 and unlisted take the log start."""
+    assert _kj_effective_start(0) == 10  # explicit, retained
+    assert _kj_effective_start(1) == KJ_LOG_START[1]  # unlisted
+    assert _kj_effective_start(2) == KJ_LOG_START[2]  # explicit -2
+    assert _kj_effective_start(3) == KJ_LOG_START[3]  # aged-out clamp
+    assert KJ_STARTING[3] < KJ_LOG_START[3]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    log_start=st.integers(min_value=0, max_value=70),
+    req=st.integers(min_value=0, max_value=49),
+)
+def test_log_start_resolution_properties(tmp_path_factory, log_start, req):
+    """earliest = min(logStart, logSize) per partition; an explicit
+    JSON start below the log start raises under failOnDataLoss=true
+    and clamps under false."""
+    tmpdir = tmp_path_factory.mktemp("broker")
+    r = _mk_reader(tmpdir, logStartOffsets=log_start)
+    init = r.initialOffset()
+    for p in range(r.n_parts):
+        assert init[str(p)] == min(log_start, r._log_size(p))
+
+    spec = json.dumps({"0": req})
+    strict = _mk_reader(
+        tmpdir, startingOffsets=spec, logStartOffsets=log_start
+    )
+    loose = _mk_reader(
+        tmpdir, startingOffsets=spec, logStartOffsets=log_start,
+        failOnDataLoss="false",
+    )
+    if req < min(log_start, strict._log_size(0)):
+        with pytest.raises(RuntimeError, match="data loss"):
+            strict.initialOffset()
+    else:
+        assert strict.initialOffset()["0"] == req
+    assert loose.initialOffset()["0"] == max(
+        req, min(log_start, loose._log_size(0))
+    )
+    # Partitions 1.. are unlisted -> earliest retained, both modes.
+    for r2 in (loose,):
+        for p in range(1, r2.n_parts):
+            assert r2.initialOffset()[str(p)] == min(
+                log_start, r2._log_size(p)
+            )
