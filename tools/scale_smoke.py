@@ -335,6 +335,94 @@ def streaming_smoke(spark, src, out, scale):
         yield name, builders[name]
 
 
+#: Multimodal smoke: the Arrow-kernel (mapInPandas) operators are the
+#: only Arrow-heavy family with no K× evidence — their registered
+#: queries CAP doc_id (oracle-size discipline), so the per-SF strict
+#: runs never push corpus-scale bytes through the kernels.  This
+#: family drives the SAME encode/decode/fan-out kernels uncapped over
+#: the K× documents table and checks (a) wall stays ~K (Arrow batch
+#: amortization holds under 1:N in-batch row expansion) and (b) the
+#: transform pipeline keeps ZERO exchanges — scan → encode → kernel
+#: must never grow a shuffle at any K.
+MM_SMOKE = ["wav_features", "frame_sample", "image_patches",
+            "audio_autocorr"]
+
+
+def mm_smoke(spark, src, out, scale):
+    """Yield (name, runner(sf_dir)) pairs over the multimodal Arrow
+    kernels, uncapped (every doc_id in the corpus synthesizes a
+    payload — the kernels are pure functions of doc_id, the registered
+    ops' caps exist only to bound oracle output).  Runners return
+    {rows, exchanges}: result rows and the Exchange count in the
+    transform plan (pre-action), which must stay 0."""
+    from splitserve_spark.operators import multimodal as M
+
+    def docs(sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id"
+        )
+
+    def wav(sf_dir):
+        return docs(sf_dir).mapInPandas(
+            M._encode_wav_batches, schema="doc_id bigint, payload binary"
+        )
+
+    def wav_features(sf_dir):
+        return wav(sf_dir).mapInPandas(
+            M._decode_wav_batches,
+            schema=(
+                "doc_id bigint, channels int, sample_rate int, bits int, "
+                "n_samples int, byte_len int, mean_amp double, peak_amp int"
+            ),
+        )
+
+    def frame_sample(sf_dir):
+        return wav(sf_dir).mapInPandas(
+            M._frame_batches,
+            schema=(
+                "doc_id bigint, frame_idx int, n_in_frame int, "
+                "energy bigint, peak int"
+            ),
+        )
+
+    def image_patches(sf_dir):
+        ppm = docs(sf_dir).mapInPandas(
+            M._encode_ppm_batches, schema="doc_id long, payload binary"
+        )
+        return ppm.mapInPandas(
+            M._patch_ppm_batches,
+            schema="doc_id long, py int, px int, "
+                   "sum_r long, sum_g long, sum_b long",
+        )
+
+    def audio_autocorr(sf_dir):
+        return wav(sf_dir).mapInPandas(
+            M._autocorr_batches,
+            schema=(
+                "doc_id bigint, n_samples int, r0 bigint, r1 bigint, "
+                "r2 bigint, pitch_lag int, r_peak bigint"
+            ),
+        )
+
+    builders = {
+        "wav_features": wav_features,
+        "frame_sample": frame_sample,
+        "image_patches": image_patches,
+        "audio_autocorr": audio_autocorr,
+    }
+
+    def runner(build, sf_dir):
+        df = build(sf_dir)
+        exchanges = df._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange"
+        )
+        return {"rows": df.count(), "exchanges": exchanges}
+
+    for name in MM_SMOKE:
+        b = builders[name]
+        yield name, (lambda sf_dir, b=b: runner(b, sf_dir))
+
+
 #: Hot-key smoke: a corpus where ONE user owns 50% of events — the
 #: shape the uniform replication smoke can never produce.  Checks that
 #: (a) AQE's skew-join split actually engages on the hot shuffle
@@ -344,7 +432,8 @@ def streaming_smoke(spark, src, out, scale):
 #: uniform twin), and (c) the per-user window family's honest limit is
 #: measured: a gap-sessionization window serializes the hot user
 #: through one task by SEMANTICS, which no engine mechanism splits.
-SKEW_SMOKE = ["join_user_rollup", "agg_user_totals", "window_sessionize",
+SKEW_SMOKE = ["join_user_rollup", "join_user_rollup_broadcast",
+              "agg_user_totals", "window_sessionize",
               "window_sessionize_hotsafe"]
 
 
@@ -470,6 +559,29 @@ def skew_smoke(spark, skew_dir, scale):
             for k, v in old.items():
                 spark.conf.set(k, v)
 
+    def join_user_rollup_broadcast(variant):
+        """The FIRST-LINE production mitigation for the same hot join:
+        broadcast the per-user rollup, so the fact side never shuffles
+        on the hot key — there is no shuffle partition to skew, hence
+        no skew split to need.  Valid whenever the dim fits in executor
+        memory (a per-user rollup usually does; when it doesn't, the
+        shuffle path + AQE split of join_user_rollup is the fallback).
+        The smoke asserts the broadcast plan holds hot/uniform wall
+        parity with ZERO OptimizeSkewedJoin involvement — measuring
+        both mitigations, not just the split."""
+        ev = _events(variant)
+        rollup = spark.read.parquet(f"{skew_dir}/rollup_{variant}.parquet")
+        joined = (
+            ev.join(F.broadcast(rollup), "user_id")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("user_events").alias("weight"),
+            )
+        )
+        rows, plan = _final_plan(joined)
+        return {"rows": len(rows), "plan": plan}
+
     def agg_user_totals(variant):
         ev = _events(variant)
         agg = (
@@ -534,6 +646,7 @@ def skew_smoke(spark, skew_dir, scale):
 
     builders = {
         "join_user_rollup": join_user_rollup,
+        "join_user_rollup_broadcast": join_user_rollup_broadcast,
         "agg_user_totals": agg_user_totals,
         "window_sessionize": window_sessionize,
         "window_sessionize_hotsafe": window_sessionize_hotsafe,
@@ -605,14 +718,14 @@ def main() -> int:
                     help="fail if sec_Kx/sec_1x exceeds this (default 3*scale)")
     ap.add_argument("--family",
                     choices=["pipeline", "graph", "streaming", "skew",
-                             "all"],
+                             "multimodal", "all"],
                     default="all")
     args = ap.parse_args()
     ratio_limit = args.ratio_limit or 3.0 * args.scale
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = os.path.join(repo, "tmp_scale", f"x{args.scale}")
-    if args.family in ("pipeline", "streaming", "all"):
+    if args.family in ("pipeline", "streaming", "multimodal", "all"):
         if os.path.isdir(out):
             shutil.rmtree(out)
         build_corpus(args.src, out, args.scale)
@@ -689,6 +802,32 @@ def main() -> int:
                 failures.append(f"stream:{name}")
             print(json.dumps(rec), flush=True)
 
+    if args.family in ("multimodal", "all"):
+        for name, runner in mm_smoke(spark, args.src, out, args.scale):
+            rec = {"query": f"mm:{name}"}
+            try:
+                for tag, sf_dir in (("1x", args.src), (f"{args.scale}x", out)):
+                    t0 = time.time()
+                    res = runner(sf_dir)
+                    rec[f"sec_{tag}"] = round(time.time() - t0, 3)
+                    rec[f"rows_{tag}"] = res["rows"]
+                    rec[f"exchanges_{tag}"] = res["exchanges"]
+                rec["time_ratio"] = round(
+                    rec[f"sec_{args.scale}x"] / max(rec["sec_1x"], 1e-9), 2
+                )
+                if rec[f"exchanges_{args.scale}x"] or rec["exchanges_1x"]:
+                    rec["verdict"] = "KERNEL_PIPELINE_GREW_A_SHUFFLE"
+                    failures.append(f"mm:{name}")
+                elif rec["time_ratio"] > ratio_limit:
+                    rec["verdict"] = "SUPERLINEAR"
+                    failures.append(f"mm:{name}")
+                else:
+                    rec["verdict"] = "ok"
+            except Exception as exc:  # noqa: BLE001 — report, keep smoking
+                rec["error"] = f"{type(exc).__name__}: {exc}"[:300]
+                failures.append(f"mm:{name}")
+            print(json.dumps(rec), flush=True)
+
     if args.family in ("skew", "all"):
         skew_dir = os.path.join(repo, "tmp_scale", f"skew{args.scale}")
         if os.path.isdir(skew_dir):
@@ -713,11 +852,27 @@ def main() -> int:
                     rec[f"sec_{variant}"] = round(time.time() - t0, 3)
                     rec[f"rows_{variant}"] = res["rows"]
                     rec[f"skew_split_{variant}"] = "skew=true" in res["plan"]
+                    rec[f"bhj_{variant}"] = (
+                        "BroadcastHashJoin" in res["plan"]
+                    )
                 rec["hot_over_uniform"] = round(
                     rec["sec_hot"] / max(rec["sec_uniform"], 1e-9), 2
                 )
                 if name == "join_user_rollup" and not rec["skew_split_hot"]:
                     rec["verdict"] = "SKEW_SPLIT_DID_NOT_ENGAGE"
+                    failures.append(f"skew:{name}")
+                # The broadcast twin must take the broadcast plan (its
+                # whole point is removing the skewable shuffle), and —
+                # gated below with the others — hold wall parity.
+                elif name == "join_user_rollup_broadcast" and not (
+                    rec["bhj_hot"] and rec["bhj_uniform"]
+                ):
+                    rec["verdict"] = "BROADCAST_DID_NOT_ENGAGE"
+                    failures.append(f"skew:{name}")
+                elif name == "join_user_rollup_broadcast" and (
+                    rec["skew_split_hot"] or rec["skew_split_uniform"]
+                ):
+                    rec["verdict"] = "BROADCAST_PLAN_STILL_SKEW_SPLIT"
                     failures.append(f"skew:{name}")
                 # A hot key costing >4x its equal-volume uniform twin
                 # means the hot partition serialized the stage; the
@@ -764,6 +919,8 @@ def main() -> int:
         len(STREAM_SMOKE) if args.family in ("streaming", "all") else 0
     ) + (
         len(SKEW_SMOKE) if args.family in ("skew", "all") else 0
+    ) + (
+        len(MM_SMOKE) if args.family in ("multimodal", "all") else 0
     )
     print(json.dumps({
         "scale": args.scale,
