@@ -335,6 +335,103 @@ def streaming_smoke(spark, src, out, scale):
         yield name, builders[name]
 
 
+#: Text-IR decomposition probe (round 10): the BM25/TF-IDF 32× ratios
+#: drifted high and noisy across r7-r9 refreshes (5.9 → 6.8 → 7.9)
+#: without an attribution.  This family splits each operator into its
+#: cost phases and times every phase separately (2 reps, min) at 1×
+#: and K×, so the growth can be pinned on a phase: the tokenize scan
+#: (no shuffle), the postings shuffle (explode → groupBy(doc, w)), or
+#: everything after it (df rollup + score join + per-doc rank window).
+#: Run at several K (8/32/64) for a marginal-cost curve: if
+#: wall(K) ≈ a + b·K with stable b, the operator is linear in data
+#: and the raw ratio drift was the fixed cost a amortizing, not a
+#: scale hazard.
+def textir_phases(spark, sf_dir):
+    """Return {phase: seconds} + row counts for the text-IR cost
+    decomposition on one corpus directory."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from splitserve_spark.operators import text as T
+    from splitserve_spark.registry import REGISTRY
+
+    def timed(fn, reps=2):
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return out, round(best, 3)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rec = {}
+
+    # bm25 phase 1: the tokenize projection (scan + split + 3 term
+    # filters, zero shuffles) — the operator's only corpus pass.
+    ws = T._words(F.col("text"))
+
+    def eq(term):
+        return lambda w: w == term
+
+    proj = docs.select(
+        "doc_id",
+        F.size(ws).cast("double").alias("dl"),
+        *[
+            F.size(F.filter(ws, eq(term))).cast("double").alias(f"tf_{term}")
+            for term in T.BM25_QUERY_TERMS
+        ],
+    )
+    # Force the projection: a bare count() lets Catalyst prune the
+    # tokenize columns entirely (the probe then measures parquet
+    # row-count metadata, observed as "K× faster than 1×").
+    def run_tokenize():
+        row = proj.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("s"),
+            *[F.sum(f"tf_{t}") for t in T.BM25_QUERY_TERMS],
+        ).collect()[0]
+        return int(row["n"])
+
+    rec["bm25_docs"], rec["sec_bm25_tokenize"] = timed(run_tokenize)
+    # bm25 full operator (includes its persist + stats agg + top-k).
+    _, rec["sec_bm25_full"] = timed(
+        lambda: REGISTRY["text_bm25_search"].fn(spark, sf_dir).count()
+    )
+
+    # tfidf phase 1: the postings shuffle — explode → groupBy(doc, w).
+    words = docs.select("doc_id", F.explode(ws).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    rec["postings_rows"], rec["sec_tfidf_postings"] = timed(tf.count)
+    # tfidf phase 2: everything after the postings shuffle, measured
+    # from a pre-materialized tf (df rollup + score join + rank
+    # window) — if THIS grows faster than the postings phase, the
+    # operator is shuffle-width-bound and needs an earlier combine.
+    tf_p = tf.persist()
+    tf_p.count()  # materialize outside the timer
+    try:
+        df_tab = tf_p.groupBy("w").agg(F.count("*").alias("df"))
+        n_docs = docs.agg(F.count("*").alias("n_docs"))
+        scored = T._score_tfidf(tf_p, df_tab, n_docs)
+        wk = Window.partitionBy("doc_id").orderBy(F.col("raw").desc(), "w")
+        after = (
+            scored.select(
+                "doc_id", F.row_number().over(wk).alias("rank"), "w"
+            )
+            .filter(F.col("rank") <= T.KEYWORDS_PER_DOC)
+        )
+        rec["keyword_rows"], rec["sec_tfidf_after_postings"] = timed(
+            after.count
+        )
+    finally:
+        tf_p.unpersist()
+    # tfidf full operator (its own persist discipline included).
+    _, rec["sec_tfidf_full"] = timed(
+        lambda: REGISTRY["text_keyword_tfidf"].fn(spark, sf_dir).count()
+    )
+    rec["distinct_terms"] = words.select("w").distinct().count()
+    return rec
+
+
 #: Multimodal smoke: the Arrow-kernel (mapInPandas) operators are the
 #: only Arrow-heavy family with no K× evidence — their registered
 #: queries CAP doc_id (oracle-size discipline), so the per-SF strict
@@ -718,14 +815,15 @@ def main() -> int:
                     help="fail if sec_Kx/sec_1x exceeds this (default 3*scale)")
     ap.add_argument("--family",
                     choices=["pipeline", "graph", "streaming", "skew",
-                             "multimodal", "all"],
+                             "multimodal", "textir", "all"],
                     default="all")
     args = ap.parse_args()
     ratio_limit = args.ratio_limit or 3.0 * args.scale
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = os.path.join(repo, "tmp_scale", f"x{args.scale}")
-    if args.family in ("pipeline", "streaming", "multimodal", "all"):
+    if args.family in ("pipeline", "streaming", "multimodal", "textir",
+                       "all"):
         if os.path.isdir(out):
             shutil.rmtree(out)
         build_corpus(args.src, out, args.scale)
@@ -800,6 +898,16 @@ def main() -> int:
             except Exception as exc:  # noqa: BLE001 — report, keep smoking
                 rec["error"] = f"{type(exc).__name__}: {exc}"[:300]
                 failures.append(f"stream:{name}")
+            print(json.dumps(rec), flush=True)
+
+    if args.family == "textir":  # decomposition probe, not in "all"
+        for tag, sf_dir in (("1x", args.src), (f"{args.scale}x", out)):
+            rec = {"query": f"textir:{tag}", "scale": args.scale}
+            try:
+                rec.update(textir_phases(spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001 — report, keep smoking
+                rec["error"] = f"{type(exc).__name__}: {exc}"[:300]
+                failures.append(f"textir:{tag}")
             print(json.dumps(rec), flush=True)
 
     if args.family in ("multimodal", "all"):
