@@ -622,3 +622,114 @@ def source_kafka_json_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partition")
     )
+
+
+#: Tumbling-window width (seconds) for the windowed composition query.
+KW_WINDOW_S = 30
+
+
+@register(
+    "stream_kafka_windowed",
+    oracle=f"""
+    WITH parts AS (SELECT CAST(p.range AS INTEGER) AS part
+                   FROM range(0, {KQ_PARTS}) p),
+    m AS (
+      SELECT part, o.range AS off,
+             'k' || ((o.range * 7 + part) % 13) AS key_s,
+             (o.range * 31 + part) % 1000 AS payload,
+             TIMESTAMP '2026-01-01 00:00:00'
+               + o.range * INTERVAL 1 SECOND AS ts
+      FROM parts CROSS JOIN range(0, {KQ_BASE + (KQ_PARTS - 1) * KQ_SKEW}) o
+      WHERE o.range < {KQ_BASE} + part * {KQ_SKEW}
+    )
+    SELECT CAST(time_bucket(INTERVAL {KW_WINDOW_S} SECOND, ts) AS VARCHAR)
+             AS window_start,
+           key_s,
+           CAST(count(*) AS BIGINT) AS n_msgs,
+           CAST(sum(payload) AS BIGINT) AS payload_sum,
+           CAST(bit_count(bit_or(1 << part)) AS BIGINT) AS n_partitions
+    FROM m
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("source", "streaming", "kafka-shaped", "window", "watermark"),
+)
+def stream_kafka_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composition: the Kafka-shaped source feeds a REAL
+    event-time tumbling-window aggregation — watermarked {KW_WINDOW_S}s
+    windows over the records' CreateTime timestamps, keyed by the
+    message key, counting and summing payloads across all
+    {KQ_PARTS} partitions.  This is the canonical ingest topology
+    (Kafka → watermark → window → sink) the reference's Kafka source
+    exists to serve (KafkaSource.scala:84 + the 2.1-era event-time
+    windowing in EventTimeWatermarkExec), run under
+    Trigger.AvailableNow so the drain is deterministic: producePerPoll
+    covers the whole log at the first poll, AvailableNow pre-fetches
+    that end once and drains to it, and every window closes by end of
+    stream (complete output mode).  The oracle replays the record
+    formula analytically — a timestamp-derivation or window-assignment
+    bug anywhere in source or aggregation is a hash mismatch."""
+    ensure_parity_conf(spark)
+    register_kafka_shaped(spark)
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    name = f"kafka_w_{tag}_p{os.getpid()}"
+    broker_dir = tempfile.mkdtemp(prefix="kshape_win_")
+    stream = (
+        spark.readStream.format("kafka_shaped")
+        .option("topic", name)
+        .option("brokerDir", broker_dir)
+        .option("numPartitions", KQ_PARTS)
+        .option("logSize", KQ_BASE)
+        .option("logSkew", KQ_SKEW)
+        .option("producePerPoll", KQ_BASE + KQ_PARTS * KQ_SKEW)
+        # No maxOffsetsPerTrigger here: AvailableNow pre-fetches the
+        # end ONCE via latestOffset (the Python stream API has no
+        # admission-control channel), so a cap applied there would
+        # silently truncate the drain to one capped batch.  The
+        # rate-capped multi-batch drain is source_kafka_shaped's job.
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    agg = (
+        stream.withWatermark("timestamp", "2 minutes")
+        .groupBy(
+            F.window("timestamp", f"{KW_WINDOW_S} seconds"),
+            F.col("key").cast("string").alias("key_s"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.sum(
+                F.split(F.col("value").cast("string"), r"\|")
+                .getItem(3)
+                .cast("bigint")
+            ).alias("payload_sum"),
+            # countDistinct is unsupported in streaming aggs; an
+            # exact distinct-partition count fits in a 4-bit mask.
+            F.expr("bit_count(bit_or(shiftleft(1, partition)))")
+            .cast("bigint")
+            .alias("n_partitions"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "key_s",
+            "n_msgs",
+            "payload_sum",
+            "n_partitions",
+        )
+        .orderBy("window_start", "key_s")
+    )

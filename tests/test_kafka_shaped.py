@@ -520,3 +520,7 @@ def test_log_start_resolution_properties(tmp_path_factory, log_start, req):
             assert r2.initialOffset()[str(p)] == min(
                 log_start, r2._log_size(p)
             )
+
+
+def test_oracle_match_windowed(spark):
+    check_query(spark, "stream_kafka_windowed", SF_DIR)
