@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from splitserve_spark.registry import PRI_BEHIND_BACKLOG, PRI_NEXT_WINDOW, register
 from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.operators.run_cache import persist_tracked, release_prior
 from splitserve_spark.tables import Tables
 
 
@@ -1118,4 +1119,281 @@ def qds97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("ck1").isNull(), 1).otherwise(0)
             ).cast("bigint").alias("second_only"),
         )
+    )
+
+
+@register(
+    "qds39_quantity_volatility",
+    oracle="""
+    WITH g AS (
+      SELECT l_suppkey,
+             CAST(extract(month FROM l_shipdate) AS INTEGER) AS mo,
+             stddev_samp(l_quantity) / avg(l_quantity) AS cov
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1996-01-01'
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT a.l_suppkey AS suppkey,
+           a.mo AS mo1, round(a.cov, 4) AS cov1,
+           b.mo AS mo2, round(b.cov, 4) AS cov2
+    FROM g a JOIN g b
+      ON a.l_suppkey = b.l_suppkey AND b.mo = a.mo + 1
+    WHERE a.cov > 0.5 AND b.cov > 0.5
+    ORDER BY suppkey, mo1
+    """,
+    tags=("tpcds", "self-join", "volatility"),
+)
+def qds39_quantity_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q39 plan shape (spec: inventory whose monthly quantity
+    is volatile — coefficient of variation stdev/mean above a bar —
+    in two CONSECUTIVE months, found by self-joining the aggregate
+    with itself shifted one month).  Mapping: warehouse inventory →
+    per-(supplier, ship-month) lineitem quantities in 1995.
+
+    Shape's point at scale: the volatile-month table aggregates ONCE
+    and self-joins on (suppkey, month±1) — the aggregate output is
+    |suppliers|×12 rows, so the self-join is dim-sized regardless of
+    fact size, and the planner is free to broadcast it.  The HAVING
+    count >= 3 fence keeps stddev_samp off degenerate groups in both
+    engines.  cov is irrational (a square root) for any non-trivial
+    group, so the 0.5 threshold cannot sit on an engine-boundary
+    midpoint; outputs round to 4 dp."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    g = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1995-01-01"))
+            & (F.col("l_shipdate") < _ts("1996-01-01"))
+        )
+        .groupBy(
+            "l_suppkey", F.month("l_shipdate").alias("mo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.stddev_samp("l_quantity") / F.avg("l_quantity")).alias("cov"),
+        )
+        .filter(F.col("n") >= 3)
+        .select("l_suppkey", "mo", "cov")
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+            & (F.col("b.mo") == F.col("a.mo") + 1),
+        )
+        .filter((F.col("a.cov") > 0.5) & (F.col("b.cov") > 0.5))
+        .select(
+            F.col("a.l_suppkey").alias("suppkey"),
+            F.col("a.mo").alias("mo1"),
+            F.round("a.cov", 4).alias("cov1"),
+            F.col("b.mo").alias("mo2"),
+            F.round("b.cov", 4).alias("cov2"),
+        )
+        .orderBy("suppkey", "mo1")
+    )
+
+
+@register(
+    "qds47_monthly_deviation",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT n.n_name,
+             CAST(extract(month FROM o.o_orderdate) AS INTEGER) AS mo,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,4))) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-01-01'
+      GROUP BY 1, 2
+    ), w AS (
+      SELECT n_name, mo, rev,
+             sum(rev) OVER (PARTITION BY n_name) AS year_sum,
+             count(*) OVER (PARTITION BY n_name) AS n_mo,
+             lag(rev) OVER (PARTITION BY n_name ORDER BY mo) AS prev_rev,
+             lead(rev) OVER (PARTITION BY n_name ORDER BY mo) AS next_rev
+      FROM monthly
+    )
+    SELECT n_name, mo,
+           CAST(rev AS DOUBLE) AS rev,
+           round(CAST(year_sum AS DOUBLE) / n_mo, 4) AS avg_monthly,
+           CAST(prev_rev AS DOUBLE) AS prev_rev,
+           CAST(next_rev AS DOUBLE) AS next_rev
+    FROM w
+    WHERE rev * n_mo * 10 > year_sum * 12
+       OR rev * n_mo * 10 < year_sum * 8
+    ORDER BY n_name, mo
+    """,
+    tags=("tpcds", "window", "deviation"),
+)
+def qds47_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q47 plan shape (spec: months whose category sales
+    deviate from the yearly average, reported with the neighboring
+    months' sales via lag/lead): per-(nation, month) 1995 revenue,
+    kept where the month is ±20% off its nation's monthly average.
+
+    Shape's point at scale: one star-join pass builds the monthly
+    table (|nations|×12 rows), then BOTH window families run on that
+    dim-sized output — the yearly frame (sum/count over the nation
+    partition) and the ordered frame (lag/lead by month) share one
+    partitioning, so the window stage is a single tiny exchange.  The
+    deviation filter multiplies exact DECIMAL sums by integer
+    constants (rev·n·10 vs year_sum·12) instead of comparing against
+    a float average — no engine can land on a different side of the
+    cut, the round-7 decimal lesson applied to a PREDICATE rather
+    than an output column."""
+    ensure_parity_conf(spark)
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    monthly = (
+        t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(
+            (F.col("o_orderdate") >= _ts("1995-01-01"))
+            & (F.col("o_orderdate") < _ts("1996-01-01"))
+        )
+        .groupBy("n_name", F.month("o_orderdate").alias("mo"))
+        .agg(F.sum(rev).alias("rev"))
+    )
+    part = Window.partitionBy("n_name")
+    ordered = part.orderBy("mo")
+    w = monthly.select(
+        "n_name",
+        "mo",
+        "rev",
+        F.sum("rev").over(part).alias("year_sum"),
+        F.count(F.lit(1)).over(part).alias("n_mo"),
+        F.lag("rev").over(ordered).alias("prev_rev"),
+        F.lead("rev").over(ordered).alias("next_rev"),
+    )
+    dev = F.col("rev") * F.col("n_mo") * 10
+    return (
+        w.filter(
+            (dev > F.col("year_sum") * 12) | (dev < F.col("year_sum") * 8)
+        )
+        .select(
+            "n_name",
+            "mo",
+            F.col("rev").cast("double").alias("rev"),
+            F.round(
+                F.col("year_sum").cast("double") / F.col("n_mo"), 4
+            ).alias("avg_monthly"),
+            F.col("prev_rev").cast("double").alias("prev_rev"),
+            F.col("next_rev").cast("double").alias("next_rev"),
+        )
+        .orderBy("n_name", "mo")
+    )
+
+
+@register(
+    "qds23_frequent_best_buyers",
+    oracle=f"""
+    WITH frequent_parts AS (
+      SELECT l.l_partkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-01-01'
+      GROUP BY 1
+      HAVING count(DISTINCT l.l_orderkey) >= 4
+    ), best_customers AS (
+      SELECT o_custkey
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+      GROUP BY 1
+      HAVING sum(CAST(o_totalprice AS DECIMAL(18,2))) > 450000.00
+    )
+    SELECT CAST(extract(month FROM o.o_orderdate) AS INTEGER) AS mo,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_buyers
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+      AND l.l_partkey IN (SELECT l_partkey FROM frequent_parts)
+      AND o.o_custkey IN (SELECT o_custkey FROM best_customers)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("tpcds", "semi-join", "cte-reuse"),
+)
+def qds23_frequent_best_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q23 plan shape (spec: sales restricted to BOTH a
+    frequently-sold-items set and a best-customers set, each built by
+    its own aggregate-HAVING subquery): H2-1995 revenue by month from
+    lineitems whose part sold in >= 4 distinct 1995 orders AND whose
+    customer spent > 450k in 1995.
+
+    Shape's point at scale: the two filter sets reduce to key columns
+    BEFORE touching the fact (|parts| and |customers| rows, built with
+    map-side-combinable aggregates), then apply as left-semi joins the
+    planner can broadcast.  All three order-side roles (frequent-parts
+    build, best-customer build, H2 fact slice) derive from ONE
+    persisted 1995 orders projection — unpersisted, the plan scans
+    orders three times, which is exactly the N×-corpus-read multiplier
+    the repeat-scan gate exists to catch (it did, in review).  The
+    spend cut compares an exact DECIMAL(18,2) sum against a decimal
+    literal — no float boundary."""
+    ensure_parity_conf(spark)
+    release_prior()
+    t = Tables(spark, sf_dir)
+    in_1995 = (F.col("o_orderdate") >= _ts("1995-01-01")) & (
+        F.col("o_orderdate") < _ts("1996-01-01")
+    )
+    orders95 = persist_tracked(
+        t.orders.filter(in_1995).select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+        )
+    )
+    frequent = (
+        t.lineitem.join(
+            orders95.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_ord"))
+        .filter(F.col("n_ord") >= 4)
+        .select("l_partkey")
+    )
+    best = (
+        orders95
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+        )
+        .filter(F.col("spend") > F.lit("450000.00").cast("decimal(18,2)"))
+        .select("o_custkey")
+    )
+    h2 = orders95.filter(
+        F.col("o_orderdate") >= _ts("1995-07-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        t.lineitem.join(h2, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(frequent, "l_partkey", "left_semi")
+        .join(best, "o_custkey", "left_semi")
+        .groupBy(F.month("o_orderdate").alias("mo"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("o_custkey").alias("n_buyers"),
+        )
+        .orderBy("mo")
     )
