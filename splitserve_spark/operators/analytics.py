@@ -1450,3 +1450,97 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: User subset for the resample report (bounds output at every SF).
+FFILL_MOD = 11
+
+
+@register(
+    "events_resample_ffill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             sum(CAST(value AS DECIMAL(18,2))) AS v,
+             count(*) AS n
+      FROM events
+      WHERE user_id % {FFILL_MOD} = 0
+      GROUP BY 1, 2
+    ), spine AS (
+      SELECT user_id,
+             unnest(generate_series(min(day), max(day),
+                                    INTERVAL 1 DAY))::DATE AS day
+      FROM daily GROUP BY user_id
+    )
+    SELECT s.user_id,
+           CAST(s.day AS VARCHAR) AS day,
+           CAST(coalesce(d.n, 0) AS INTEGER) AS n_events,
+           CAST(last_value(d.v IGNORE NULLS) OVER (
+                  PARTITION BY s.user_id ORDER BY s.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS DOUBLE) AS value_ffill
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    ORDER BY s.user_id, s.day
+    """,
+    tags=("analytics", "timeseries", "window", "ignore-nulls"),
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resample + forward fill — the time-series gap-fill
+    idiom every metrics pipeline needs (daily per-user value where
+    days without events CARRY the last observed value): per-user daily
+    aggregate, a sequence()-exploded calendar spine from each user's
+    first to last active day, a left join marking the gaps, and
+    last(..., ignorenulls=True) over the user timeline to fill them —
+    the one window shape the frames family didn't yet exercise
+    (IGNORE NULLS over an UNBOUNDED PRECEDING frame).
+
+    Scale notes: the spine explodes from a 2-column per-user min/max
+    aggregate (|users| rows → |users|·days rows — output-sized, never
+    corpus-sized), the gap join and the fill window share the user_id
+    partitioning, and the daily aggregate is map-side combinable.
+    Hot-key note (guard-exempt with this reason): the per-user fill
+    window's input is the day spine — at most span-days rows per user
+    regardless of event volume — because the per-(user, day) aggregate
+    BEFORE it absorbs any hot user map-side; there is no corpus-scale
+    per-key serialization for a hot key to exploit.  Sums are exact
+    DECIMAL so the fill carries bit-identical values in both
+    engines."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.filter(F.col("user_id") % FFILL_MOD == 0)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("int").alias("n_events"),
+            F.last("v", ignorenulls=True)
+            .over(w)
+            .cast("double")
+            .alias("value_ffill"),
+        )
+        .orderBy("user_id", "day")
+    )

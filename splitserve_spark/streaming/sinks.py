@@ -263,3 +263,148 @@ def source_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_foreachbatch_merge",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM events
+    WHERE user_id % 17 = 0
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "sink", "foreachbatch", "merge"),
+)
+def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch as a REGISTERED topology (previously only
+    pytest-covered): the streaming-upsert pattern every warehouse
+    pipeline runs — each micro-batch's per-user delta MERGEs (SCD-1
+    fold: full-outer join + coalesce, `modern_sql.merge_upsert_scd1`'s
+    physical shape) into a parquet profile table, across the 5-file
+    time-split fixture under Trigger.AvailableNow.
+
+    Exactly-once discipline, the part foreachBatch makes the USER's
+    job: the fold is NOT idempotent (counts/sums re-add on replay), so
+    an applied-batch ledger skips batch_ids already folded, and each
+    fold writes a NEW versioned target directory before an atomic
+    pointer swap (os.replace of the ledger JSON) — a crash between
+    write and swap leaves the pointer on the old consistent version,
+    exactly the manifest-gate rule sources/python_ds.py's sink
+    documents.  Final profiles must equal the batch per-user
+    aggregates: any lost, double-applied, or torn batch breaks the
+    count, the exact decimal sum, or the max-ts.
+
+    Scale notes: each delta is a map-side-combinable aggregate of ONE
+    batch; the fold join is keyed on user_id (broadcastable while the
+    delta is small, shuffle-partitioned when not); the target rewrite
+    is the parquet-only price — a MERGE-supporting format (Delta/
+    Iceberg) replaces the versioned-rewrite with row-level commits,
+    same logical plan."""
+    import json as _json
+    import tempfile as _tf
+
+    from splitserve_spark.streaming.custom_state import (
+        _ordered_event_splits,
+    )
+    from splitserve_spark.tables import normalize_event_ts
+
+    ensure_parity_conf(spark)
+    src_dir = _ordered_event_splits(spark, sf_dir)
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    base = os.path.join(
+        _tf.gettempdir(), "splitserve_spark_stream",
+        f"fbmerge_{tag}_p{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    ledger_path = os.path.join(base, "ledger.json")
+
+    def _ledger():
+        try:
+            with open(ledger_path) as fh:
+                return _json.load(fh)
+        except (OSError, ValueError):
+            return {"applied": [], "current": None}
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        led = _ledger()
+        if batch_id in led["applied"]:
+            return  # replayed batch: the fold must not re-add
+        delta = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("d_n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("d_tot"),
+                F.max("ts").alias("d_ts"),
+            )
+        )
+        if led["current"] is not None:
+            tgt = spark.read.parquet(led["current"])
+            merged = (
+                tgt.join(delta, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce("n_events", F.lit(0))
+                        + F.coalesce("d_n", F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce(
+                            "total_value",
+                            F.lit(0).cast("decimal(28,2)"),
+                        )
+                        + F.coalesce(
+                            "d_tot", F.lit(0).cast("decimal(28,2)")
+                        )
+                    ).cast("decimal(28,2)").alias("total_value"),
+                    F.greatest("last_seen", "d_ts").alias("last_seen"),
+                )
+            )
+        else:
+            merged = delta.select(
+                "user_id",
+                F.col("d_n").alias("n_events"),
+                F.col("d_tot").cast("decimal(28,2)").alias("total_value"),
+                F.col("d_ts").alias("last_seen"),
+            )
+        version_dir = os.path.join(base, f"target_v{batch_id}")
+        merged.write.mode("overwrite").parquet(version_dir)
+        led["applied"].append(batch_id)
+        led["current"] = version_dir
+        tmp = ledger_path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(led, fh)
+        os.replace(tmp, ledger_path)  # the atomic commit point
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/b*.parquet")
+    ).select("user_id", "value", "ts")
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    led = _ledger()
+    assert led["current"] is not None, "no batch was ever applied"
+    return (
+        spark.read.parquet(led["current"])
+        .filter(F.col("user_id") % 17 == 0)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("total_value").cast("double").alias("total_value"),
+            F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss").alias(
+                "last_seen"
+            ),
+        )
+        .orderBy("user_id")
+    )

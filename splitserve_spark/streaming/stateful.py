@@ -523,3 +523,60 @@ def _hot_safe_sessions(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark — the BOUNDED-STATE production
+    form of streaming dedup (state for a key is dropped once the
+    watermark passes its event time + delay, so state tracks the
+    in-horizon keys, not all history; plain dropDuplicates keeps every
+    key forever unless the dedup columns include the watermark
+    column).  The stream is the events source UNIONed with itself —
+    every record arrives exactly twice, the at-least-once delivery
+    shape this operator exists to repair — and both copies of a key
+    land inside the 1-hour horizon by construction, so the deduped
+    output must equal the batch count(DISTINCT event_id) per type:
+    one drop per duplicate, zero over-drops.  Deduped rows append to
+    the sink and aggregate in a batch step, keeping the streaming
+    side a pure dedup (the single-stateful-operator form every engine
+    version supports)."""
+    ensure_parity_conf(spark)
+    name = "sdww_" + "".join(
+        c if c.isalnum() else "_" for c in sf_dir.strip("/")
+    )
+    leg = lambda: _events_stream(spark, sf_dir).select(  # noqa: E731
+        "event_id", "event_type", "ts"
+    )
+    deduped = (
+        leg()
+        .union(leg())
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .orderBy("event_type")
+    )
