@@ -1222,7 +1222,7 @@ def qds39_quantity_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_name, mo,
            CAST(rev AS DOUBLE) AS rev,
-           round(CAST(year_sum AS DOUBLE) / n_mo, 4) AS avg_monthly,
+           CAST(year_sum AS DOUBLE) AS year_sum,
            CAST(prev_rev AS DOUBLE) AS prev_rev,
            CAST(next_rev AS DOUBLE) AS next_rev
     FROM w
@@ -1247,7 +1247,12 @@ def qds47_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     constants (rev·n·10 vs year_sum·12) instead of comparing against
     a float average — no engine can land on a different side of the
     cut, the round-7 decimal lesson applied to a PREDICATE rather
-    than an output column."""
+    than an output column.  The report carries the exact decimal
+    year_sum rather than a rounded year_sum/n quotient: the strict
+    sweep caught round(quotient, 4) flipping at a half-at-5th-decimal
+    midpoint between Spark's HALF_UP and DuckDB's double rounding
+    (1385069.094 vs .0939 at sf0.01) — never round a float DIVISION
+    for output when the dividend is already exact."""
     ensure_parity_conf(spark)
     from pyspark.sql.window import Window
 
@@ -1288,9 +1293,7 @@ def qds47_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "mo",
             F.col("rev").cast("double").alias("rev"),
-            F.round(
-                F.col("year_sum").cast("double") / F.col("n_mo"), 4
-            ).alias("avg_monthly"),
+            F.col("year_sum").cast("double").alias("year_sum"),
             F.col("prev_rev").cast("double").alias("prev_rev"),
             F.col("next_rev").cast("double").alias("next_rev"),
         )
