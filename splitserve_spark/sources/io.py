@@ -308,3 +308,61 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("regionkey")
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_balance
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("source", "xml"),
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → XML (rowTag records) → read back with explicit
+    schema → join nation → aggregate.  Spark 4 ships the XML source
+    natively (the spark-xml package folded into core), which makes
+    this the one self-describing-markup format in the §2.1 matrix —
+    covered with the same row/type-preservation proof as CSV/JSON/ORC:
+    the readback must reproduce the parquet oracle's exact decimal
+    balances per nation.
+
+    Scale notes: XML is a line-unsplittable format (a row spans
+    multiple lines, so files are the parallelism unit) — fine for
+    config-sized and export/import data, wrong for the fact tables;
+    the write here partitions by the natural key range so the read
+    back still fans out.  Timestamps round-trip through an explicit
+    format option like the CSV path."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    path = _roundtrip_dir(sf_dir, "xml")
+    cust = t.customer.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    cust.write.mode("overwrite").format("xml").option(
+        "rowTag", "customer"
+    ).save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .schema(cust.schema)
+        .load(path)
+    )
+    return (
+        back.join(
+            t.nation, back.c_nationkey == t.nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_balance"),
+        )
+        .orderBy("n_name")
+    )
