@@ -715,3 +715,83 @@ def test_qds7_star_topk_take_ordered(spark):
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "partial_avg" in plan or "partial" in plan.lower(), plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Runtime bloom-filter join pruning (round 10): for a shuffle join
+    whose build side carries a selective filter, the optimizer injects
+    a BloomFilterAggregate on the build side and a might_contain
+    predicate on the FACT side — rows that cannot match are dropped
+    before the shuffle, the row-level sibling of partition-level DPP.
+    The trigger thresholds are production-sized by default
+    (applicationSideScanSizeThreshold 10 GB), so — exactly like the
+    skew smoke — the test scales the BYTES thresholds to the corpus
+    while keeping the rule structure; and it pins the negative too:
+    without a selective build-side filter the bloom is NOT injected
+    (an unconditional bloom would tax every join for nothing)."""
+    sf = SF_DIR
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    keep = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        # Pin the shuffle path: a broadcast join already ships the
+        # build side everywhere, so bloom pruning has nothing to add
+        # (the rule skips it) — same reason the skew smoke pins SMJ.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "creationSideThreshold", "100MB"
+        )
+        selective = orders.filter("o_orderpriority = '1-URGENT'")
+        j = (
+            li.join(selective, li.l_orderkey == selective.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, (
+            "bloom filter did not inject on the selective join"
+        )
+        # Negative: no selective build-side predicate -> no bloom.
+        j2 = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan2 = j2._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" not in plan2, (
+            "bloom filter injected without a selective build side"
+        )
+        # The pruned join returns exactly the plain join's result.
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        plain = {
+            r["o_orderstatus"]: r["count"]
+            for r in li.join(
+                selective, li.l_orderkey == selective.o_orderkey
+            ).groupBy("o_orderstatus").count().collect()
+        }
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        bloomed = {r["o_orderstatus"]: r["count"] for r in j.collect()}
+        assert bloomed == plain and bloomed, (bloomed, plain)
+    finally:
+        for k, v in keep.items():
+            spark.conf.set(k, v)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        ):
+            spark.conf.unset(k)
