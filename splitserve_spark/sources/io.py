@@ -366,3 +366,67 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "source_file_metadata",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(1 AS BIGINT) AS n_files,
+           true AS sizes_positive
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("source", "metadata", "hidden-columns"),
+)
+def source_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden `_metadata` file columns (file_path / file_name /
+    file_size — the lineage surface a 100 TB pipeline uses to trace
+    every row to its source object): documents written out
+    PARTITIONED BY lang (repartitioned by the key first, so each lang
+    lands in exactly one file), read back selecting `_metadata`, with
+    the per-row lang re-derived FROM THE FILE PATH (regexp over the
+    partition directory) rather than from data.  The per-lang doc
+    count and exact char sum must match the base table's — proving
+    path-derived lineage is row-accurate — n_files per lang is exactly
+    1 by the repartition, and every file_size is positive.
+
+    Scale notes: `_metadata` is constant-folded per file by the scan
+    (no per-row cost), and the lang=... directory scheme is the same
+    partition-pruning layout `source_partitioned_pruning` exercises —
+    this is its observability twin."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    path = _roundtrip_dir(sf_dir, "meta")
+    (
+        t.documents.select("doc_id", "n_chars", "lang")
+        .repartition("lang")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        "doc_id",
+        "n_chars",
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.file_size").alias("fsize"),
+    )
+    return (
+        back.select(
+            F.regexp_extract("fp", r"lang=([^/]+)/", 1).alias("lang"),
+            "n_chars",
+            "fp",
+            "fsize",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("fp").alias("n_files"),
+            (F.min("fsize") > 0).alias("sizes_positive"),
+        )
+        .orderBy("lang")
+    )
