@@ -430,3 +430,62 @@ def source_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "sink_partition_overwrite_dynamic",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN event_type = 'click'
+                         THEN CAST(value AS DECIMAL(18,2)) + 1000.00
+                         ELSE CAST(value AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("sink", "partition-overwrite", "warehouse"),
+)
+def sink_partition_overwrite_dynamic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite — the warehouse UPSERT-a-partition
+    verb (`partitionOverwriteMode=dynamic`): a second write that
+    carries ONLY the click partition's (corrected) rows replaces that
+    partition in place and must leave every other partition's files
+    untouched; STATIC mode (the default) would wipe them.  Base state:
+    events partitioned by event_type; correction: click values +1000.
+    The readback per-type counts and exact decimal sums prove both
+    halves — the click partition was fully replaced (sums shift by
+    exactly 1000·n_clicks) and no other partition lost a row.
+
+    Scale notes: this is how 100 TB pipelines re-materialize a late
+    or corrected day/source without rewriting the table; the write's
+    shuffle is bounded by the corrected partition, not the table, and
+    readers keep partition pruning over the unchanged layout."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    path = _roundtrip_dir(sf_dir, "dynover")
+    ev = t.events.select("event_id", "value", "event_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    corrected = ev.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") + 1000.0
+    )
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
