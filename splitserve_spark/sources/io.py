@@ -400,7 +400,12 @@ def source_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is its observability twin."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
-    path = _roundtrip_dir(sf_dir, "meta")
+    # pid-suffixed: this op's readback asserts n_files == 1 per lang,
+    # which a CONCURRENT process overwriting the same path mid-read
+    # would break (the reader lists both old and new part files) —
+    # the multi-step write sequence needs process-private state,
+    # unlike the single-shot roundtrips above.
+    path = _roundtrip_dir(sf_dir, f"meta_p{os.getpid()}")
     (
         t.documents.select("doc_id", "n_chars", "lang")
         .repartition("lang")
@@ -466,7 +471,10 @@ def sink_partition_overwrite_dynamic(
     readers keep partition pruning over the unchanged layout."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
-    path = _roundtrip_dir(sf_dir, "dynover")
+    # pid-suffixed: base-write -> partition-overwrite is a two-step
+    # sequence; a concurrent process re-running step 1 while this one
+    # reads back would show half-state (same reasoning as the meta op).
+    path = _roundtrip_dir(sf_dir, f"dynover_p{os.getpid()}")
     ev = t.events.select("event_id", "value", "event_type")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
     corrected = ev.filter(F.col("event_type") == "click").withColumn(

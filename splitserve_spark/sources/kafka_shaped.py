@@ -159,8 +159,10 @@ class KafkaShapedStreamReader(DataSourceStreamReader):
         per = json.loads(raw) if raw.startswith("{") else {
             str(p): int(raw) for p in range(self.n_parts)
         }
+        # Clamp to [0, log size]: a negative retention start would
+        # otherwise admit replay of offsets that never existed.
         return {
-            p: min(int(per.get(str(p), 0)), self._log_size(p))
+            p: min(max(int(per.get(str(p), 0)), 0), self._log_size(p))
             for p in range(self.n_parts)
         }
 

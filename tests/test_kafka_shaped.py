@@ -485,16 +485,18 @@ def test_registered_json_offsets_starts_match_contract(spark):
 
 @settings(max_examples=50, deadline=None)
 @given(
-    log_start=st.integers(min_value=0, max_value=70),
+    log_start=st.integers(min_value=-20, max_value=70),
     req=st.integers(min_value=0, max_value=49),
 )
 def test_log_start_resolution_properties(tmp_path_factory, log_start, req):
-    """earliest = min(logStart, logSize) per partition; an explicit
-    JSON start below the log start raises under failOnDataLoss=true
-    and clamps under false."""
+    """earliest = clamp(logStart, 0, logSize) per partition (a
+    negative retention start must never admit negative offsets); an
+    explicit JSON start below the log start raises under
+    failOnDataLoss=true and clamps under false."""
     tmpdir = tmp_path_factory.mktemp("broker")
     r = _mk_reader(tmpdir, logStartOffsets=log_start)
     init = r.initialOffset()
+    log_start = max(log_start, 0)  # the contract's clamp
     for p in range(r.n_parts):
         assert init[str(p)] == min(log_start, r._log_size(p))
 
