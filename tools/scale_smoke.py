@@ -76,7 +76,8 @@ SMOKE_QUERIES = [
 #: (lastProgress stateOperators numRowsTotal): state must track KEYS
 #: (sessions / ids / in-horizon join rows / event types), never input
 #: history — the property that bounds an unbounded 100 TB/day stream.
-STREAM_SMOKE = ["session_window", "dedup_ids", "stream_stream_join", "cusum"]
+STREAM_SMOKE = ["session_window", "dedup_ids", "dedup_within",
+                "stream_stream_join", "cusum"]
 
 
 #: Graph-family smoke: the iterative operators are exempt from the
@@ -254,6 +255,44 @@ def streaming_smoke(spark, src, out, scale):
         return {"rows": rows, "state": state, "keys": keys,
                 "inputs": ev.count()}
 
+    def dedup_within(sf_dir):
+        """dropDuplicatesWithinWatermark (r10): unlike dedup_ids
+        (plain dropDuplicates — state = ALL keys ever seen), state
+        here must be bounded by the keys inside the watermark horizon:
+        driven over the 5-file time-split fixture, each batch advances
+        the watermark ~6 days past a 1-hour delay, so the previous
+        split's keys evict and PEAK state ≈ the largest split, not the
+        corpus.  The sharpest contrast row in this family: same K×
+        keys, two APIs, one state curve flat vs one growing."""
+        import glob
+
+        from splitserve_spark.streaming import custom_state as C
+        from splitserve_spark.tables import normalize_event_ts
+
+        tag = "sdw_" + run_tag + ("_k" if sf_dir == out else "_1")
+        src_dir = C._ordered_event_splits(spark, sf_dir)
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = normalize_event_ts(
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src_dir}/b*.parquet")
+        ).select("event_id", "ts")
+        ded = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        rows, state = drive(
+            ded.writeStream.format("memory").outputMode("append"), tag
+        )
+        # The bound state must respect: the largest single split (all
+        # of one batch's keys live until the next batch's watermark).
+        keys = max(
+            spark.read.parquet(f).count()
+            for f in sorted(glob.glob(f"{src_dir}/b*.parquet"))
+        )
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return {"rows": rows, "state": state, "keys": keys,
+                "inputs": ev.count()}
+
     def stream_stream_join(sf_dir):
         from splitserve_spark.streaming.stateful import ATTRIB_GAP
 
@@ -328,6 +367,7 @@ def streaming_smoke(spark, src, out, scale):
     builders = {
         "session_window": session_window,
         "dedup_ids": dedup_ids,
+        "dedup_within": dedup_within,
         "stream_stream_join": stream_stream_join,
         "cusum": cusum,
     }
@@ -761,6 +801,17 @@ def _stream_state_verdict(name, rec, scale):
     k1, kk = rec["keys_1x"], rec[f"keys_{scale}x"]
     if name == "cusum":
         return sk == s1 == k1 == kk
+    if name == "dedup_within":
+        # Horizon-bounded dedup: peak state respects the largest
+        # split's key count (keys here = max split size, NOT total
+        # ids) and stays well under the corpus total — the property
+        # that distinguishes WithinWatermark from plain dropDuplicates.
+        slack = 1.15
+        return (
+            s1 <= k1 * slack + 16
+            and sk <= kk * slack + 16
+            and sk < rec[f"inputs_{scale}x"] / 2
+        )
     slack = 1.05
     return s1 <= k1 * slack + 2 and sk <= kk * slack + 2
 
