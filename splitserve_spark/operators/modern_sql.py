@@ -515,3 +515,46 @@ def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.seg
         """
     )
+
+
+#: Lateral-alias query — ONE text, run verbatim by BOTH engines (the
+#: strongest dialect-compat form: any divergence in lateral-alias
+#: resolution or decimal arithmetic is a value mismatch).
+_LATERAL_ALIAS_SQL = """
+    SELECT l_returnflag,
+           CAST(sum(net) AS DOUBLE) AS sum_net,
+           CAST(sum(gross) AS DOUBLE) AS sum_gross,
+           CAST(sum(tax_amt) AS DOUBLE) AS sum_tax
+    FROM (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS net,
+             net * (1 + CAST(l_tax AS DECIMAL(4,2))) AS gross,
+             gross - net AS tax_amt
+      FROM lineitem
+    ) AS t
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@register(
+    "sql_lateral_alias",
+    oracle=_LATERAL_ALIAS_SQL,
+    tags=("sql", "modern", "lateral-alias"),
+)
+def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4, SPARK-27561): a SELECT-list
+    alias referenced by LATER expressions in the same list — `net`
+    feeds `gross` feeds `tax_amt` — the way analysts actually write
+    derived-metric chains, without nesting three subqueries.  The
+    exact SAME SQL text runs on both engines (the oracle IS the query
+    string), so alias-resolution order and the decimal arithmetic
+    chain (scale-4 net → scale-6 gross, all exact, summed exactly and
+    cast to double only at the edge) must agree to the bit."""
+    from splitserve_spark.session import ensure_parity_conf
+    from splitserve_spark.tables import Tables
+
+    ensure_parity_conf(spark)
+    Tables(spark, sf_dir).register_temp_views()
+    return spark.sql(_LATERAL_ALIAS_SQL)

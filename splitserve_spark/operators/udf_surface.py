@@ -410,3 +410,64 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "udtf_polymorphic_schema",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+           CAST(p_size AS DOUBLE) AS p_size,
+           CAST(p_retailprice AS DOUBLE) + CAST(p_size AS DOUBLE)
+             AS row_total
+    FROM part
+    WHERE p_partkey < 200
+    ORDER BY p_partkey
+    """,
+    tags=("udf", "udtf", "polymorphic", "analyze"),
+)
+def udtf_polymorphic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 3.5 `analyze()` static method):
+    the output schema is computed AT PLAN TIME from the argument's
+    type — here the UDTF widens whatever struct it is handed with a
+    row_total column, so its schema is `fields(arg) + row_total`,
+    different for every call site.  This is the half of the UDTF API
+    `udtf_chunk_text` (static returnType) doesn't exercise, and the
+    Python mapping of a type-parameterized generator.  The total is a
+    single IEEE double add, bit-identical in both engines; invoked
+    via LATERAL join against part."""
+    ensure_parity_conf(spark)
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import DoubleType, StructType
+
+    class WidenStruct:
+        @staticmethod
+        def analyze(arg) -> "AnalyzeResult":  # noqa: F821 — pyspark type
+            from pyspark.sql.udtf import AnalyzeResult
+
+            # arg.dataType is the struct handed in at THIS call site:
+            # emit its fields (as doubles) plus the computed total.
+            out = StructType()
+            for f in arg.dataType.fields:
+                out.add(f.name, DoubleType())
+            out.add("row_total", DoubleType())
+            return AnalyzeResult(schema=out)
+
+        def eval(self, row):
+            vals = [float(v) for v in row]
+            yield (*vals, sum(vals))
+
+    spark.udtf.register("widen_struct", udtf(WidenStruct))
+    t = Tables(spark, sf_dir)
+    t.part.createOrReplaceTempView("udtf_poly_part")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, w.*
+        FROM udtf_poly_part p,
+             LATERAL widen_struct(
+               struct(p.p_retailprice, CAST(p.p_size AS DOUBLE) AS p_size)
+             ) w
+        WHERE p.p_partkey < 200
+        ORDER BY p.p_partkey
+        """
+    )
