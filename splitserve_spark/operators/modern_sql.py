@@ -558,3 +558,79 @@ def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_parity_conf(spark)
     Tables(spark, sf_dir).register_temp_views()
     return spark.sql(_LATERAL_ALIAS_SQL)
+
+
+#: User subset for the clustered-layout report.
+DIST_MOD = 13
+
+
+@register(
+    "sql_distribute_sort_by",
+    oracle=f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           true AS single_partition,
+           true AS sorted_within
+    FROM events
+    WHERE user_id % {DIST_MOD} = 0
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("sql", "hive-clauses", "distribute-by", "layout"),
+)
+def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY / SORT BY — the Hive-era SQL clauses the
+    reference's 2.1 grammar ships (the SQL form of
+    repartition + sortWithinPartitions; CLUSTER BY is their
+    contraction): rows hash-partition by user_id and sort by
+    (user_id, ts) WITHIN each partition, no global sort.  The layout
+    claims are verified IN-QUERY, physically: spark_partition_id()
+    + monotonically_increasing_id() capture the post-shuffle physical
+    row order, a window over (pid, mid) checks every row is >= its
+    predecessor in (user_id, ts), and countDistinct(pid) per user
+    must be 1 (hash distribution puts each user in exactly one
+    partition).  Both invariants hold at ANY partition count — the
+    5/64 sweep exercises exactly that — so the oracle states them as
+    constants next to the per-user counts.
+
+    Scale shape: this is THE write-side layout verb for downstream
+    merge-free reads (bucketed tables, clustered parquet) — one
+    shuffle, per-partition sort, no global order paid."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from splitserve_spark.session import ensure_parity_conf
+    from splitserve_spark.tables import Tables
+
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    t.events.filter(F.col("user_id") % DIST_MOD == 0).select(
+        "user_id", "ts", "event_id"
+    ).createOrReplaceTempView("dist_events")
+    clustered = spark.sql(
+        "SELECT user_id, ts FROM dist_events "
+        "DISTRIBUTE BY user_id SORT BY user_id, ts"
+    )
+    tagged = clustered.select(
+        "user_id",
+        "ts",
+        F.spark_partition_id().alias("pid"),
+        F.monotonically_increasing_id().alias("mid"),
+    )
+    w = Window.partitionBy("pid").orderBy("mid")
+    prev_u = F.lag("user_id").over(w)
+    prev_ts = F.lag("ts").over(w)
+    in_order = F.when(prev_u.isNull(), True).otherwise(
+        (F.col("user_id") > prev_u)
+        | ((F.col("user_id") == prev_u) & (F.col("ts") >= prev_ts))
+    )
+    return (
+        tagged.withColumn("ok", in_order)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.countDistinct("pid") == 1).alias("single_partition"),
+            F.min("ok").alias("sorted_within"),
+        )
+        .orderBy("user_id")
+    )
