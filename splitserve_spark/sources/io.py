@@ -335,18 +335,18 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: XML is a line-unsplittable format (a row spans
     multiple lines, so files are the parallelism unit) — fine for
     config-sized and export/import data, wrong for the fact tables;
-    the write here partitions by the natural key range so the read
-    back still fans out.  Timestamps round-trip through an explicit
-    format option like the CSV path."""
+    the write here range-partitions on the natural key so the read
+    back fans out across files (one unsplittable file per key range,
+    not one giant file)."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     path = _roundtrip_dir(sf_dir, "xml")
     cust = t.customer.select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
-    cust.write.mode("overwrite").format("xml").option(
-        "rowTag", "customer"
-    ).save(path)
+    cust.repartitionByRange(8, "c_custkey").write.mode(
+        "overwrite"
+    ).format("xml").option("rowTag", "customer").save(path)
     back = (
         spark.read.format("xml")
         .option("rowTag", "customer")

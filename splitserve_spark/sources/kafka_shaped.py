@@ -146,6 +146,7 @@ class KafkaShapedStreamReader(DataSourceStreamReader):
         )
         os.makedirs(broker_dir, exist_ok=True)
         self._state_path = os.path.join(broker_dir, f"{self.topic}.json")
+        self._query_start_cache: dict | None = None
 
     # -- broker state ---------------------------------------------------
     def _log_size(self, p: int) -> int:
@@ -267,6 +268,23 @@ class KafkaShapedStreamReader(DataSourceStreamReader):
             self._save_state(state)
         return state
 
+    def _start_floor(self) -> dict:
+        """Per-partition lower bound every batch end must respect: the
+        EXPLICIT offsets of a JSON startingOffsets spec (the only start
+        form that can exceed the produced watermark — earliest/latest
+        resolve ≤ it by construction).  Derived from the spec alone, no
+        state reads and no data-loss side effects: if retention later
+        ages the log past an explicit start, produced ≥ log start ≥
+        request makes the clamp a no-op, and partitions() still owns
+        the committed-offset data-loss decision."""
+        if self._query_start_cache is None:
+            self._query_start_cache = (
+                {p: v for p, v in self._json_spec.items() if v >= 0}
+                if self._json_spec is not None
+                else {}
+            )
+        return self._query_start_cache
+
     def latestOffset(self) -> dict:
         state = self._pin_latest_start(self._load_state())
         produced = {
@@ -319,6 +337,21 @@ class KafkaShapedStreamReader(DataSourceStreamReader):
                     int(last.get(p, 0)) + base + (1 if p in bonus else 0),
                 )
                 for p in produced
+            }
+        # An explicit startingOffsets ABOVE the current produced
+        # watermark (start 10, first poll produces 7) must hold the
+        # batch end AT the requested start: returning end < start would
+        # make the engine commit the lower end as the next batch's
+        # start, and later batches would consume offsets below the
+        # requested start — silently violating the startingOffsets
+        # contract.  Clamping end[p] up to the explicit start yields
+        # empty batches until production reaches the request (Kafka's
+        # behaviour for a valid not-yet-produced offset).
+        floor = self._start_floor()
+        if floor:
+            end = {
+                p: max(int(o), int(floor.get(str(p), 0)))
+                for p, o in end.items()
             }
         state.update(produced=produced, last_end=end)
         self._save_state(state)
@@ -720,7 +753,18 @@ def stream_kafka_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(180)
+        # AvailableNow terminates on its own once the drain finishes;
+        # a False return means the 180 s budget elapsed first and the
+        # complete-mode table is PARTIAL — fail loudly instead of
+        # letting the oracle comparison surface it as a confusing
+        # value mismatch.
+        if not q.awaitTermination(180):
+            raise TimeoutError(
+                "stream_kafka_windowed: AvailableNow drain did not "
+                "terminate within 180 s; aborting rather than compare "
+                "a partial complete-mode table against the full-log "
+                "oracle"
+            )
     finally:
         q.stop()
     return (

@@ -45,6 +45,9 @@ def _reader(spark, tmp_path, topic, **overrides):
         "startingOffsets": "earliest",
     }
     opts.update(overrides)
+    # A None override DELETES a default (e.g. maxOffsetsPerTrigger=None
+    # for an uncapped drain) — Spark options must be strings.
+    opts = {k: v for k, v in opts.items() if v is not None}
     return spark.readStream.format("kafka_shaped").options(**opts).load()
 
 
@@ -377,6 +380,56 @@ def test_json_starting_offsets_resolution(spark, tmp_path):
     }
     assert per[0] == (10, 39, 30), "-1 must start at the produced watermark"
     assert per[1] == (5, 39, 35), "explicit offset must start exactly there"
+
+
+def test_explicit_start_above_produced_watermark_is_honoured(
+    spark, tmp_path
+):
+    """An explicit JSON startingOffsets ABOVE the first-poll produced
+    watermark (start 10, producePerPoll 7) must never admit offsets
+    below the request: latestOffset clamps each batch end up to the
+    explicit start, so the engine sees empty batches until production
+    reaches it.  Without the clamp, the first batch commits end=7 as
+    the next start and partition 0 silently consumes offsets 7-9 in
+    violation of the startingOffsets contract."""
+    topic = f"t_clamp_{uuid.uuid4().hex[:8]}"
+    name = f"k_clamp_{os.getpid()}"
+    stream = _reader(
+        spark,
+        tmp_path,
+        topic,
+        startingOffsets='{"0": 10, "1": 0}',
+        producePerPoll="7",
+        maxOffsetsPerTrigger=None,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        expected = (40 - 10) + 40
+        _wait(lambda: spark.table(name).count() >= expected)
+    finally:
+        q.stop()
+    per = {
+        r.partition: (r.lo, r.hi, r.n)
+        for r in spark.table(name)
+        .groupBy("partition")
+        .agg(
+            F.min("offset").alias("lo"),
+            F.max("offset").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert per[0] == (10, 39, 30), (
+        f"partition 0 must start exactly at the requested offset 10 even "
+        f"though the first poll only produced 7 (got {per[0]})"
+    )
+    assert per[1] == (0, 39, 40), f"partition 1 must be unaffected {per[1]}"
 
 
 def _run_until_mid_then_stop(spark, tmp_path, topic, out, ckpt, **overrides):
