@@ -139,9 +139,13 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Source-row selectors for the upsert: every UPD_MOD-th customer gets
 #: an update, and one synthetic new customer per INS_MOD existing keys.
+#: The synthetic-insert key base is DERIVED from the data
+#: (max(c_custkey) + 1) so the inserts are collision-free at every
+#: scale factor by construction — no hand-tuned constant to outgrow
+#: (the r9/r10 advisory's preferred form; the runtime assert_true
+#: fence this replaces fired at SF≈33+).
 UPD_MOD = 7
 INS_MOD = 500
-INS_BASE = 5_000_000
 OUT_MOD = 97
 
 
@@ -153,8 +157,8 @@ OUT_MOD = 97
              round(c_acctbal + 100.0, 2) AS new_acctbal
       FROM customer WHERE c_custkey % {UPD_MOD} = 0
       UNION ALL
-      SELECT c_custkey + {INS_BASE}, 'NEWSEG',
-             CAST(0.0 AS DOUBLE)
+      SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer),
+             'NEWSEG', CAST(0.0 AS DOUBLE)
       FROM customer WHERE c_custkey % {INS_MOD} = 0
     ), merged AS (
       SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
@@ -184,7 +188,13 @@ def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one shuffle join on the merge key (broadcast when the
     source delta is small, which is the common case); the action column
-    doubles as the audit the write path needs for metrics."""
+    doubles as the audit the write path needs for metrics.  The
+    synthetic-insert key base is max(c_custkey) + 1 computed as a
+    1-row aggregate over just the key column (parquet column-stats
+    cheap) and attached to the insert branch as a broadcast — so the
+    inserts can never collide with real keys at ANY scale factor,
+    replacing the r9 runtime fence that merely failed loudly at
+    SF≈33+."""
     from pyspark.sql import functions as F
 
     from splitserve_spark.session import ensure_parity_conf
@@ -198,22 +208,18 @@ def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("UPDATED").alias("new_segment"),
         F.round(F.col("c_acctbal") + 100.0, 2).alias("new_acctbal"),
     )
+    ins_base = t.customer.agg(
+        (F.max("c_custkey") + 1).alias("ins_base")
+    )
     ins = (
         target.filter(F.col("c_custkey") % INS_MOD == 0)
-        # Row-level guard, zero extra scan: at SF ~33+ real custkeys
-        # would exceed INS_BASE and the synthetic inserts would
-        # silently collide with real keys (turning 'insert' rows into
-        # matched updates — r9 ADVICE).  assert_true fails the job
-        # loudly instead; coalesce(NULL, true) keeps every valid row.
-        .where(F.coalesce(
-            F.assert_true(
-                F.col("c_custkey") < F.lit(INS_BASE),
-                F.lit("merge_upsert_scd1: c_custkey >= INS_BASE — "
-                      "synthetic insert keys would collide; raise "
-                      "INS_BASE for this scale factor")),
-            F.lit(True)))
+        # 1-row broadcast attach of the derived base: plans as a
+        # BroadcastNestedLoopJoin with a single build row — the
+        # DataFrame-API spelling of a scalar subquery, constant per
+        # output partition, no shuffle.
+        .crossJoin(F.broadcast(ins_base))
         .select(
-            (F.col("c_custkey") + INS_BASE).alias("c_custkey"),
+            (F.col("c_custkey") + F.col("ins_base")).alias("c_custkey"),
             F.lit("NEWSEG").alias("new_segment"),
             F.lit(0.0).alias("new_acctbal"),
         )
