@@ -265,6 +265,114 @@ def source_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+class SimulatedCrash(RuntimeError):
+    """Raised by MergeLedgerTarget's test-only kill point — models the
+    process dying AFTER the sink's data write but BEFORE its commit."""
+
+
+class MergeLedgerTarget:
+    """Exactly-once parquet MERGE target for foreachBatch.
+
+    The engine's recovery loop (reference:
+    `execution/streaming/StreamExecution.scala:217,445` — offset WAL →
+    runBatch → sink.addBatch, replayed from the WAL when the commit
+    log is behind) re-delivers the last batch after a crash, so the
+    SINK must make re-application a no-op.  Two mechanisms, mirroring
+    the manifest-gate rule in sources/python_ds.py's sink:
+
+    - an applied-batch LEDGER: a batch_id already in the ledger is
+      skipped outright (the fold is count/sum arithmetic — NOT
+      idempotent — so replay protection must be explicit);
+    - versioned target directories with an atomic pointer swap
+      (os.replace of the ledger JSON is the single commit point): a
+      crash between the parquet write and the swap leaves the pointer
+      on the previous consistent version, and the replay re-writes the
+      orphan version dir before committing it.
+
+    ``crash_after_write_ids`` is the test-only kill point: applying one
+    of those batch_ids raises SimulatedCrash after the versioned write
+    but before the ledger swap — exactly the torn-batch state the
+    recovery contract must absorb.
+
+    The fold is fixed (per-key count / exact-decimal sum / max-ts —
+    the SCD-1 shape of `modern_sql.merge_upsert_scd1`); the delta
+    extraction is pluggable so the same recovery discipline serves
+    both the events profile and the Kafka-shaped composition."""
+
+    def __init__(self, spark, base: str, key_col: str, delta_fn) -> None:
+        self.spark = spark
+        self.base = base
+        self.key_col = key_col
+        self.delta_fn = delta_fn
+        self.ledger_path = os.path.join(base, "ledger.json")
+        self.crash_after_write_ids: set[int] = set()
+        os.makedirs(base, exist_ok=True)
+
+    def ledger(self) -> dict:
+        try:
+            with open(self.ledger_path) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {"applied": [], "current": None}
+
+    def current(self) -> DataFrame:
+        led = self.ledger()
+        assert led["current"] is not None, "no batch was ever applied"
+        return self.spark.read.parquet(led["current"])
+
+    def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        led = self.ledger()
+        if batch_id in led["applied"]:
+            return  # replayed batch: the fold must not re-add
+        delta = self.delta_fn(batch_df)
+        k = self.key_col
+        if led["current"] is not None:
+            tgt = self.spark.read.parquet(led["current"])
+            merged = tgt.join(delta, k, "full_outer").select(
+                k,
+                (
+                    F.coalesce("n_events", F.lit(0))
+                    + F.coalesce("d_n", F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.coalesce(
+                        "total_value", F.lit(0).cast("decimal(28,2)")
+                    )
+                    + F.coalesce("d_tot", F.lit(0).cast("decimal(28,2)"))
+                ).cast("decimal(28,2)").alias("total_value"),
+                F.greatest("last_seen", "d_ts").alias("last_seen"),
+            )
+        else:
+            merged = delta.select(
+                k,
+                F.col("d_n").alias("n_events"),
+                F.col("d_tot").cast("decimal(28,2)").alias("total_value"),
+                F.col("d_ts").alias("last_seen"),
+            )
+        version_dir = os.path.join(self.base, f"target_v{batch_id}")
+        merged.write.mode("overwrite").parquet(version_dir)
+        if batch_id in self.crash_after_write_ids:
+            raise SimulatedCrash(
+                f"killed after writing {version_dir}, before the ledger "
+                "swap — the pointer must still name the previous version"
+            )
+        led["applied"].append(batch_id)
+        led["current"] = version_dir
+        tmp = self.ledger_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(led, fh)
+        os.replace(tmp, self.ledger_path)  # the atomic commit point
+
+
+def events_profile_delta(batch_df: DataFrame) -> DataFrame:
+    """Per-user delta of one events micro-batch for MergeLedgerTarget."""
+    return batch_df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("d_n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("d_tot"),
+        F.max("ts").alias("d_ts"),
+    )
+
+
 @register(
     "stream_foreachbatch_merge",
     oracle="""
@@ -304,7 +412,6 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the parquet-only price — a MERGE-supporting format (Delta/
     Iceberg) replaces the versioned-rewrite with row-level commits,
     same logical plan."""
-    import json as _json
     import tempfile as _tf
 
     from splitserve_spark.streaming.custom_state import (
@@ -320,65 +427,8 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"fbmerge_{tag}_p{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
-    ledger_path = os.path.join(base, "ledger.json")
-
-    def _ledger():
-        try:
-            with open(ledger_path) as fh:
-                return _json.load(fh)
-        except (OSError, ValueError):
-            return {"applied": [], "current": None}
-
-    def apply_batch(batch_df, batch_id: int) -> None:
-        led = _ledger()
-        if batch_id in led["applied"]:
-            return  # replayed batch: the fold must not re-add
-        delta = (
-            batch_df.groupBy("user_id")
-            .agg(
-                F.count(F.lit(1)).alias("d_n"),
-                F.sum(F.col("value").cast("decimal(18,2)")).alias("d_tot"),
-                F.max("ts").alias("d_ts"),
-            )
-        )
-        if led["current"] is not None:
-            tgt = spark.read.parquet(led["current"])
-            merged = (
-                tgt.join(delta, "user_id", "full_outer")
-                .select(
-                    "user_id",
-                    (
-                        F.coalesce("n_events", F.lit(0))
-                        + F.coalesce("d_n", F.lit(0))
-                    ).alias("n_events"),
-                    (
-                        F.coalesce(
-                            "total_value",
-                            F.lit(0).cast("decimal(28,2)"),
-                        )
-                        + F.coalesce(
-                            "d_tot", F.lit(0).cast("decimal(28,2)")
-                        )
-                    ).cast("decimal(28,2)").alias("total_value"),
-                    F.greatest("last_seen", "d_ts").alias("last_seen"),
-                )
-            )
-        else:
-            merged = delta.select(
-                "user_id",
-                F.col("d_n").alias("n_events"),
-                F.col("d_tot").cast("decimal(28,2)").alias("total_value"),
-                F.col("d_ts").alias("last_seen"),
-            )
-        version_dir = os.path.join(base, f"target_v{batch_id}")
-        merged.write.mode("overwrite").parquet(version_dir)
-        led["applied"].append(batch_id)
-        led["current"] = version_dir
-        tmp = ledger_path + ".tmp"
-        with open(tmp, "w") as fh:
-            _json.dump(led, fh)
-        os.replace(tmp, ledger_path)  # the atomic commit point
+    target = MergeLedgerTarget(spark, base, "user_id",
+                               events_profile_delta)
 
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = normalize_event_ts(
@@ -387,17 +437,151 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{src_dir}/b*.parquet")
     ).select("user_id", "value", "ts")
     q = (
-        stream.writeStream.foreachBatch(apply_batch)
+        stream.writeStream.foreachBatch(target.apply)
         .option("checkpointLocation", os.path.join(base, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    led = _ledger()
-    assert led["current"] is not None, "no batch was ever applied"
     return (
-        spark.read.parquet(led["current"])
+        target.current()
         .filter(F.col("user_id") % 17 == 0)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("total_value").cast("double").alias("total_value"),
+            F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss").alias(
+                "last_seen"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+def delete_latest_commit(ckpt: str) -> int:
+    """Kill-point injector shared by the recovery topology and its
+    pytest battery: remove the NEWEST entry of the checkpoint's commit
+    log, leaving the offset WAL one batch ahead — byte-for-byte the
+    on-disk state after a crash between sink.addBatch and the commit-
+    log write (reference recovery loop:
+    `execution/streaming/StreamExecution.scala:217,445`).  On restart
+    the engine MUST re-run that batch with the WAL's exact offsets.
+    Returns the replayed batch_id."""
+    commits = os.path.join(ckpt, "commits")
+    ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    latest = max(ids)
+    os.remove(os.path.join(commits, str(latest)))
+    # The local ChecksumFs keeps a .N.crc sidecar; a stale one makes
+    # the engine's re-commit rename fail with FileAlreadyExists.  A
+    # real crash never leaves the sidecar without its file (the pair
+    # is renamed together), so removing both IS the post-crash state.
+    crc = os.path.join(commits, f".{latest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    return latest
+
+
+@register(
+    "stream_merge_recovery",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM events
+    WHERE user_id % 13 = 0
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "sink", "foreachbatch", "merge", "recovery"),
+)
+def stream_merge_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crash-recovery topology for the foreachBatch MERGE sink — the
+    r10 verdict's missing contract, run END-TO-END as a registered
+    query rather than only asserted in pytest:
+
+    1. RUN 1 drains the first half of the time-split events fixture
+       (maxFilesPerTrigger=1, Trigger.AvailableNow) through
+       MergeLedgerTarget; every batch folds into a versioned parquet
+       target behind the ledger's atomic pointer swap.
+    2. KILL: the newest checkpoint commit-log entry is deleted while
+       the sink's ledger retains the batch — exactly the state left by
+       a process dying after sink.addBatch but before the engine's
+       commit-log write (the reference's exactly-once window,
+       `execution/streaming/StreamExecution.scala:217,445`).
+    3. RUN 2 restarts on the same checkpoint with the remaining files
+       staged: the engine REPLAYS the torn batch from its offset WAL
+       (same batch_id, same file), the ledger must skip the re-fold,
+       and the drain then continues through the new files.
+
+    The final profile table must equal the batch per-user aggregate
+    over ALL events — a double-fold (replay applied twice), a lost
+    fold (skip misfired), or a torn version pointer each breaks the
+    exact count / decimal sum / max-ts.  This composes with the file
+    source's replay contract the same way the Kafka-shaped source's
+    crash-window note composes in tests/test_crash_replay.py."""
+    import glob as _glob
+    import tempfile as _tf
+
+    from splitserve_spark.streaming.custom_state import (
+        _ordered_event_splits,
+    )
+    from splitserve_spark.tables import normalize_event_ts
+
+    ensure_parity_conf(spark)
+    splits_dir = _ordered_event_splits(spark, sf_dir)
+    split_files = sorted(_glob.glob(os.path.join(splits_dir, "b*.parquet")))
+    assert len(split_files) >= 4, split_files
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    base = os.path.join(
+        _tf.gettempdir(), "splitserve_spark_stream",
+        f"fbrecover_{tag}_p{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    staged = os.path.join(base, "staged")
+    os.makedirs(staged, exist_ok=True)
+    ckpt = os.path.join(base, "ckpt")
+    target = MergeLedgerTarget(spark, base, "user_id",
+                               events_profile_delta)
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _drain() -> None:
+        stream = normalize_event_ts(
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{staged}/b*.parquet")
+        ).select("user_id", "value", "ts")
+        q = (
+            stream.writeStream.foreachBatch(target.apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def _stage(files) -> None:
+        for f in files:
+            dst = os.path.join(staged, os.path.basename(f))
+            shutil.copy2(f, dst)  # copy2 keeps the ordered mtimes
+
+    half = len(split_files) // 2
+    _stage(split_files[:half])
+    _drain()  # run 1
+    applied_before = list(target.ledger()["applied"])
+    replayed = delete_latest_commit(ckpt)  # the kill
+    _stage(split_files[half:])
+    _drain()  # run 2: must replay `replayed`, skip its fold, continue
+    applied_after = target.ledger()["applied"]
+    assert replayed in applied_before, (replayed, applied_before)
+    assert sorted(applied_after) == list(range(len(split_files))) and len(
+        applied_after
+    ) == len(set(applied_after)), (
+        f"ledger corrupted across recovery: {applied_after}"
+    )
+    return (
+        target.current()
+        .filter(F.col("user_id") % 13 == 0)
         .select(
             "user_id",
             "n_events",
