@@ -283,6 +283,10 @@ class StmtResult:
     stmt: str
     outcome: str  # match | both_error | spark_only_ok | ledgered:<kind> | DIVERGENCE
     detail: str = ""
+    #: Spark's error string ("<TypeName>: message") when the Spark run
+    #: raised, whatever the outcome — feeds the expected-error-kind
+    #: cross-check against the reference's results/*.sql.out files.
+    spark_err: str | None = None
 
 
 def replay_file(spark: SparkSession, fname: str,
@@ -363,7 +367,7 @@ def _run_stmt(spark, con, fname, stmt, created_views, created_tables) -> StmtRes
             if serr is not None:
                 USED_LEDGER_KEYS.add(key)
                 return StmtResult(fname, stmt, "ledgered:spark_error",
-                                  entry.reason)
+                                  entry.reason, spark_err=serr)
             return StmtResult(fname, stmt, "DIVERGENCE",
                               "ledger says spark_error but Spark succeeded — stale entry")
         if serr is not None:
@@ -373,9 +377,11 @@ def _run_stmt(spark, con, fname, stmt, created_views, created_tables) -> StmtRes
                 # case"); an engine error IS the expected outcome.
                 # Non-error metadata behavior is counted by the
                 # spark_only_ok floor asserted in the test.
-                return StmtResult(fname, stmt, "meta_error", serr)
+                return StmtResult(fname, stmt, "meta_error", serr,
+                                  spark_err=serr)
             return StmtResult(fname, stmt, "DIVERGENCE",
-                              f"Spark DDL failed un-ledgered: {serr}")
+                              f"Spark DDL failed un-ledgered: {serr}",
+                              spark_err=serr)
         if is_view:
             # Mirror the new view into DuckDB so later queries compare.
             name = is_view.group(2)
@@ -417,13 +423,15 @@ def _run_stmt(spark, con, fname, stmt, created_views, created_tables) -> StmtRes
     # SET confs (order-by-ordinal.sql) — "both engines reject" always
     # passes, the ledger explains the occurrence where they split.
     if serr is not None and derr is not None:
-        return StmtResult(fname, stmt, "both_error")
+        return StmtResult(fname, stmt, "both_error", spark_err=serr)
     if serr is not None:
         if entry and entry.kind == "spark_error":
             USED_LEDGER_KEYS.add(key)
-            return StmtResult(fname, stmt, "ledgered:spark_error", entry.reason)
+            return StmtResult(fname, stmt, "ledgered:spark_error",
+                              entry.reason, spark_err=serr)
         return StmtResult(fname, stmt, "DIVERGENCE",
-                          f"Spark errored, DuckDB returned {len(drows)} rows: {serr}")
+                          f"Spark errored, DuckDB returned {len(drows)} rows: {serr}",
+                          spark_err=serr)
     if derr is not None:
         if entry and entry.kind == "duckdb_gap":
             USED_LEDGER_KEYS.add(key)
@@ -464,3 +472,141 @@ def _cleanup(spark, created_views, created_tables) -> None:
         spark.sql("SET spark.sql.crossJoin.enabled = true")
     except Exception:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Expected-error cross-check against the reference's results/*.sql.out
+# (r10 verdict "what's wrong" #2: "both engines reject" used to pass
+# without asserting Spark rejects for the reference's documented
+# reason; the .out files state the expected error class per statement).
+# ---------------------------------------------------------------------------
+
+RESULTS_DIR = os.environ.get(
+    "SPARK_GRAFT_SQL_RESULTS",
+    os.path.join(os.path.dirname(CORPUS_DIR), "results"),
+)
+
+_EXPECTED_ERROR_CACHE: dict[str, dict[str, str]] = {}
+
+
+def expected_error_kinds(fname: str) -> dict[str, str]:
+    """canon(stmt) → expected error kind for every statement the
+    reference's ``results/<fname>.out`` marks as an error case (schema
+    ``struct<>`` with an exception class as the first output line).
+    Kinds: 'parse' (catalyst.parser.ParseException), 'analysis'
+    (AnalysisException + the NoSuch* analysis subclasses), 'other'.
+    Read from the read-only reference tree at test time, like the
+    inputs — never copied into the repo."""
+    if fname in _EXPECTED_ERROR_CACHE:
+        return _EXPECTED_ERROR_CACHE[fname]
+    out: dict[str, str] = {}
+    path = os.path.join(RESULTS_DIR, fname + ".out")
+    if os.path.isfile(path):
+        with open(path) as fh:
+            text = fh.read()
+        blocks = re.split(r"^-- !query \d+$", text, flags=re.M)
+        for body in blocks[1:]:
+            parts = re.split(r"^-- !query \d+ schema$", body, flags=re.M)
+            if len(parts) != 2:
+                continue
+            sql, rest = parts
+            parts = re.split(r"^-- !query \d+ output$", rest, flags=re.M)
+            if len(parts) != 2:
+                continue
+            schema, output = parts[0].strip(), parts[1].strip()
+            if schema != "struct<>":
+                continue
+            first = output.splitlines()[0] if output else ""
+            if ("parser.ParseException" in first
+                    or first.startswith("Exception parsing")):
+                kind = "parse"
+            elif "AnalysisException" in first or "analysis.NoSuch" in first:
+                kind = "analysis"
+            elif "Exception" in first:
+                kind = "other"
+            else:
+                continue  # empty-output statement, not an error case
+            out[canon(sql)] = kind
+    _EXPECTED_ERROR_CACHE[fname] = out
+    return out
+
+
+def spark_error_kind(spark_err: str | None) -> str | None:
+    """Classify a captured Spark error string by its exception type."""
+    if not spark_err:
+        return None
+    name = spark_err.split(":", 1)[0]
+    if "ParseException" in name:
+        return "parse"
+    if "Analysis" in name or "NoSuch" in name:
+        return "analysis"
+    return "other"
+
+
+#: Statements whose ERROR KIND legitimately moved between the 2.1-era
+#: reference and modern Spark — each with the reason, asserted USED by
+#: the test (a stale entry fails, same discipline as LEDGER).
+ERROR_KIND_EVOLVED: dict[tuple[str, str], str] = {
+    ("inline-table.sql",
+     'select * from values ("one", 2.0), ("two") as data(a, b)'):
+        "VALUES row-arity mismatch moved from analysis (2.1 resolver) to "
+        "the parser's inline-table rule in modern Spark",
+    ("inline-table.sql",
+     'select * from values ("one"), ("two") as data(a, b)'):
+        "VALUES row-arity-vs-alias mismatch moved from analysis (2.1) to "
+        "the parser's inline-table rule in modern Spark",
+    ("literals.sql",
+     "select 1234567890123456789012345678901234567890"):
+        "precision-39 integral literal: 2.1 rejected in the parser; modern "
+        "Spark parses it and the DecimalType construction raises "
+        "ArithmeticException (DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION)",
+    ("literals.sql",
+     "select 1234567890123456789012345678901234567890.0"):
+        "precision-41 decimal literal: same parser->DecimalType "
+        "construction move as the integral form above",
+    ("literals.sql", "select interval 10 nanoseconds"):
+        "unknown interval unit: 2.1 rejected in the parser; modern Spark's "
+        "interval utility raises IllegalArgumentException at unit lookup",
+}
+
+USED_EVOLVED_KEYS: set[tuple[str, str]] = set()
+
+
+def expected_error_violations(results) -> tuple[list[str], int]:
+    """Cross-check replay results against the reference's expected
+    errors.  Returns (violations, n_verified) where n_verified counts
+    statements whose Spark error KIND matched the .out expectation.
+
+    Rules (parse/analysis expectations only — 'other' is not a class
+    the 2.1 suite distinguishes reliably):
+      * Spark errored → its kind must equal the expected kind, unless
+        the (file, stmt) carries a reasoned ERROR_KIND_EVOLVED entry.
+      * Spark succeeded on a reference-expected-error statement → the
+        outcome must be a reasoned ledgered:* entry (engine evolution
+        documented in sql_corpus_ledger.py); a bare match/spark_only_ok
+        is a silent strictness regression and fails.
+    """
+    violations: list[str] = []
+    verified = 0
+    for r in results:
+        exp = expected_error_kinds(r.file).get(canon(r.stmt))
+        if exp not in ("parse", "analysis"):
+            continue
+        key = (r.file, canon(r.stmt))
+        if r.spark_err is None:
+            if not r.outcome.startswith("ledgered:"):
+                violations.append(
+                    f"{r.file}: reference expects a {exp} error but Spark "
+                    f"succeeded un-ledgered ({r.outcome}): "
+                    f"{canon(r.stmt)[:140]}")
+            continue
+        got = spark_error_kind(r.spark_err)
+        if got == exp:
+            verified += 1
+        elif key in ERROR_KIND_EVOLVED:
+            USED_EVOLVED_KEYS.add(key)
+        else:
+            violations.append(
+                f"{r.file}: reference expects {exp}, Spark raised "
+                f"{r.spark_err.split(':', 1)[0]}: {canon(r.stmt)[:140]}")
+    return violations, verified

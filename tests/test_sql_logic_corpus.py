@@ -43,6 +43,8 @@ _FILES = (sql_corpus.corpus_files()
 #: the breadth / stale-ledger summary tests that run after them.
 _OUTCOMES: Counter = Counter()
 _FILES_RUN: set[str] = set()
+_ERROR_VIOLATIONS: list[str] = []
+_ERROR_KINDS_VERIFIED: list[int] = [0]
 
 
 @pytest.mark.parametrize("fname", _FILES)
@@ -56,7 +58,28 @@ def test_corpus_file(spark, fname):
     assert not divergences, f"{fname}: unexplained divergences:\n{msg}"
     for r in results:
         _OUTCOMES[r.outcome.split(":")[0]] += 1
+    violations, verified = sql_corpus.expected_error_violations(results)
+    _ERROR_VIOLATIONS.extend(violations)
+    _ERROR_KINDS_VERIFIED[0] += verified
     _FILES_RUN.add(fname)
+
+
+def test_expected_error_kinds_match_reference():
+    """The reference's results/*.sql.out files state the expected error
+    class per error statement; a both_error/meta_error outcome is only
+    a real pass if Spark rejected for the documented KIND (Parse vs
+    Analysis).  Every statement where Spark now errors differently (or
+    succeeds) must carry a reasoned ERROR_KIND_EVOLVED / ledger entry —
+    and the verified count is floored so the cross-check can't silently
+    no-op (62 error statements exist across 14 result files; 5 carry
+    evolution entries)."""
+    assert len(_FILES_RUN) >= 25, "runs before the per-file tests?"
+    assert not _ERROR_VIOLATIONS, "\n".join(_ERROR_VIOLATIONS[:10])
+    assert _ERROR_KINDS_VERIFIED[0] >= 50, _ERROR_KINDS_VERIFIED
+    stale = set(sql_corpus.ERROR_KIND_EVOLVED) - sql_corpus.USED_EVOLVED_KEYS
+    assert not stale, f"stale ERROR_KIND_EVOLVED entries: {sorted(stale)[:5]}"
+    for key, reason in sql_corpus.ERROR_KIND_EVOLVED.items():
+        assert len(reason) >= 20, key
 
 
 def test_corpus_breadth():
@@ -65,9 +88,13 @@ def test_corpus_breadth():
     assert len(_FILES_RUN) >= 25, _FILES_RUN
     assert _OUTCOMES["match"] >= 150, _OUTCOMES
     assert _OUTCOMES["spark_only_ok"] >= 50, _OUTCOMES
-    # Error-cases and ledger entries exist but stay bounded.
-    assert _OUTCOMES["both_error"] <= 60, _OUTCOMES
-    assert _OUTCOMES["ledgered"] <= 45, _OUTCOMES
+    # Error-cases and ledger entries exist but stay bounded.  The
+    # both_error ceiling tightened 60 → 45 in round 11 (measured 38)
+    # once the expected-error-kind cross-check below pinned the error
+    # CLASSES: mass drift into both_error now trips this sooner, and
+    # class drift within both_error trips the cross-check.
+    assert _OUTCOMES["both_error"] <= 45, _OUTCOMES
+    assert _OUTCOMES["ledgered"] <= 40, _OUTCOMES
 
 
 def test_ledger_entries_all_used():
