@@ -560,6 +560,100 @@ def mm_smoke(spark, src, out, scale):
         yield name, (lambda sf_dir, b=b: runner(b, sf_dir))
 
 
+#: Scalar-function replication smoke (r10 verdict task 6 — the last
+#: family with no K× evidence): the widest string / datetime / JSON
+#: projections driven over the replicated corpus.  They are narrow
+#: JVM projections, so the contract is strict: the SAME exchange count
+#: at 1× and K× (one single-partition exchange for the consuming
+#: global aggregate — growth would mean an expression started
+#: shuffling) and ~linear wall.  Every computed column is consumed
+#: through xxhash64 into the aggregate — a bare count() would let
+#: Catalyst prune the functions and time parquet metadata instead.
+FN_SMOKE = ["strings_wide", "datetime_wide", "json_wide"]
+
+
+def functions_smoke(spark, src, out, scale):
+    """Yield (name, runner(sf_dir)) pairs; runners return
+    {rows, exchanges} for a wide function projection reduced to one
+    hash-checksum row."""
+    from pyspark.sql import functions as F
+
+    from splitserve_spark.tables import Tables
+
+    def strings_wide(sf_dir):
+        t = F.col("text")
+        cols = [
+            F.upper(t), F.lower(t), F.length(t), F.substring(t, 5, 20),
+            F.trim(t), F.lpad("lang", 8, "*"), F.reverse(t),
+            F.translate(t, "aeiou", "AEIOU"),
+            F.regexp_extract(t, r"(\w+)\s+(\w+)", 2),
+            F.regexp_replace(t, r"\d+", "#"),
+            F.md5(t), F.sha2(t, 256),
+            F.levenshtein(F.substring(t, 1, 8), F.lit("sampletx")),
+            F.split(t, " ").getItem(3),
+            F.initcap(F.substring(t, 1, 30)),
+            F.soundex("source"),
+            F.format_string("%s|%s", "lang", "source"),
+            F.encode(F.substring(t, 1, 16), "utf-8"),
+        ]
+        return (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.xxhash64(*cols).alias("h"))
+            .agg(F.count("*").alias("rows_"), F.sum("h").alias("checksum"))
+        )
+
+    def datetime_wide(sf_dir):
+        ts = F.col("ts")
+        d = F.to_date(ts)
+        cols = [
+            F.year(ts), F.month(ts), F.dayofmonth(ts), F.hour(ts),
+            F.minute(ts), F.second(ts), F.dayofweek(ts), F.dayofyear(ts),
+            F.weekofyear(ts), F.quarter(ts), F.date_trunc("hour", ts),
+            d, F.date_format(ts, "yyyy-MM-dd HH:mm"),
+            F.unix_timestamp(ts), F.date_add(d, 30), F.add_months(d, 2),
+            F.months_between(d, F.lit("2024-01-01").cast("date")),
+            F.next_day(d, "Mon"), F.last_day(d),
+            F.datediff(d, F.lit("2024-01-01").cast("date")),
+        ]
+        return (
+            Tables(spark, sf_dir).events
+            .select(F.xxhash64(*cols).alias("h"))
+            .agg(F.count("*").alias("rows_"), F.sum("h").alias("checksum"))
+        )
+
+    def json_wide(sf_dir):
+        p = F.col("props")
+        cols = [
+            F.get_json_object(p, "$.k"),
+            F.from_json(p, "k INT").getField("k"),
+            F.to_json(F.from_json(p, "k INT")),
+            F.json_object_keys(p),
+            F.length(p),
+            F.schema_of_json(F.lit('{"k": 1}')),
+        ]
+        return (
+            Tables(spark, sf_dir).events
+            .select(F.xxhash64(*cols).alias("h"))
+            .agg(F.count("*").alias("rows_"), F.sum("h").alias("checksum"))
+        )
+
+    builders = {"strings_wide": strings_wide,
+                "datetime_wide": datetime_wide,
+                "json_wide": json_wide}
+
+    def runner(build, sf_dir):
+        df = build(sf_dir)
+        (row,) = df.collect()
+        exchanges = df._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange"
+        )
+        return {"rows": int(row["rows_"]), "exchanges": exchanges}
+
+    for name in FN_SMOKE:
+        b = builders[name]
+        yield name, (lambda sf_dir, b=b: runner(b, sf_dir))
+
+
 #: Hot-key smoke: a corpus where ONE user owns 50% of events — the
 #: shape the uniform replication smoke can never produce.  Checks that
 #: (a) AQE's skew-join split actually engages on the hot shuffle
@@ -821,6 +915,121 @@ REL_TABLES = [
 ]
 
 
+#: Vocabulary-growth (Heaps'-law) probe for the text-IR family — the
+#: r10 curve's own caveat: replication holds the vocabulary constant,
+#: so the df side of `_score_tfidf`'s UNHINTED join (text.py:693 —
+#: "unbounded vocab at scale; planner/AQE picks the join") never grows
+#: and the one join whose plan must CHANGE with data is never
+#: exercised.  This family synthesizes corpora whose distinct-token
+#: count grows ~ n^0.5 (|V| = ceil(sqrt(total tokens)); uniform
+#: frequencies — it is the join-side CARDINALITY that drives the plan,
+#: not the frequency shape) and asserts the broadcast→shuffle flip is
+#: graceful: identical values on both sides of it, bounded wall growth.
+VOCAB_DOC_LEN = 40
+#: Fixed autoBroadcastJoinThreshold for the flip observation, sized so
+#: the smallest vocab point broadcasts and the largest shuffles on
+#: local test corpora.  At the production default (10 MiB) the same
+#: flip happens near |V| ≈ 3×10^5 (≈ 10^11 tokens under Heaps β=0.5);
+#: scaling the threshold down moves the crossing into test range
+#: without changing the mechanism (AQE's measured-size decision).
+VOCAB_FLIP_THRESHOLD = "32768"  # 32 KiB: V=448 measures ~28 KiB → under
+
+
+def build_vocab_corpus(src: str, out: str, scale: int) -> None:
+    """Synthesize documents with Heaps'-law vocabulary: D·scale docs of
+    VOCAB_DOC_LEN tokens each, token(doc, i) = 't' || ((doc·L + i) mod
+    V) with V = ceil(sqrt(total tokens)) — consecutive positions cover
+    every residue, so distinct-token count is exactly V.  D comes from
+    the source SF's documents table so 1× matches its size."""
+    import math
+
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    d0 = con.execute(
+        f"SELECT count(*) FROM '{src}/documents.parquet'"
+    ).fetchone()[0]
+    n_docs = d0 * scale
+    vocab = math.ceil(math.sqrt(n_docs * VOCAB_DOC_LEN))
+    con.execute(f"""
+        COPY (
+          SELECT r.range AS doc_id,
+                 array_to_string(
+                   list_transform(
+                     range({VOCAB_DOC_LEN}),
+                     i -> 't' || ((r.range * {VOCAB_DOC_LEN} + i) % {vocab})
+                   ), ' ') AS text
+          FROM range(0, {n_docs}) r
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+    """)
+
+
+def vocab_probe(spark, sf_dir):
+    """One vocab point: postings cost, df-join plan choice at the fixed
+    flip threshold, and the same summary under a FORCED shuffle join
+    (the post-flip world) — values must agree across strategies."""
+    from pyspark.sql import functions as F
+
+    from splitserve_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        "doc_id", F.explode(T._words(F.col("text"))).alias("w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+
+    def scored_summary():
+        df_tab = tf.groupBy("w").agg(F.count("*").alias("df"))
+        n_docs = docs.agg(F.count("*").alias("n_docs"))
+        scored = T._score_tfidf(tf, df_tab, n_docs)
+        return scored.agg(
+            F.count("*").alias("n_scored"),
+            F.round(F.sum("raw"), 2).alias("checksum"),
+        )
+
+    def join_kind(plan):
+        # The n_docs attach is a hint-broadcast nested loop; the df
+        # join is the plan's single equi-join — classify by its node.
+        if "SortMergeJoin" in plan or "ShuffledHashJoin" in plan:
+            return "shuffle"
+        if "BroadcastHashJoin" in plan:
+            return "broadcast"
+        return "unknown"
+
+    rec = {"n_docs": docs.count(),
+           "vocab": words.select("w").distinct().count()}
+    t0 = time.time()
+    rec["postings_rows"] = tf.count()
+    rec["sec_postings"] = round(time.time() - t0, 3)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", VOCAB_FLIP_THRESHOLD
+        )
+        s = scored_summary()
+        t0 = time.time()
+        (row,) = s.collect()
+        rec["sec_natural"] = round(time.time() - t0, 3)
+        rec["checksum_natural"] = [row["n_scored"], float(row["checksum"])]
+        rec["df_join"] = join_kind(
+            s._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2 = scored_summary()
+        t0 = time.time()
+        (row2,) = s2.collect()
+        rec["sec_forced_shuffle"] = round(time.time() - t0, 3)
+        rec["checksum_shuffle"] = [row2["n_scored"], float(row2["checksum"])]
+        rec["df_join_forced"] = join_kind(
+            s2._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return rec
+
+
 def build_corpus(src: str, out: str, scale: int) -> None:
     """Replicate documents/embeddings/events scale× with offset ids
     (text/embedding/event payloads byte-identical per copy); symlink
@@ -866,7 +1075,8 @@ def main() -> int:
                     help="fail if sec_Kx/sec_1x exceeds this (default 3*scale)")
     ap.add_argument("--family",
                     choices=["pipeline", "graph", "streaming", "skew",
-                             "multimodal", "textir", "all"],
+                             "multimodal", "textir", "vocab", "functions",
+                             "all"],
                     default="all")
     args = ap.parse_args()
     ratio_limit = args.ratio_limit or 3.0 * args.scale
@@ -874,7 +1084,7 @@ def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = os.path.join(repo, "tmp_scale", f"x{args.scale}")
     if args.family in ("pipeline", "streaming", "multimodal", "textir",
-                       "all"):
+                       "functions", "all"):
         if os.path.isdir(out):
             shutil.rmtree(out)
         build_corpus(args.src, out, args.scale)
@@ -950,6 +1160,69 @@ def main() -> int:
                 rec["error"] = f"{type(exc).__name__}: {exc}"[:300]
                 failures.append(f"stream:{name}")
             print(json.dumps(rec), flush=True)
+
+    if args.family in ("functions", "all"):
+        for name, runner in functions_smoke(spark, args.src, out, args.scale):
+            rec = {"query": f"fn:{name}"}
+            try:
+                for tag, sf_dir in (("1x", args.src), (f"{args.scale}x", out)):
+                    t0 = time.time()
+                    res = runner(sf_dir)
+                    rec[f"sec_{tag}"] = round(time.time() - t0, 3)
+                    rec[f"rows_{tag}"] = res["rows"]
+                    rec[f"exchanges_{tag}"] = res["exchanges"]
+                rec["time_ratio"] = round(
+                    rec[f"sec_{args.scale}x"] / max(rec["sec_1x"], 1e-9), 2
+                )
+                if rec[f"exchanges_{args.scale}x"] != rec["exchanges_1x"]:
+                    rec["verdict"] = "PROJECTION_GREW_A_SHUFFLE"
+                    failures.append(f"fn:{name}")
+                elif rec[f"rows_{args.scale}x"] != args.scale * rec["rows_1x"]:
+                    rec["verdict"] = "ROWS_NOT_KX"
+                    failures.append(f"fn:{name}")
+                elif rec["time_ratio"] > ratio_limit:
+                    rec["verdict"] = "SUPERLINEAR"
+                    failures.append(f"fn:{name}")
+                else:
+                    rec["verdict"] = "ok"
+            except Exception as exc:  # noqa: BLE001 — report, keep smoking
+                rec["error"] = f"{type(exc).__name__}: {exc}"[:300]
+                failures.append(f"fn:{name}")
+            print(json.dumps(rec), flush=True)
+
+    if args.family == "vocab":  # Heaps'-law df-join probe, not in "all"
+        points = sorted({1, max(2, args.scale // 4), args.scale})
+        joins = {}
+        for k in points:
+            vout = os.path.join(repo, "tmp_scale", f"vocab{k}")
+            if os.path.isdir(vout):
+                shutil.rmtree(vout)
+            build_vocab_corpus(args.src, vout, k)
+            rec = {"query": f"vocab:{k}x", "scale": k}
+            try:
+                rec.update(vocab_probe(spark, vout))
+                if rec["checksum_natural"] != rec["checksum_shuffle"]:
+                    rec["verdict"] = "FLIP_CHANGED_VALUES"
+                    failures.append(f"vocab:{k}x")
+                elif rec["df_join_forced"] != "shuffle":
+                    rec["verdict"] = "FORCED_SHUFFLE_NOT_SHUFFLE"
+                    failures.append(f"vocab:{k}x")
+                else:
+                    rec["verdict"] = "ok"
+                joins[k] = rec.get("df_join")
+            except Exception as exc:  # noqa: BLE001 — report, keep smoking
+                rec["error"] = f"{type(exc).__name__}: {exc}"[:300]
+                failures.append(f"vocab:{k}x")
+            print(json.dumps(rec), flush=True)
+        rec = {"query": "vocab:flip",
+               "joins": [joins.get(k) for k in points], "points": points}
+        if joins.get(points[0]) == "broadcast" and (
+                joins.get(points[-1]) == "shuffle"):
+            rec["verdict"] = "ok"
+        else:
+            rec["verdict"] = "NO_FLIP_OBSERVED"
+            failures.append("vocab:flip")
+        print(json.dumps(rec), flush=True)
 
     if args.family == "textir":  # decomposition probe, not in "all"
         for tag, sf_dir in (("1x", args.src), (f"{args.scale}x", out)):
