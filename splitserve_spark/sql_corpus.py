@@ -486,20 +486,25 @@ RESULTS_DIR = os.environ.get(
     os.path.join(os.path.dirname(CORPUS_DIR), "results"),
 )
 
-_EXPECTED_ERROR_CACHE: dict[str, dict[str, str]] = {}
+_EXPECTED_ERROR_CACHE: dict[str, dict[str, list]] = {}
 
 
-def expected_error_kinds(fname: str) -> dict[str, str]:
-    """canon(stmt) → expected error kind for every statement the
-    reference's ``results/<fname>.out`` marks as an error case (schema
-    ``struct<>`` with an exception class as the first output line).
-    Kinds: 'parse' (catalyst.parser.ParseException), 'analysis'
-    (AnalysisException + the NoSuch* analysis subclasses), 'other'.
-    Read from the read-only reference tree at test time, like the
-    inputs — never copied into the repo."""
+def expected_error_kinds(fname: str) -> dict[str, list]:
+    """canon(stmt) → per-OCCURRENCE expected error kinds for the
+    reference's ``results/<fname>.out``: a list with one entry per
+    occurrence of that statement text, in file order — the kind for
+    error cases (schema ``struct<>`` with an exception class as the
+    first output line), None for occurrences the reference expects to
+    SUCCEED.  Per-occurrence matters: order-by-ordinal.sql runs the
+    same statement twice under different SET confs with OPPOSITE
+    expected outcomes, so a canon-keyed scalar would apply the error
+    expectation to both.  Kinds: 'parse' (catalyst.parser.
+    ParseException), 'analysis' (AnalysisException + the NoSuch*
+    analysis subclasses), 'other'.  Read from the read-only reference
+    tree at test time, like the inputs — never copied into the repo."""
     if fname in _EXPECTED_ERROR_CACHE:
         return _EXPECTED_ERROR_CACHE[fname]
-    out: dict[str, str] = {}
+    out: dict[str, list] = {}
     path = os.path.join(RESULTS_DIR, fname + ".out")
     if os.path.isfile(path):
         with open(path) as fh:
@@ -514,10 +519,10 @@ def expected_error_kinds(fname: str) -> dict[str, str]:
             if len(parts) != 2:
                 continue
             schema, output = parts[0].strip(), parts[1].strip()
-            if schema != "struct<>":
-                continue
             first = output.splitlines()[0] if output else ""
-            if ("parser.ParseException" in first
+            if schema != "struct<>":
+                kind = None  # expected to succeed
+            elif ("parser.ParseException" in first
                     or first.startswith("Exception parsing")):
                 kind = "parse"
             elif "AnalysisException" in first or "analysis.NoSuch" in first:
@@ -525,8 +530,8 @@ def expected_error_kinds(fname: str) -> dict[str, str]:
             elif "Exception" in first:
                 kind = "other"
             else:
-                continue  # empty-output statement, not an error case
-            out[canon(sql)] = kind
+                kind = None  # empty output, not an error case
+            out.setdefault(canon(sql), []).append(kind)
     _EXPECTED_ERROR_CACHE[fname] = out
     return out
 
@@ -588,11 +593,15 @@ def expected_error_violations(results) -> tuple[list[str], int]:
     """
     violations: list[str] = []
     verified = 0
+    seen: dict[tuple[str, str], int] = {}
     for r in results:
-        exp = expected_error_kinds(r.file).get(canon(r.stmt))
+        key = (r.file, canon(r.stmt))
+        occurrence = seen.get(key, 0)
+        seen[key] = occurrence + 1
+        kinds = expected_error_kinds(r.file).get(canon(r.stmt), [])
+        exp = kinds[occurrence] if occurrence < len(kinds) else None
         if exp not in ("parse", "analysis"):
             continue
-        key = (r.file, canon(r.stmt))
         if r.spark_err is None:
             if not r.outcome.startswith("ledgered:"):
                 violations.append(

@@ -574,9 +574,9 @@ def stream_merge_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     _drain()  # run 2: must replay `replayed`, skip its fold, continue
     applied_after = target.ledger()["applied"]
     assert replayed in applied_before, (replayed, applied_before)
-    assert sorted(applied_after) == list(range(len(split_files))) and len(
-        applied_after
-    ) == len(set(applied_after)), (
+    # Equality with range(n) of the SORTED ledger implies both
+    # completeness and no-duplicates in one check.
+    assert sorted(applied_after) == list(range(len(split_files))), (
         f"ledger corrupted across recovery: {applied_after}"
     )
     return (

@@ -200,7 +200,13 @@ def test_dedup_state_survives_kill_and_stays_bounded(spark, tmp_path):
 # Kafka-shaped source composed with the MERGE sink: the crash-window
 # size-doubling note, end to end.
 
-KC_LOG = 120
+#: Log sized for precondition headroom: phase 1 stops after 2 applied
+#: batches, but the 300 ms trigger keeps planning until q.stop()
+#: completes, so a contended host can overshoot by several cap-widths
+#: before the kill.  240 offsets leave ~26 batches of slack under the
+#: `pre_kill_end < KC_LOG - 2*KC_CAP` precondition (an 8+ second stop
+#: latency tolerance) while phase 2 still drains in ~30 batches.
+KC_LOG = 240
 KC_CAP = 8
 
 

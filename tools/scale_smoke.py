@@ -983,9 +983,17 @@ def vocab_probe(spark, sf_dir):
         df_tab = tf.groupBy("w").agg(F.count("*").alias("df"))
         n_docs = docs.agg(F.count("*").alias("n_docs"))
         scored = T._score_tfidf(tf, df_tab, n_docs)
+        # Checksum must be EXACTLY equal across the broadcast and
+        # shuffle plans, so it cannot be a float sum (partial-sum
+        # order differs between the two plans; over 12.8M doubles the
+        # last-ulp drift can cross a rounding boundary).  Per-row
+        # rounding to integer micro-units is plan-independent and the
+        # long sum is associative — bit-equal by construction when the
+        # values are.
         return scored.agg(
             F.count("*").alias("n_scored"),
-            F.round(F.sum("raw"), 2).alias("checksum"),
+            F.sum(F.round(F.col("raw") * 1_000_000).cast("long"))
+            .alias("checksum"),
         )
 
     def join_kind(plan):
@@ -1012,7 +1020,7 @@ def vocab_probe(spark, sf_dir):
         t0 = time.time()
         (row,) = s.collect()
         rec["sec_natural"] = round(time.time() - t0, 3)
-        rec["checksum_natural"] = [row["n_scored"], float(row["checksum"])]
+        rec["checksum_natural"] = [row["n_scored"], int(row["checksum"])]
         rec["df_join"] = join_kind(
             s._jdf.queryExecution().executedPlan().toString()
         )
@@ -1021,7 +1029,7 @@ def vocab_probe(spark, sf_dir):
         t0 = time.time()
         (row2,) = s2.collect()
         rec["sec_forced_shuffle"] = round(time.time() - t0, 3)
-        rec["checksum_shuffle"] = [row2["n_scored"], float(row2["checksum"])]
+        rec["checksum_shuffle"] = [row2["n_scored"], int(row2["checksum"])]
         rec["df_join_forced"] = join_kind(
             s2._jdf.queryExecution().executedPlan().toString()
         )
@@ -1174,7 +1182,11 @@ def main() -> int:
                 rec["time_ratio"] = round(
                     rec[f"sec_{args.scale}x"] / max(rec["sec_1x"], 1e-9), 2
                 )
-                if rec[f"exchanges_{args.scale}x"] != rec["exchanges_1x"]:
+                if (rec[f"exchanges_{args.scale}x"] != rec["exchanges_1x"]
+                        or rec["exchanges_1x"] != 2):
+                    # Exactly 2 = partial + final of the consuming
+                    # aggregate; anything else means an expression
+                    # started shuffling (even uniformly at both scales).
                     rec["verdict"] = "PROJECTION_GREW_A_SHUFFLE"
                     failures.append(f"fn:{name}")
                 elif rec[f"rows_{args.scale}x"] != args.scale * rec["rows_1x"]:
