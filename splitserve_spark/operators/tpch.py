@@ -750,7 +750,8 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_discounted_revenue",
     oracle="""
-    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND (
          (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -767,7 +768,15 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: disjunction of conjunctive predicates spanning both
     join sides — equi-key extracted (p_partkey = l_partkey), residual OR
     evaluated post-join (the 2.1 planner falls to BNL without the key
-    extraction; Catalyst extracts it)."""
+    extraction; Catalyst extracts it).
+
+    The revenue sum goes through DECIMAL(18,4) — LOSSLESS here (the
+    2-dp price × 2-dp (1−discount) product has ≤4 decimal places) and
+    associative, so the result is bit-identical across partition
+    counts and engines.  A raw double sum flaked by one ULP on the 8×
+    twin corpus (r11, one occurrence in ~700 query-runs): partial-sum
+    order differs between engines/runs, the exact class FIXTURES.md's
+    decimal-sum discipline exists to close."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     cond = (
@@ -782,7 +791,12 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem
         .join(t.part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("revenue")
+        )
     )
 
 
