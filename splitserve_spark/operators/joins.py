@@ -33,7 +33,8 @@ from splitserve_spark.tables import Tables
     oracle="""
     SELECT
       l_orderkey,
-      round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       o_orderdate,
       o_orderpriority
     FROM customer
@@ -68,11 +69,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        # 4dp both engines: partial-agg order drifts ULPs under strict compare
+        # Lossless decimal sum: exact and associative — bit-identical
+        # at any partition count (vs round-4 absorbing MOST ULP drift).
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -83,7 +86,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_region_revenue",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -128,9 +132,10 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )

@@ -27,12 +27,17 @@ from splitserve_spark.tables import Tables
       l_returnflag,
       l_linestatus,
       sum(l_quantity)                                        AS sum_qty,
-      sum(l_extendedprice)                                   AS sum_base_price,
-      sum(l_extendedprice * (1 - l_discount))                AS sum_disc_price,
-      sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))  AS sum_charge,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                                                             AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE)            AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                    AS DECIMAL(18,6))) AS DOUBLE)            AS sum_charge,
       avg(l_quantity)                                        AS avg_qty,
-      avg(l_extendedprice)                                   AS avg_price,
-      avg(l_discount)                                        AS avg_disc,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        / count(*)                                           AS avg_price,
+      CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        / count(*)                                           AS avg_disc,
       count(*)                                               AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -59,12 +64,23 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            # Money sums go through LOSSLESS decimal casts (2dp price,
+            # 4dp price*(1-disc), 6dp *(1+tax)): exact and associative,
+            # so results are bit-identical at any partition count —
+            # raw double sums are partial-sum-order dependent (the ULP
+            # class the r11 twin sweep caught on q19).  Averages of
+            # money columns divide the exact decimal sum as a double.
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,4)"))
+            .cast("double").alias("sum_disc_price"),
+            F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)"))
+            .cast("double").alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             .cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(18,2)"))
+             .cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

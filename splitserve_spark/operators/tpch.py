@@ -161,7 +161,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT sum(l_extendedprice * l_discount) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -184,18 +185,25 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount"))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("revenue")
+        )
     )
 
 
 @register(
     "q7_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              EXTRACT(year FROM l_shipdate) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4)) AS volume
       FROM supplier, lineitem, orders, customer, nation n1, nation n2
       WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
         AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
@@ -240,10 +248,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)").alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 4).alias("revenue"))
+        .agg(F.sum("volume").cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -252,11 +261,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-             / sum(volume), 9) AS mkt_share
+           round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                          ELSE 0 END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 9) AS mkt_share
     FROM (
       SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4)) AS volume,
              n2.n_name AS nation
       FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
       WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
@@ -314,14 +325,18 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp_nation, F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)").alias("volume"),
             "nation",
         )
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", F.col("volume"))
+                    .otherwise(F.lit(0).cast("decimal(18,4)"))
+                ).cast("double")
+                / F.sum("volume").cast("double"),
                 9,
             ).alias("mkt_share")
         )
@@ -332,11 +347,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_product_profit",
     oracle="""
-    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount)
-               - 0.5 * p_retailprice * l_quantity AS amount
+             CAST(l_extendedprice * (1 - l_discount)
+                  - 0.5 * p_retailprice * l_quantity
+                  AS DECIMAL(18,4)) AS amount
       FROM part, supplier, lineitem, orders, nation
       WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
         AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
@@ -376,10 +392,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
                 - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
-            ).alias("amount"),
+            ).cast("decimal(18,4)").alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
 
@@ -388,7 +404,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            c_acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -418,7 +435,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -430,13 +450,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_parts",
     oracle="""
     SELECT l_partkey AS ps_partkey,
-           round(sum(l_extendedprice * l_quantity), 4) AS value
+           CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2)))
+                AS DOUBLE) AS value
     FROM lineitem, supplier, nation
     WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
       AND n_name = 'NATION_5'
     GROUP BY l_partkey
-    HAVING sum(l_extendedprice * l_quantity) > (
-      SELECT sum(l_extendedprice * l_quantity) * 0.001
+    HAVING sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) > (
+      SELECT sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) * 0.001
       FROM lineitem, supplier, nation
       WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         AND n_name = 'NATION_5')
@@ -460,16 +481,21 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t.lineitem.join(
         nation5_supp, F.col("l_suppkey") == F.col("s_suppkey")
-    ).select("l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("v"))
+    ).select(
+        "l_partkey",
+        (F.col("l_extendedprice") * F.col("l_quantity"))
+        .cast("decimal(18,2)").alias("v"),
+    )
     per_part = li.groupBy("l_partkey").agg(F.sum("v").alias("value"))
+    # decimal sum * double literal -> double on both engines, computed
+    # from the exact sum, so the threshold is bit-identical everywhere.
     threshold = li.agg((F.sum("v") * 0.001).alias("threshold"))
     return (
         per_part.join(F.broadcast(threshold))
         .filter(F.col("value") > F.col("threshold"))
-        # 4dp AFTER the threshold filter (both engines filter on raw sums)
         .select(
             F.col("l_partkey").alias("ps_partkey"),
-            F.round("value", 4).alias("value"),
+            F.col("value").cast("double").alias("value"),
         )
         .orderBy(F.col("value").desc(), "ps_partkey")
     )
@@ -556,10 +582,12 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle="""
-    SELECT 100.00 * sum(CASE WHEN p_type = 'PROMO'
-                             THEN l_extendedprice * (1 - l_discount)
-                             ELSE 0 END)
-           / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+    SELECT 100.00 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,4))
+                             ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1996-09-01'
@@ -572,7 +600,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: promo revenue ratio; part broadcast, single-row out."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,4)")
     return (
         t.lineitem
         .filter(
@@ -583,8 +613,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev)
+                    .otherwise(F.lit(0).cast("decimal(18,4)"))
+                ).cast("double")
+                / F.sum(rev).cast("double")
             ).alias("promo_revenue")
         )
     )
@@ -595,12 +628,14 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
     FROM supplier, revenue
     WHERE s_suppkey = supplier_no
       AND total_revenue = (SELECT max(total_revenue) FROM revenue)
@@ -621,14 +656,24 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < _ts("1996-04-01"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("total_revenue")
+        )
     )
+    # The MAX equality match stays in exact decimal — float ULP drift
+    # here could select a different supplier, not just shift a digit.
     max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
         revenue.join(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_rev"))
         .join(t.supplier, F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
         .orderBy("s_suppkey")
     )
 
@@ -675,7 +720,8 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0, 4) AS avg_yearly
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND p_brand = 'Brand#3' AND p_size < 10
       AND l_quantity < (
@@ -700,7 +746,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(parts, F.col("p_partkey") == F.col("l_partkey"))
         .join(per_part_avg, F.col("ap_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double") / 7.0, 4,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -929,13 +980,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_global_sales_opportunity",
     oracle="""
-    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
     FROM (
       SELECT c_nationkey % 5 AS cntrycode, c_acctbal, c_custkey
       FROM customer
       WHERE c_nationkey % 5 IN (0, 1, 2)
         AND c_acctbal > (
-          SELECT avg(c_acctbal) FROM customer
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)
+          FROM customer
           WHERE c_acctbal > 0 AND c_nationkey % 5 IN (0, 1, 2))
     ) custsale
     WHERE NOT EXISTS (
@@ -956,8 +1011,12 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     code = (F.col("c_nationkey") % 5).alias("cntrycode")
     eligible = t.customer.filter((F.col("c_nationkey") % 5).isin(0, 1, 2))
+    # The threshold is a float-COMPARISON input: an ULP-drifted
+    # average could flip a boundary customer in or out, changing
+    # numcust — so the mean divides the exact decimal sum as a double.
     avg_bal = eligible.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_bal")
     )
     recent_orders = t.orders.filter(F.col("o_orderdate") >= _ts("2000-01-01")).select(
         "o_custkey"
@@ -971,7 +1030,8 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
