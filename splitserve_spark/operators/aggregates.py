@@ -571,7 +571,8 @@ def agg_median_mode_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            count(DISTINCT o_orderpriority) AS n_prio,
            count(DISTINCT o_custkey)       AS n_cust,
-           sum(o_totalprice)               AS total,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                           AS total,
            count(*)                        AS n
     FROM orders
     GROUP BY o_orderstatus
@@ -591,7 +592,8 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("o_orderpriority").alias("n_prio"),
             F.countDistinct("o_custkey").alias("n_cust"),
-            F.sum("o_totalprice").alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("o_orderstatus")

@@ -129,10 +129,12 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 @register(
     "join_bucketed_colocated",
     oracle="""
-    SELECT o_custkey, round(sum(l_extendedprice), 4) AS total_price
+    SELECT o_custkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_custkey
-    HAVING sum(l_extendedprice) > 1000000
+    HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) > 1000000
     ORDER BY o_custkey
     """,
     tags=("join", "bucketing", "scale"),
@@ -150,10 +152,16 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(F.sum("l_extendedprice").alias("raw_total"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .alias("raw_total")
+        )
+        # Threshold on the EXACT decimal sum: a double sum near the
+        # 1M boundary could flip a customer's membership by one ULP.
         .filter(F.col("raw_total") > 1_000_000)
-        # 4dp both engines AFTER the HAVING filter (round before filter
-        # could flip membership near the threshold).
-        .select("o_custkey", F.round("raw_total", 4).alias("total_price"))
+        .select(
+            "o_custkey",
+            F.col("raw_total").cast("double").alias("total_price"),
+        )
         .orderBy("o_custkey")
     )

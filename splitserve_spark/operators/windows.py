@@ -116,12 +116,16 @@ def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rows_frame",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)   AS running_spend,
-           round(avg(o_totalprice) OVER (
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE)                                          AS running_spend,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)           AS moving_avg_3,
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)       AS moving_avg_3,
            count(*) OVER (PARTITION BY o_custkey)                AS cust_orders
     FROM orders
     ORDER BY o_custkey, o_orderkey
@@ -138,14 +142,21 @@ def window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.orders.select(
             "o_custkey",
             "o_orderkey",
-            # 4dp both engines: running-sum accumulation order drifts ULPs.
+            # Exact decimal accumulation: a double running sum is
+            # accumulation-order/association dependent (segment-tree vs
+            # sequential differ in ULPs); the 2dp money column sums
+            # losslessly in DECIMAL(18,2).  The moving average divides
+            # the exact frame sum by the frame count as doubles.
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(
+                ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("double").alias("running_spend"),
             F.round(
-                F.sum("o_totalprice").over(
-                    ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                ), 4,
-            ).alias("running_spend"),
-            F.round(
-                F.avg("o_totalprice").over(ordered.rowsBetween(-2, Window.currentRow)),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .over(ordered.rowsBetween(-2, Window.currentRow))
+                .cast("double")
+                / F.count(F.lit(1)).over(
+                    ordered.rowsBetween(-2, Window.currentRow)
+                ),
                 4,
             ).alias("moving_avg_3"),
             F.count(F.lit(1))
