@@ -38,25 +38,27 @@ def _ts(lit: str):
     WITH flows AS (
       SELECT 'order channel' AS channel,
              'status_' || o_orderstatus AS id,
-             l_extendedprice * (1 - l_discount) AS sales,
-             CASE WHEN l_returnflag = 'R'
-                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS returns
+             CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4)) AS sales,
+             CAST(CASE WHEN l_returnflag = 'R'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                  AS DECIMAL(18,4)) AS returns
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-07-01'
       UNION ALL
       SELECT 'priority channel' AS channel,
              'prio_' || substr(o_orderpriority, 1, 1) AS id,
-             o_totalprice AS sales,
-             0 AS returns
+             CAST(o_totalprice AS DECIMAL(18,4)) AS sales,
+             CAST(0 AS DECIMAL(18,4)) AS returns
       FROM orders
       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         AND o_orderdate < TIMESTAMP '1996-07-01'
     )
     SELECT channel, id,
-           round(sum(sales), 4)   AS total_sales,
-           round(sum(returns), 4) AS total_returns,
-           round(sum(sales - returns), 4) AS profit
+           CAST(sum(sales) AS DOUBLE)   AS total_sales,
+           CAST(sum(returns) AS DOUBLE) AS total_returns,
+           CAST(sum(sales - returns) AS DOUBLE) AS profit
     FROM flows
     GROUP BY ROLLUP (channel, id)
     ORDER BY channel NULLS FIRST, id NULLS FIRST
@@ -82,8 +84,9 @@ def qds5_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit("order channel").alias("channel"),
             F.concat(F.lit("status_"), F.col("o_orderstatus")).alias("id"),
-            rev.alias("sales"),
-            F.when(F.col("l_returnflag") == "R", rev).otherwise(0.0).alias("returns"),
+            rev.cast("decimal(18,4)").alias("sales"),
+            F.when(F.col("l_returnflag") == "R", rev)
+            .otherwise(0.0).cast("decimal(18,4)").alias("returns"),
         )
     )
     flow2 = (
@@ -95,18 +98,20 @@ def qds5_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit("priority channel").alias("channel"),
             F.concat(F.lit("prio_"), F.substring("o_orderpriority", 1, 1)).alias("id"),
-            F.col("o_totalprice").alias("sales"),
-            F.lit(0.0).alias("returns"),
+            F.col("o_totalprice").cast("decimal(18,4)").alias("sales"),
+            F.lit(0).cast("decimal(18,4)").alias("returns"),
         )
     )
     return (
         flow1.unionAll(flow2)
         .rollup("channel", "id")
         .agg(
-            # 4dp both engines: rollup re-aggregation order drifts ULPs
-            F.round(F.sum("sales"), 4).alias("total_sales"),
-            F.round(F.sum("returns"), 4).alias("total_returns"),
-            F.round(F.sum(F.col("sales") - F.col("returns")), 4).alias("profit"),
+            # Exact decimal sums (lossless 4dp inputs): associative,
+            # so the rollup's re-aggregation order cannot drift a ULP.
+            F.sum("sales").cast("double").alias("total_sales"),
+            F.sum("returns").cast("double").alias("total_returns"),
+            F.sum(F.col("sales") - F.col("returns"))
+            .cast("double").alias("profit"),
         )
         .orderBy(F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
     )
@@ -114,7 +119,8 @@ def qds5_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q16_94_ORACLE = """
     SELECT count(DISTINCT o_orderkey) AS order_count,
-           round(sum(o_totalprice), 4) AS total_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
     FROM (
       SELECT DISTINCT o_orderkey, o_totalprice
       FROM orders, lineitem l1
@@ -159,7 +165,8 @@ def _q16_94_impl(
         .join(returned, F.col("o_orderkey") == returned["l_orderkey"], "left_anti")
         .agg(
             F.countDistinct("o_orderkey").alias("order_count"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total_price"),
         )
     )
 
@@ -214,7 +221,8 @@ def qds94_web_no_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l1.l_orderkey
     )
     SELECT count(DISTINCT o_orderkey) AS order_count,
-           round(sum(o_totalprice), 4) AS total_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-06-01'
       AND o_orderdate < TIMESTAMP '1996-09-01'
@@ -262,7 +270,8 @@ def qds95_both_sites_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.countDistinct("o_orderkey").alias("order_count"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total_price"),
         )
     )
 
@@ -738,7 +747,8 @@ def qds51_cumulative_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH item_rev AS (
       SELECT p_partkey AS item_id, p_type AS item_type,
              p_brand AS class,
-             {_DEC_REVENUE_SQL} AS itemrevenue
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))) AS itemrev_dec
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN part   ON l_partkey  = p_partkey
@@ -746,9 +756,11 @@ def qds51_cumulative_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND DATE '1997-11-30'
       GROUP BY item_id, item_type, class
     )
-    SELECT item_id, item_type, class, itemrevenue,
-           round(itemrevenue * 100.0 /
-                 sum(itemrevenue) OVER (PARTITION BY class), 6)
+    SELECT item_id, item_type, class,
+           CAST(itemrev_dec AS DOUBLE) AS itemrevenue,
+           round(CAST(itemrev_dec AS DOUBLE) * 100.0 /
+                 CAST(sum(itemrev_dec) OVER (PARTITION BY class)
+                      AS DOUBLE), 6)
                AS revenueratio
     FROM item_rev
     ORDER BY class, revenueratio DESC, item_id
@@ -788,7 +800,16 @@ def qds98_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_type").alias("item_type"),
             F.col("p_brand").alias("class"),
         )
-        .agg(_dec_revenue().alias("itemrevenue"))
+        .agg(
+            # Kept DECIMAL through the window: the class denominator is
+            # a sum over per-item revenues, and a double window sum is
+            # accumulation-order dependent.  Both sides cast to double
+            # only at the ratio/output.
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("itemrev_dec")
+        )
     )
     from pyspark.sql.window import Window
 
@@ -798,9 +819,11 @@ def qds98_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "item_id",
             "item_type",
             "class",
-            "itemrevenue",
+            F.col("itemrev_dec").cast("double").alias("itemrevenue"),
             F.round(
-                F.col("itemrevenue") * 100.0 / F.sum("itemrevenue").over(w), 6
+                F.col("itemrev_dec").cast("double") * 100.0
+                / F.sum("itemrev_dec").over(w).cast("double"),
+                6,
             ).alias("revenueratio"),
         )
         .orderBy("class", F.col("revenueratio").desc(), "item_id")
