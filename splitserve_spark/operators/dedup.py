@@ -771,3 +771,208 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+#: Token-window width for substring-level dedup.  The published
+#: technique (Lee et al. 2022, "Deduplicating Training Data Makes
+#: Language Models Better") uses 50-token windows over BPE tokens; the
+#: synthetic corpus averages ~40 words per doc, so 8 keeps the window
+#: meaningfully sub-document while still spanning real phrase overlap.
+SUBSTR_WIN = 8
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    toks AS (SELECT doc_id, string_split(norm, ' ') AS w FROM docs),
+    wins AS (
+      SELECT doc_id, len(w) AS tok_count, i AS pos,
+             {md5_hash60_sql(f"array_to_string(w[i:i+{SUBSTR_WIN}-1], ' ')")} AS h
+      FROM toks,
+           unnest(CASE WHEN len(w) >= {SUBSTR_WIN}
+                       THEN range(1, len(w) - {SUBSTR_WIN} + 2)
+                       ELSE [] END) AS t(i)
+    ),
+    dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+    hits AS (
+      SELECT doc_id, tok_count, pos FROM wins
+      WHERE h IN (SELECT h FROM dup)
+    ),
+    isl AS (
+      SELECT doc_id, tok_count, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {SUBSTR_WIN} - 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT doc_id, tok_count, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, max(tok_count) AS tok_count,
+             min(pos) AS s, max(pos) + {SUBSTR_WIN} - 1 AS e
+      FROM isl2 GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)        AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT)  AS dup_tokens,
+           CAST(max(tok_count) AS BIGINT)  AS tok_count,
+           CAST(sum(e - s + 1) AS DOUBLE) / CAST(max(tok_count) AS DOUBLE)
+                                           AS dup_frac
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("dedup", "llm-pipeline", "substring"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022 ExactSubstr, the
+    suffix-array technique, re-expressed Spark-first): every
+    SUBSTR_WIN-token window is fingerprinted; a window whose
+    fingerprint occurs ≥2 times anywhere in the corpus (cross-doc or
+    intra-doc) is duplicated; per document, overlapping duplicated
+    windows merge into maximal spans.  Output per affected doc:
+    span count, duplicated-token total, and duplicated fraction —
+    exactly the removal plan ExactSubstr derives from its suffix
+    array, without materializing one.
+
+    Spark-first shape instead of a distributed suffix array:
+      scan → window fingerprints (one narrow higher-order projection,
+      no Python) → groupBy(h) with map-side partial counts → the
+      duplicated-hash set (tiny on clean corpora) → left-semi join
+      back → per-doc interval merge as an array fold.
+    The interval merge deliberately avoids a partitionBy(doc_id)
+    row-window: positions collapse to one sorted array per doc
+    (bounded by document length, never by corpus size) and a single
+    F.aggregate fold emits (n_spans, dup_tokens) — no second sort, no
+    per-row window state.
+
+    Scale notes for 100 TB: the heavy shuffle is the fingerprint
+    count, and it ships (h, partial-count) pairs after map-side
+    combine — the full (doc, pos) stream never shuffles by h.  The
+    probe side reuses the persisted window table (one scan of
+    documents in the whole plan).  The dup-hash set is
+    output-sized (boilerplate only), so AQE turns the semi join into
+    a broadcast on clean corpora and falls back to a shuffled semi
+    join gracefully when a boilerplate-heavy crawl inflates it.  A
+    hot fingerprint (10⁷-copy boilerplate window) lands in ONE
+    groupBy cell (combiner-absorbed), not a window task."""
+    ensure_parity_conf(spark)
+    _release_prior()
+    K = SUBSTR_WIN
+    t = Tables(spark, sf_dir)
+    parallelism = spark.sparkContext.defaultParallelism
+
+    # Let-bound token array (same CollapseProject hazard as _shingles:
+    # without the 1-element transform trick the split() re-inlines into
+    # every slice/size reference).
+    def win_struct(w):
+        return F.struct(
+            F.size(w).cast("long").alias("tok_count"),
+            F.when(
+                F.size(w) >= K,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - K + 1),
+                    lambda i: F.array_join(F.slice(w, i, K), " "),
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("wins"),
+        )
+
+    base = (
+        t.documents.repartition(parallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.element_at(
+                F.transform(
+                    F.array(F.split(_norm(F.col("text")), " ")), win_struct
+                ),
+                1,
+            ).alias("st"),
+        )
+    )
+    wins = _persist_tracked(
+        base.select(
+            "doc_id",
+            F.col("st.tok_count").alias("tok_count"),
+            F.posexplode(F.col("st.wins")).alias("pos0", "win"),
+        ).select(
+            "doc_id",
+            "tok_count",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            md5_hash60(F.col("win")).alias("h"),
+        )
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("h")
+    )
+    hits = wins.join(dup, "h", "left_semi")
+    per_doc = hits.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("ps"),
+        F.max("tok_count").alias("tok_count"),
+    )
+
+    # Interval-merge fold: acc = (n_spans, dup_tokens, cur_start,
+    # cur_end); a position p extends the open span iff p <= cur_end
+    # (shares ≥1 token), else closes it and opens [p, p+K-1].
+    def _merge(acc, p):
+        closed = F.struct(
+            (acc["n_spans"] + 1).alias("n_spans"),
+            (acc["dup"] + acc["ce"] - acc["cs"] + 1).alias("dup"),
+            p.alias("cs"),
+            (p + F.lit(K - 1)).alias("ce"),
+        )
+        extended = F.struct(
+            acc["n_spans"].alias("n_spans"),
+            acc["dup"].alias("dup"),
+            acc["cs"].alias("cs"),
+            F.greatest(acc["ce"], p + F.lit(K - 1)).alias("ce"),
+        )
+        opened = F.struct(
+            acc["n_spans"].alias("n_spans"),
+            acc["dup"].alias("dup"),
+            p.alias("cs"),
+            (p + F.lit(K - 1)).alias("ce"),
+        )
+        return (
+            F.when(acc["ce"] < 0, opened)
+            .when(p <= acc["ce"], extended)
+            .otherwise(closed)
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("n_spans"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(-1).cast("long").alias("cs"),
+        F.lit(-1).cast("long").alias("ce"),
+    )
+    folded = F.aggregate(
+        F.col("ps"),
+        init,
+        _merge,
+        lambda acc: F.struct(
+            (acc["n_spans"] + 1).alias("n_spans"),
+            (acc["dup"] + acc["ce"] - acc["cs"] + 1).alias("dup"),
+        ),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            folded["n_spans"].alias("n_spans"),
+            folded["dup"].alias("dup_tokens"),
+            "tok_count",
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_tokens",
+            "tok_count",
+            (F.col("dup_tokens") / F.col("tok_count")).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

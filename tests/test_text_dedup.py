@@ -110,3 +110,52 @@ def test_minhash_lsh_hot_clique_corpus(spark, tmp_path):
     # near-dup block, so any such pair would be a banding/expansion bug.
     leak = out[(out["doc_a"] < n_hot) & (out["doc_b"] >= n_hot)]
     assert leak.empty
+
+
+def test_substring_spans_planted_corpus(spark, tmp_path):
+    """Hand-computable substring-dedup semantics on a planted corpus:
+    - docs 0/1 share a 20-token run embedded at the same offset in
+      otherwise-unique text -> one merged span [6, 25] in each,
+    - doc 2 repeats a 10-token block back-to-back -> TWO spans
+      ([1,10] and [11,20]: the windows at the seam differ, so the
+      islands must NOT merge),
+    - doc 3 (unique, >= K tokens) and doc 4 (< K tokens) are absent,
+    - docs 5/6 are byte-identical -> one whole-doc span, dup_frac 1.0.
+    """
+    import pandas as pd
+
+    from splitserve_spark.operators.dedup import SUBSTR_WIN
+
+    assert SUBSTR_WIN == 8, "expectations below are computed for K=8"
+    a = [f"a{i}" for i in range(1, 31)]
+    doc0 = " ".join(a)
+    doc1 = " ".join([f"b{i}" for i in range(1, 6)] + a[5:25]
+                    + [f"b{i}" for i in range(6, 11)])
+    r = [f"r{i}" for i in range(1, 11)]
+    doc2 = " ".join(r + r + [f"u{i}" for i in range(1, 11)])
+    doc3 = " ".join(f"d{i}" for i in range(1, 13))
+    doc4 = "e1 e2 e3 e4 e5"
+    doc5 = " ".join(f"f{i}" for i in range(1, 16))
+    rows = [(0, doc0), (1, doc1), (2, doc2), (3, doc3), (4, doc4),
+            (5, doc5), (6, doc5)]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).assign(
+        lang="en", source="srcX", n_chars=lambda d: d["text"].str.len()
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    out = (
+        REGISTRY["dedup_substring_spans"].fn(spark, str(tmp_path))
+        .toPandas().set_index("doc_id")
+    )
+    assert sorted(out.index) == [0, 1, 2, 5, 6]
+    for d in (0, 1):
+        assert out.loc[d, "n_spans"] == 1
+        assert out.loc[d, "dup_tokens"] == 20
+        assert out.loc[d, "tok_count"] == 30
+        assert out.loc[d, "dup_frac"] == 20 / 30
+    assert out.loc[2, "n_spans"] == 2
+    assert out.loc[2, "dup_tokens"] == 20
+    assert out.loc[2, "tok_count"] == 30
+    for d in (5, 6):
+        assert out.loc[d, "n_spans"] == 1
+        assert out.loc[d, "dup_tokens"] == 15
+        assert out.loc[d, "dup_frac"] == 1.0
