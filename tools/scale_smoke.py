@@ -65,6 +65,7 @@ SMOKE_QUERIES = [
     "sim_semantic_dedup",
     "sim_range_search",
     "text_gopher_filter",
+    "dedup_substring_spans",
 ]
 
 
@@ -1081,6 +1082,9 @@ def main() -> int:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--ratio-limit", type=float, default=None,
                     help="fail if sec_Kx/sec_1x exceeds this (default 3*scale)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated pipeline-query subset "
+                         "(family=pipeline only; skips the others)")
     ap.add_argument("--family",
                     choices=["pipeline", "graph", "streaming", "skew",
                              "multimodal", "textir", "vocab", "functions",
@@ -1335,6 +1339,14 @@ def main() -> int:
             print(json.dumps(rec), flush=True)
 
     pipeline_queries = SMOKE_QUERIES if args.family in ("pipeline", "all") else []
+    if args.only:
+        wanted = set(args.only.split(","))
+        unknown = wanted - set(SMOKE_QUERIES)
+        if unknown:
+            print(f"error: --only names not in SMOKE_QUERIES: {sorted(unknown)}",
+                  file=sys.stderr)
+            return 2
+        pipeline_queries = [q for q in pipeline_queries if q in wanted]
     for name in pipeline_queries:
         spec = REGISTRY[name]
         rec = {"query": name}
