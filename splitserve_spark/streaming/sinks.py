@@ -592,3 +592,157 @@ def stream_merge_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+#: Streaming-ingest pipeline constants — shared verbatim with the
+#: oracle.  Collapsing the Kafka payload mod INGEST_FP_MOD plants
+#: genuine CONTENT duplication in the log (426 records → ≤200 unique
+#: documents), on top of the transport duplication the union-doubled
+#: legs add; every derived field is a pure function of the fingerprint
+#: so the output is insensitive to WHICH copy survives dedup.
+INGEST_FP_MOD = 200
+INGEST_QUALITY_MIN = 30
+
+from splitserve_spark.sources.kafka_shaped import (  # noqa: E402
+    KQ_BASE as _KQ_BASE,
+    KQ_PARTS as _KQ_PARTS,
+    KQ_SKEW as _KQ_SKEW,
+)
+
+
+@register(
+    "pipeline_stream_ingest",
+    oracle="""
+    WITH parts AS (SELECT CAST(p.range AS INTEGER) AS part
+                   FROM range(0, {parts}) p),
+    m AS (
+      SELECT ((o.range * 31 + part) % 1000) % {fp_mod} AS content_fp
+      FROM parts CROSS JOIN range(0, {maxlog}) o
+      WHERE o.range < {base} + part * {skew}
+    ),
+    docs AS (SELECT DISTINCT content_fp FROM m),
+    gated AS (
+      SELECT content_fp,
+             (content_fp * 7919) % 100 AS quality,
+             content_fp % 5 AS source_bucket
+      FROM docs
+      WHERE (content_fp * 7919) % 100 >= {qmin}
+    )
+    SELECT CAST(source_bucket AS BIGINT) AS source_bucket,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(quality) AS BIGINT)  AS sum_quality,
+           CAST(min(content_fp) AS BIGINT) AS min_fp,
+           CAST(max(content_fp) AS BIGINT) AS max_fp
+    FROM gated GROUP BY source_bucket ORDER BY source_bucket
+    """.format(
+        parts=_KQ_PARTS,
+        base=_KQ_BASE,
+        skew=_KQ_SKEW,
+        maxlog=_KQ_BASE + (_KQ_PARTS - 1) * _KQ_SKEW,
+        fp_mod=INGEST_FP_MOD,
+        qmin=INGEST_QUALITY_MIN,
+    ),
+    tags=("streaming", "pipeline", "kafka-shaped", "dedup", "sink",
+          "exactly-once"),
+)
+def pipeline_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming training-data ingest topology, end to end in
+    one registered query — the composition a 100 TB/day pipeline
+    actually runs, where the prior rounds verified each stage alone:
+
+      Kafka-shaped source (×2 legs — at-least-once redelivery)
+        → JVM quality gate (cheap projection BEFORE any state)
+        → dropDuplicatesWithinWatermark on the content fingerprint
+          (bounded state: in-horizon fingerprints only)
+        → Spark's built-in parquet FILE SINK, partitioned by source
+          bucket — the real exactly-once shard writer (the
+          _spark_metadata manifest commits files atomically per batch;
+          readers resolve the directory THROUGH the manifest, so a
+          torn batch is invisible; reference
+          `execution/streaming/FileStreamSink.scala:41`)
+        → manifest-honoring readback aggregated per shard bucket.
+
+    Content duplication is planted by collapsing the payload mod
+    INGEST_FP_MOD (426 log records → ≤200 unique fingerprints);
+    transport duplication comes from unioning two byte-identical
+    broker legs.  The oracle replays the record formula analytically:
+    distinct fingerprints → quality gate → per-bucket counts and
+    integer sums.  Any lost record, surviving duplicate (either
+    kind), gate drift, or sink/readback tear is a hash mismatch.
+
+    Scale notes: the gate runs before the stateful operator so state
+    carries only passing fingerprints; dedup state is bounded by the
+    watermark horizon, not history; the file sink's per-batch manifest
+    commit is O(files), not O(rows); partitionBy(source_bucket) gives
+    the downstream trainer co-located shards without a second pass."""
+    import tempfile as _tf
+
+    from splitserve_spark.sources.kafka_shaped import register_kafka_shaped
+
+    ensure_parity_conf(spark)
+    register_kafka_shaped(spark)
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    base = os.path.join(
+        _tf.gettempdir(), "splitserve_spark_stream",
+        f"ingest_{tag}_p{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    shards = os.path.join(base, "shards")
+    ckpt = os.path.join(base, "ckpt")
+
+    def leg(n: int) -> DataFrame:
+        raw = (
+            spark.readStream.format("kafka_shaped")
+            .option("topic", f"ingest_{tag}_p{os.getpid()}_leg{n}")
+            .option("brokerDir", os.path.join(base, f"broker{n}"))
+            .option("numPartitions", _KQ_PARTS)
+            .option("logSize", _KQ_BASE)
+            .option("logSkew", _KQ_SKEW)
+            .option("producePerPoll", _KQ_BASE + _KQ_PARTS * _KQ_SKEW)
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+        fp = (
+            F.split(F.col("value").cast("string"), r"\|")
+            .getItem(3)
+            .cast("long")
+            % INGEST_FP_MOD
+        )
+        return raw.select(
+            F.col("timestamp").alias("ts"), fp.alias("content_fp")
+        )
+
+    gated = (
+        leg(0)
+        .union(leg(1))
+        .withColumn("quality", (F.col("content_fp") * 7919) % 100)
+        .withColumn("source_bucket", F.col("content_fp") % 5)
+        .filter(F.col("quality") >= INGEST_QUALITY_MIN)
+    )
+    deduped = gated.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["content_fp"]
+    )
+    q = (
+        deduped.select("content_fp", "quality", "source_bucket")
+        .writeStream.format("parquet")
+        .option("path", shards)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("source_bucket")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("ingest drain exceeded 300s")
+    return (
+        spark.read.parquet(shards)
+        .groupBy(F.col("source_bucket").cast("long").alias("source_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("quality").alias("sum_quality"),
+            F.min("content_fp").alias("min_fp"),
+            F.max("content_fp").alias("max_fp"),
+        )
+        .orderBy("source_bucket")
+    )

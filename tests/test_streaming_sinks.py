@@ -104,3 +104,47 @@ def test_socket_server_helper_is_reusable():
     h1, p1 = serve_lines(SOCKET_LINES)
     h2, p2 = serve_lines(SOCKET_LINES)
     assert h1 == h2 == "127.0.0.1" and p1 != p2
+
+
+def test_stream_ingest_manifest_gates_readback(spark):
+    """The exactly-once property of the parquet file sink: readers
+    resolve the shard directory THROUGH the _spark_metadata manifest,
+    so a file that was never manifest-committed (a torn batch, a rogue
+    writer) is invisible.  Drop an orphan parquet file into a shard
+    partition after the drain and assert the readback total is
+    unchanged, and matches the oracle's distinct-gated-fingerprint
+    count."""
+    import glob
+    import os
+    import shutil
+
+    from splitserve_spark.registry import REGISTRY
+
+    out = REGISTRY["pipeline_stream_ingest"].fn(spark, SF_DIR).toPandas()
+    n_before = int(out["n_docs"].sum())
+    # locate the shards dir the query just wrote (pid-scoped)
+    base = os.path.join(
+        "/tmp", "splitserve_spark_stream",
+        "ingest_" + "".join(c if c.isalnum() else "_"
+                            for c in SF_DIR.strip("/"))
+        + f"_p{os.getpid()}",
+    )
+    shards = os.path.join(base, "shards")
+    assert os.path.isdir(os.path.join(shards, "_spark_metadata")), (
+        "file sink did not write its manifest"
+    )
+    committed = glob.glob(os.path.join(shards, "source_bucket=*", "*.parquet"))
+    assert committed, "no committed shard files found"
+    # forge an orphan: copy a committed file under a new name
+    orphan = os.path.join(os.path.dirname(committed[0]),
+                          "part-99999-orphan.parquet")
+    shutil.copyfile(committed[0], orphan)
+    try:
+        n_after = (
+            spark.read.parquet(shards).count()
+        )
+        assert n_after == n_before, (
+            f"orphan file leaked into readback: {n_before} -> {n_after}"
+        )
+    finally:
+        os.remove(orphan)
