@@ -78,7 +78,7 @@ SMOKE_QUERIES = [
 #: (sessions / ids / in-horizon join rows / event types), never input
 #: history — the property that bounds an unbounded 100 TB/day stream.
 STREAM_SMOKE = ["session_window", "dedup_ids", "dedup_within",
-                "stream_stream_join", "cusum"]
+                "stream_stream_join", "cusum", "ingest_horizon"]
 
 
 #: Graph-family smoke: the iterative operators are exempt from the
@@ -365,12 +365,125 @@ def streaming_smoke(spark, src, out, scale):
         return {"rows": rows, "state": state, "keys": keys,
                 "inputs": ev.count()}
 
+    def ingest_horizon(sf_dir):
+        """The registered pipeline_stream_ingest topology's bounded-
+        state claim, measured on the axis the registered query cannot
+        move: LOG LENGTH.  The registered query's Kafka-shaped log
+        spans ~117 s — under its watermark horizon, so dedup state
+        trivially holds every fingerprint.  Here the log grows K× in
+        TIME (logSize × K) and the fingerprint space grows with it
+        (fp_mod = 4×logSize — no trivial key cap), drained in rate-
+        capped multi-batch mode so the watermark advances and evicts:
+        peak state must respect the ANALYTIC in-horizon bound (max
+        distinct fingerprints in any delay+2·batch-span window),
+        far below the log's total distinct count at K×."""
+        import tempfile as _tf
+        from collections import Counter
+
+        from splitserve_spark.sources.kafka_shaped import (
+            KQ_BASE,
+            KQ_PARTS,
+            KQ_SKEW,
+            register_kafka_shaped,
+        )
+
+        register_kafka_shaped(spark)
+        k = scale if sf_dir == out else 1
+        logsize = KQ_BASE * k
+        fp_mod = 4 * logsize
+        delay_s = 120
+        total = sum(logsize + p * KQ_SKEW for p in range(KQ_PARTS))
+        cap = max(64, total // 12)
+        tag = "sin_" + run_tag + ("_k" if sf_dir == out else "_1")
+        raw = (
+            spark.readStream.format("kafka_shaped")
+            .option("topic", tag)
+            .option("brokerDir", _tf.mkdtemp(prefix="kshape_smoke_"))
+            .option("numPartitions", KQ_PARTS)
+            .option("logSize", logsize)
+            .option("logSkew", KQ_SKEW)
+            .option("producePerPoll", cap)
+            .option("maxOffsetsPerTrigger", cap)
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+        val = F.col("value").cast("string")
+        fp = (
+            F.split(val, r"\|").getItem(2).cast("long") * 31
+            + F.split(val, r"\|").getItem(1).cast("long")
+        ) % fp_mod
+        ded = (
+            raw.select(F.col("timestamp").alias("ts"), fp.alias("fp"))
+            .withWatermark("ts", f"{delay_s} seconds")
+            .dropDuplicatesWithinWatermark(["fp"])
+        )
+        q = (
+            ded.writeStream.format("memory")
+            .queryName(tag)
+            .outputMode("append")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        state = 0
+        try:
+            seen: dict[int, int] = {}  # batchId -> numInputRows
+            drained_at = None
+            deadline = time.time() + 300
+            while time.time() < deadline:
+                for p in q.recentProgress:
+                    bid = p["batchId"]
+                    if bid not in seen:
+                        seen[bid] = p["numInputRows"]
+                    state = max(
+                        state,
+                        sum(
+                            so.get("numRowsTotal", 0)
+                            for so in p.get("stateOperators", [])
+                        ),
+                    )
+                if sum(seen.values()) >= total:
+                    # Drained; linger ~2 s for the trailing empty batch
+                    # that finalizes the watermark, then stop.
+                    drained_at = drained_at or time.time()
+                    if time.time() - drained_at > 2:
+                        break
+                time.sleep(0.3)
+            else:
+                raise TimeoutError("ingest smoke did not drain the log")
+        finally:
+            q.stop()
+        # Analytic in-horizon bound: the most distinct fingerprints
+        # alive in any (2·delay + 2·per-partition batch span) window —
+        # a WithinWatermark key lives until the watermark passes its
+        # event time + delay, and the watermark itself lags one batch
+        # AND sits delay behind the max event time, hence 2·delay.
+        recs = sorted(
+            (o, (o * 31 + p) % fp_mod)
+            for p in range(KQ_PARTS)
+            for o in range(logsize + p * KQ_SKEW)
+        )
+        win = 2 * delay_s + 2 * (cap // KQ_PARTS)
+        alive: Counter = Counter()
+        keys, lo = 0, 0
+        for i, (o, f_) in enumerate(recs):
+            alive[f_] += 1
+            while recs[lo][0] < o - win:
+                f0 = recs[lo][1]
+                alive[f0] -= 1
+                if not alive[f0]:
+                    del alive[f0]
+                lo += 1
+            keys = max(keys, len(alive))
+        return {"rows": spark.table(tag).count(), "state": state,
+                "keys": keys, "inputs": total}
+
     builders = {
         "session_window": session_window,
         "dedup_ids": dedup_ids,
         "dedup_within": dedup_within,
         "stream_stream_join": stream_stream_join,
         "cusum": cusum,
+        "ingest_horizon": ingest_horizon,
     }
     for name in STREAM_SMOKE:
         yield name, builders[name]
@@ -906,6 +1019,17 @@ def _stream_state_verdict(name, rec, scale):
             s1 <= k1 * slack + 16
             and sk <= kk * slack + 16
             and sk < rec[f"inputs_{scale}x"] / 2
+        )
+    if name == "ingest_horizon":
+        # The ingest topology's dedup state must respect the ANALYTIC
+        # in-horizon fingerprint bound at both scales, and at K× —
+        # when the log's time span dwarfs the horizon — stay far under
+        # the log's record count (eviction must actually bite).
+        slack = 1.15
+        return (
+            s1 <= k1 * slack + 16
+            and sk <= kk * slack + 16
+            and sk < rec[f"inputs_{scale}x"] / 3
         )
     slack = 1.05
     return s1 <= k1 * slack + 2 and sk <= kk * slack + 2
