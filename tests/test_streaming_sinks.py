@@ -16,7 +16,7 @@ from tests.oracle_utils import SF_DIR, check_query
 load_all()
 
 
-@pytest.mark.parametrize("name", ["source_socket_stream", "sink_foreach_rows", "source_rate_stream"])
+@pytest.mark.parametrize("name", ["source_socket_stream", "sink_foreach_rows", "source_rate_stream", "pipeline_stream_ingest"])
 def test_oracle_match(spark, name):
     check_query(spark, name, SF_DIR)
 
