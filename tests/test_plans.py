@@ -800,3 +800,24 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
             "spark.sql.optimizer.runtime.bloomFilter.enabled",
         ):
             spark.conf.unset(k)
+
+
+def test_substring_dedup_semi_join_broadcasts_on_clean_corpus(spark):
+    """dedup_substring_spans' duplicate-hash set is output-sized on a
+    clean corpus, so the probe-back semi join must be a BROADCAST hash
+    join (the persisted window table never reshuffles by hash on the
+    probe side).  The boilerplate-flood fallback to a shuffled
+    sort-merge semi join is measured in SCALE_SMOKE.md (32x twin
+    corpus) rather than pinned here — it needs the replicated corpus."""
+    from splitserve_spark.registry import REGISTRY
+
+    df = REGISTRY["dedup_substring_spans"].fn(spark, SF_DIR)
+    df.count()  # execute so the AQE final plan is real
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    joins = [l for l in plan.splitlines() if "Join" in l]
+    assert any("BroadcastHashJoin" in l and "LeftSemi" in l for l in joins), (
+        f"expected broadcast left-semi dup-set join, got: {joins}"
+    )
+    assert not any("SortMergeJoin" in l for l in joins), (
+        f"unexpected shuffle join on the clean corpus: {joins}"
+    )
