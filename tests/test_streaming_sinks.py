@@ -117,14 +117,16 @@ def test_stream_ingest_manifest_gates_readback(spark):
     import glob
     import os
     import shutil
+    import tempfile
 
     from splitserve_spark.registry import REGISTRY
 
     out = REGISTRY["pipeline_stream_ingest"].fn(spark, SF_DIR).toPandas()
     n_before = int(out["n_docs"].sum())
-    # locate the shards dir the query just wrote (pid-scoped)
+    # locate the shards dir the query just wrote (pid-scoped; same
+    # derivation as pipeline_stream_ingest — gettempdir, not /tmp)
     base = os.path.join(
-        "/tmp", "splitserve_spark_stream",
+        tempfile.gettempdir(), "splitserve_spark_stream",
         "ingest_" + "".join(c if c.isalnum() else "_"
                             for c in SF_DIR.strip("/"))
         + f"_p{os.getpid()}",

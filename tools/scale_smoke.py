@@ -375,7 +375,8 @@ def streaming_smoke(spark, src, out, scale):
         (fp_mod = 4×logSize — no trivial key cap), drained in rate-
         capped multi-batch mode so the watermark advances and evicts:
         peak state must respect the ANALYTIC in-horizon bound (max
-        distinct fingerprints in any delay+2·batch-span window),
+        distinct fingerprints in any 2·delay + 2·batch-span window —
+        see the bound computation below for why 2·delay),
         far below the log's total distinct count at K×."""
         import tempfile as _tf
         from collections import Counter
@@ -1207,8 +1208,9 @@ def main() -> int:
     ap.add_argument("--ratio-limit", type=float, default=None,
                     help="fail if sec_Kx/sec_1x exceeds this (default 3*scale)")
     ap.add_argument("--only", default=None,
-                    help="comma-separated pipeline-query subset "
-                         "(family=pipeline only; skips the others)")
+                    help="comma-separated subset of pipeline queries "
+                         "and/or streaming builders; the other members "
+                         "of those families are skipped")
     ap.add_argument("--family",
                     choices=["pipeline", "graph", "streaming", "skew",
                              "multimodal", "textir", "vocab", "functions",
@@ -1242,6 +1244,16 @@ def main() -> int:
     spark = get_session()
     failures = []
 
+    stream_names = list(STREAM_SMOKE)
+    if args.only:
+        wanted = set(args.only.split(","))
+        unknown = wanted - set(SMOKE_QUERIES) - set(STREAM_SMOKE)
+        if unknown:
+            print("error: --only names in neither SMOKE_QUERIES nor "
+                  f"STREAM_SMOKE: {sorted(unknown)}", file=sys.stderr)
+            return 2
+        stream_names = [q for q in stream_names if q in wanted]
+
     if args.family in ("graph", "all"):
         for name, run1, runk in graph_smoke(spark, args.src, args.scale):
             rec = {"query": f"graph:{name}"}
@@ -1267,6 +1279,8 @@ def main() -> int:
 
     if args.family in ("streaming", "all"):
         for name, runner in streaming_smoke(spark, args.src, out, args.scale):
+            if name not in stream_names:
+                continue
             rec = {"query": f"stream:{name}"}
             try:
                 for tag, sf_dir in (("1x", args.src), (f"{args.scale}x", out)):
@@ -1464,13 +1478,9 @@ def main() -> int:
 
     pipeline_queries = SMOKE_QUERIES if args.family in ("pipeline", "all") else []
     if args.only:
-        wanted = set(args.only.split(","))
-        unknown = wanted - set(SMOKE_QUERIES)
-        if unknown:
-            print(f"error: --only names not in SMOKE_QUERIES: {sorted(unknown)}",
-                  file=sys.stderr)
-            return 2
-        pipeline_queries = [q for q in pipeline_queries if q in wanted]
+        pipeline_queries = [
+            q for q in pipeline_queries if q in set(args.only.split(","))
+        ]
     for name in pipeline_queries:
         spec = REGISTRY[name]
         rec = {"query": name}
@@ -1496,7 +1506,7 @@ def main() -> int:
     n = len(pipeline_queries) + (
         len(GRAPH_SMOKE) if args.family in ("graph", "all") else 0
     ) + (
-        len(STREAM_SMOKE) if args.family in ("streaming", "all") else 0
+        len(stream_names) if args.family in ("streaming", "all") else 0
     ) + (
         len(SKEW_SMOKE) if args.family in ("skew", "all") else 0
     ) + (
