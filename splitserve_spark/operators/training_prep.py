@@ -1076,3 +1076,150 @@ def mix_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "doc_id", "log_weight", "lang", "source")
         .orderBy("rank")
     )
+
+
+#: Eval share for the dedup-cluster split: cluster-hash % 10 == 0.
+CLUSTER_EVAL_MOD = 10
+
+from splitserve_spark.operators.dedup import (  # noqa: E402
+    CLUSTER_ITER as _CLUSTER_ITER,
+)
+
+
+@register(
+    "split_dedup_cluster",
+    oracle="""
+    WITH RECURSIVE
+    fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    reps AS (SELECT fp, min(doc_id) AS rep FROM fp GROUP BY fp),
+    estar AS (
+      SELECT f.doc_id AS a, r.rep AS b
+      FROM fp f JOIN reps r USING (fp) WHERE f.doc_id <> r.rep
+    ),
+    w AS (
+      SELECT doc_id,
+             list_distinct(string_split(regexp_replace(trim(lower(text)),
+                           ' +', ' ', 'g'), ' ')) AS toks
+      FROM documents WHERE doc_id < 150
+    ),
+    p AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM w a JOIN w b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(a.toks || b.toks)) >= 0.6
+    ),
+    sym AS (
+      SELECT a, b FROM estar UNION SELECT b, a FROM estar
+      UNION SELECT a, b FROM p UNION SELECT b, a FROM p
+      UNION SELECT doc_id AS a, doc_id AS b FROM documents
+    ),
+    lab AS (
+      SELECT 0 AS iter, a AS node, min(b) AS label FROM sym GROUP BY a
+      UNION ALL
+      SELECT l.iter + 1, s.a AS node, min(l.label) AS label
+      FROM lab l JOIN sym s ON s.b = l.node
+      WHERE l.iter < {it}
+      GROUP BY l.iter + 1, s.a
+    )
+    SELECT node AS doc_id,
+           CAST(label AS BIGINT) AS cluster_id,
+           CASE WHEN (('0x' || substr(md5('cl-' || CAST(label AS VARCHAR)),
+                                      1, 15))::BIGINT) % {m} = 0
+                THEN 'eval' ELSE 'train' END AS split
+    FROM lab WHERE iter = {it}
+    ORDER BY doc_id
+    """.format(it=_CLUSTER_ITER, m=CLUSTER_EVAL_MOD),
+    tags=("pipeline", "sampling", "dedup", "leakage"),
+)
+def split_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-cluster-keyed train/eval split — the third leakage tier
+    the existing splits cannot give: `split_train_eval` hashes the
+    document (twins straddle), `split_group_holdout` hashes the crawl
+    source (cross-source duplicates straddle).  Here the split key is
+    the document's near-duplicate COMPONENT label, so a duplicate can
+    never appear on both sides regardless of which domain re-hosted it
+    — the decontamination rule of Lee et al. 2022 §6 applied at split
+    time instead of scrub time.
+
+    Components: exact-twin star edges (doc ↔ min-doc_id representative
+    per content fingerprint, corpus-wide — linear in dups, never a
+    clique) unioned with the near-dup pair list (the fenced Jaccard
+    block shared with dedup_cluster_canonical), self-loops for every
+    document so singletons label themselves, then CLUSTER_ITER rounds
+    of min-label propagation — both engines run the identical rounds
+    from the identical init, so labels agree even mid-convergence;
+    tests/test_training_prep.py asserts the converged no-straddle
+    invariant on the real corpus.
+
+    Scale shape: the star construction is one fingerprint groupBy plus
+    an output-sized join; propagation shuffles (node, label) pairs per
+    round like graph_connected_components; at corpus scale the fenced
+    O(n²) miner is replaced by the banded-LSH candidate list
+    (dedup_minhash_lsh) with the same downstream plan.  The split
+    projection is a codegen hash of the cluster label — co-location by
+    construction, no second pass."""
+    from splitserve_spark.functions.parity_hash import md5_hash60
+    from splitserve_spark.operators.dedup import CLUSTER_ITER, _norm
+    from splitserve_spark.operators.graph import (
+        _persist_tracked,
+        _release_prior,
+    )
+
+    ensure_parity_conf(spark)
+    _release_prior()
+    t = Tables(spark, sf_dir)
+    fp_df = t.documents.select(
+        "doc_id", F.md5(_norm(F.col("text")).cast("binary")).alias("fp")
+    )
+    reps = fp_df.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    estar = (
+        fp_df.join(reps, "fp")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("doc_id").alias("a"), F.col("rep").alias("b"))
+    )
+    w = t.documents.filter(F.col("doc_id") < 150).select(
+        "doc_id",
+        F.array_distinct(F.split(_norm(F.col("text")), " ")).alias("toks"),
+    )
+    a = w.select(F.col("doc_id").alias("a"), F.col("toks").alias("t_a"))
+    b = w.select(F.col("doc_id").alias("b"), F.col("toks").alias("t_b"))
+    jac = F.size(F.array_intersect("t_a", "t_b")).cast("double") / F.size(
+        F.array_union("t_a", "t_b")
+    )
+    pairs = a.join(b, F.col("a") < F.col("b")).filter(jac >= 0.6).select("a", "b")
+    rev = lambda df: df.select(  # noqa: E731
+        F.col("b").alias("a"), F.col("a").alias("b")
+    )
+    selfloops = t.documents.select(
+        F.col("doc_id").alias("a"), F.col("doc_id").alias("b")
+    )
+    sym = _persist_tracked(
+        estar.union(rev(estar)).union(pairs).union(rev(pairs))
+        .union(selfloops).distinct()
+    )
+    labels = (
+        sym.groupBy("a").agg(F.min("b").alias("label"))
+        .withColumnRenamed("a", "node")
+    )
+    for _ in range(CLUSTER_ITER):
+        labels = (
+            sym.join(labels, F.col("b") == F.col("node"))
+            .groupBy("a")
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("a", "node")
+        )
+    split = F.when(
+        md5_hash60(F.concat(F.lit("cl-"), F.col("label").cast("string")))
+        % CLUSTER_EVAL_MOD
+        == 0,
+        "eval",
+    ).otherwise("train")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").cast("bigint").alias("cluster_id"),
+        split.alias("split"),
+    ).orderBy("doc_id")

@@ -176,3 +176,39 @@ def test_group_holdout_sources_never_straddle(spark):
     )
     assert set(manifest["split"]) == {"eval", "train"}
     assert (manifest["n_sources"] > 0).all()
+
+
+def test_split_dedup_cluster_no_straddle(spark):
+    """The leakage-safe split's converged invariant: for EVERY edge of
+    the component graph (exact-twin pairs corpus-wide, fenced near-dup
+    pairs), both endpoints carry the same cluster label — hence the
+    same split side (split is a pure function of the label).  Also
+    sanity-pins the eval share."""
+    from pyspark.sql import functions as F
+
+    from splitserve_spark.registry import REGISTRY
+
+    out = (
+        REGISTRY["split_dedup_cluster"].fn(spark, SF_DIR)
+        .toPandas().set_index("doc_id")
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+    fp = docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp")).toPandas()
+    # exact-twin edges: all docs sharing a fingerprint
+    for _, grp in fp.groupby("fp"):
+        ids = list(grp["doc_id"])
+        labels = {out.loc[d, "cluster_id"] for d in ids}
+        assert len(labels) == 1, f"exact twins {ids} split across {labels}"
+    # fenced near-dup edges: co-members per dedup_cluster_canonical
+    canon = (
+        REGISTRY["dedup_cluster_canonical"].fn(spark, SF_DIR).toPandas()
+    )
+    for _, grp in canon.groupby("canonical_id"):
+        ids = list(grp["doc_id"])
+        labels = {out.loc[d, "cluster_id"] for d in ids}
+        assert len(labels) == 1, f"near-dups {ids} split across {labels}"
+        sides = {out.loc[d, "split"] for d in ids}
+        assert len(sides) == 1
+    frac = (out["split"] == "eval").mean()
+    assert 0.0 < frac < 0.3, f"eval share {frac} out of range"
