@@ -66,6 +66,7 @@ SMOKE_QUERIES = [
     "sim_range_search",
     "text_gopher_filter",
     "dedup_substring_spans",
+    "split_dedup_cluster",
 ]
 
 
