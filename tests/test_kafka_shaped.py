@@ -184,6 +184,11 @@ def test_max_offsets_per_trigger_caps_every_batch(spark, tmp_path):
     )
     try:
         _wait(lambda: spark.table(name).count() >= 80)
+        # The sink count becomes visible slightly BEFORE the last
+        # batch's StreamingQueryProgress is published; wait for the
+        # progress stream to catch up or the batch tally reads one
+        # short (seen as a 7x10 < 80 flake under host load).
+        _wait(lambda: sum(p["numInputRows"] for p in q.recentProgress) >= 80)
         progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
     finally:
         q.stop()
