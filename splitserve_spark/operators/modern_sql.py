@@ -640,3 +640,117 @@ def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+#: Snapshot-B derivation moduli (shared verbatim with the oracle):
+#: keys % DEL deleted, % CHG repriced, % INS mirrored to negative keys.
+SNAP_DEL, SNAP_CHG, SNAP_INS = 97, 13, 89
+
+
+@register(
+    "snapshot_diff_audit",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % {SNAP_CHG} = 0
+                  THEN round(o_totalprice + 1.00, 2) ELSE o_totalprice
+             END AS o_totalprice
+      FROM orders WHERE o_orderkey % {SNAP_DEL} <> 0
+      UNION ALL
+      SELECT -o_orderkey - 1, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % {SNAP_INS} = 0
+    ),
+    d AS (
+      SELECT CASE
+               WHEN b.o_orderkey IS NULL THEN 'deleted'
+               WHEN a.o_orderkey IS NULL THEN 'inserted'
+               WHEN a.o_totalprice <> b.o_totalprice
+                 OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+               ELSE 'unchanged'
+             END AS change_type,
+             coalesce(b.o_totalprice, a.o_totalprice) AS price
+      FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM d GROUP BY change_type ORDER BY change_type
+    """,
+    tags=("pipeline", "audit", "versioning", "join"),
+)
+def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version reconciliation — the audit every training-data
+    release pipeline runs between snapshot N and N+1 before shipping:
+    a keyed FULL OUTER join classifies every row as deleted / inserted
+    / changed / unchanged and rolls up counts and exact money totals
+    per class.  Snapshot B is derived deterministically from orders
+    (drop keys % {SNAP_DEL}, reprice keys % {SNAP_CHG} by +1.00,
+    mirror keys % {SNAP_INS} to fresh negative keys) so both engines
+    reconcile bit-identical versions with no auxiliary table — the
+    same derived-twin technique as merge_upsert_scd1.
+
+    Scale notes: reconciliation is inherently one co-partitioned FULL
+    OUTER shuffle join on the snapshot key (both sides bucketed on the
+    key at a real warehouse → zero-shuffle, scale_patterns.py's
+    join_bucketed_colocated layout); the class rollup is map-side
+    combinable; money totals ride the lossless DECIMAL(18,2) cast
+    (FIXTURES.md round-11 discipline) so the hash is partition-order
+    independent."""
+    from pyspark.sql import functions as F
+
+    from splitserve_spark.session import ensure_parity_conf
+    from splitserve_spark.tables import Tables
+
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    a = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    b = (
+        a.filter(F.col("o_orderkey") % SNAP_DEL != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % SNAP_CHG == 0,
+                F.round(F.col("o_totalprice") + 1.00, 2),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionAll(
+            a.filter(F.col("o_orderkey") % SNAP_INS == 0).select(
+                (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    bb = b.select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderstatus").alias("b_status"),
+        F.col("o_totalprice").alias("b_price"),
+    )
+    joined = a.join(bb, a["o_orderkey"] == bb["b_key"], "full_outer")
+    change = (
+        F.when(F.col("b_key").isNull(), "deleted")
+        .when(F.col("o_orderkey").isNull(), "inserted")
+        .when(
+            (F.col("o_totalprice") != F.col("b_price"))
+            | (F.col("o_orderstatus") != F.col("b_status")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            change.alias("change_type"),
+            F.coalesce("b_price", "o_totalprice").alias("price"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("change_type")
+    )
