@@ -669,6 +669,13 @@ REPEAT_SCAN_ALLOWED = {
         "customer) by design, plus the segment driving scan; the oracle's "
         "single left-join aggregate is the deployment form, and the "
         "docstring records exactly this trade",
+    "snapshot_diff_audit": "snapshot B is a DERIVED TWIN of orders (the "
+        "test-harness trick that lets both engines reconcile identical "
+        "versions): its survivor and mirrored-insert branches each scan "
+        "orders with different pushed filters, plus side A's scan = 3. "
+        "A real deployment diffs two MATERIALIZED snapshots — one scan "
+        "each — so persisting the derivation here would optimize "
+        "scaffolding a production plan doesn't have",
 }
 
 
