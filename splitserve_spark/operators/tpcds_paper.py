@@ -1423,3 +1423,399 @@ def qds23_frequent_best_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mo")
     )
+
+
+@register(
+    "qds67_rollup_brand_topn",
+    oracle="""
+    WITH sales AS (
+      SELECT p.p_brand,
+             CAST(extract(month FROM l.l_shipdate) AS INTEGER) AS mo,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18,4)) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    ), rolled AS (
+      SELECT p_brand, mo,
+             CAST(GROUPING(p_brand) * 2 + GROUPING(mo) AS INTEGER) AS lvl,
+             sum(rev) AS sumsales_dec
+      FROM sales
+      GROUP BY ROLLUP (p_brand, mo)
+    ), ranked AS (
+      SELECT p_brand, mo, lvl, sumsales_dec,
+             CAST(rank() OVER (PARTITION BY p_brand
+                               ORDER BY sumsales_dec DESC) AS INTEGER) AS rk
+      FROM rolled
+    )
+    SELECT p_brand, mo, lvl,
+           CAST(sumsales_dec AS DOUBLE) AS sumsales, rk
+    FROM ranked
+    WHERE rk <= 3
+    ORDER BY p_brand NULLS FIRST, rk, mo NULLS FIRST, lvl
+    """,
+    tags=("tpcds", "rollup", "window", "topn"),
+)
+def qds67_rollup_brand_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67 plan shape (spec: store sales grouped by ROLLUP over
+    the full item/date hierarchy, then rank() within i_category keeps
+    the top rows of EVERY rollup level together): 1996 revenue rolled
+    up over (brand, month), ranked within each brand partition across
+    all levels, top 3 kept.
+
+    Shape's point at scale: Expand (rollup doubles rows per grouping
+    set) feeds a window whose partition key is the FIRST rollup column
+    — the subtotal rows land in the same partition as their detail
+    rows, so the rank compares months against the brand subtotal
+    exactly as Q67 compares category detail against its aggregates.
+    rk <= 3 after a rank() is a WindowGroupLimit candidate: Spark
+    pushes the limit below the sort inside each window partition, so
+    at 100 TB the full ranked set is never materialized.  The rollup
+    NULLs are unambiguous (shipdate and brand are non-null in the
+    data), and the grouping-level column pins each row's provenance
+    in both engines."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    sales = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .join(t.part, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("p_brand"),
+            F.month("l_shipdate").alias("mo"),
+            rev.alias("rev"),
+        )
+    )
+    rolled = sales.rollup("p_brand", "mo").agg(
+        (F.grouping("p_brand") * 2 + F.grouping("mo"))
+        .cast("int").alias("lvl"),
+        F.sum("rev").alias("sumsales_dec"),
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("sumsales_dec").desc())
+    return (
+        rolled.select(
+            "p_brand",
+            "mo",
+            "lvl",
+            F.col("sumsales_dec").cast("double").alias("sumsales"),
+            F.rank().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy(
+            F.col("p_brand").asc_nulls_first(),
+            "rk",
+            F.col("mo").asc_nulls_first(),
+            "lvl",
+        )
+    )
+
+
+@register(
+    "qds64_yoy_part_selfjoin",
+    oracle="""
+    WITH per_year AS (
+      SELECT l.l_partkey,
+             CAST(extract(year FROM o.o_orderdate) AS INTEGER) AS yr,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,4))) AS rev,
+             sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT y1.l_partkey AS partkey,
+           p.p_brand AS brand,
+           CAST(y1.rev AS DOUBLE) AS rev95,
+           CAST(y2.rev AS DOUBLE) AS rev96,
+           CAST(y1.qty AS DOUBLE) AS qty95,
+           CAST(y2.qty AS DOUBLE) AS qty96
+    FROM per_year y1
+    JOIN per_year y2 ON y1.l_partkey = y2.l_partkey
+    JOIN part p ON y1.l_partkey = p.p_partkey
+    WHERE y1.yr = 1995 AND y2.yr = 1996
+      AND y2.rev > y1.rev * 2
+    ORDER BY partkey
+    """,
+    tags=("tpcds", "self-join", "exchange-reuse"),
+)
+def qds64_yoy_part_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q64 plan shape (spec: a wide composed sales view is
+    built once and self-joined across two consecutive years on the
+    same item, keeping items whose second-year price moved): per-part
+    1995 vs 1996 revenue from one derived aggregate referenced twice,
+    keeping parts whose 1996 revenue more than doubled.
+
+    Shape's point at scale: the expensive derived view (fact-fact join
+    then aggregate) is computed ONCE and persisted; both year slices
+    read the persisted aggregate, so the self-join input is
+    |parts|x|years| rows, not two fresh passes over the fact table —
+    Q64's cross_sales CTE works exactly this way (the spec names the
+    view twice, cs1/cs2).  The year filter applies AFTER the shared
+    aggregate, so the join is a narrow equi-join the planner can
+    shuffle on partkey; the doubling cut compares exact decimals (a
+    x2 decimal multiply is lossless), so both engines agree at the
+    boundary."""
+    ensure_parity_conf(spark)
+    release_prior()
+    t = Tables(spark, sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    per_year = persist_tracked(
+        t.lineitem.join(
+            t.orders.filter(
+                (F.col("o_orderdate") >= _ts("1995-01-01"))
+                & (F.col("o_orderdate") < _ts("1997-01-01"))
+            ).select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_partkey", F.year("o_orderdate").cast("int").alias("yr")
+        )
+        .agg(
+            F.sum(rev).alias("rev"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"),
+        )
+    )
+    y1 = per_year.filter(F.col("yr") == 1995).select(
+        F.col("l_partkey"),
+        F.col("rev").alias("rev95_dec"),
+        F.col("qty").alias("qty95_dec"),
+    )
+    y2 = per_year.filter(F.col("yr") == 1996).select(
+        F.col("l_partkey").alias("pk2"),
+        F.col("rev").alias("rev96_dec"),
+        F.col("qty").alias("qty96_dec"),
+    )
+    return (
+        y1.join(y2, F.col("l_partkey") == F.col("pk2"))
+        .filter(F.col("rev96_dec") > F.col("rev95_dec") * 2)
+        .join(t.part, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("p_brand").alias("brand"),
+            F.col("rev95_dec").cast("double").alias("rev95"),
+            F.col("rev96_dec").cast("double").alias("rev96"),
+            F.col("qty95_dec").cast("double").alias("qty95"),
+            F.col("qty96_dec").cast("double").alias("qty96"),
+        )
+        .orderBy("partkey")
+    )
+
+
+@register(
+    "qds93_returns_adjusted_sales",
+    oracle="""
+    WITH ret AS (
+      SELECT l_orderkey, l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS ret_qty
+      FROM lineitem
+      WHERE l_returnflag = 'R'
+      GROUP BY 1, 2
+    ), adjusted AS (
+      SELECT s.l_orderkey,
+             (CAST(s.l_quantity AS DECIMAL(12,2))
+              - COALESCE(r.ret_qty, CAST(0 AS DECIMAL(12,2))))
+             * CAST(p.p_retailprice AS DECIMAL(12,2)) AS act_amt
+      FROM lineitem s
+      LEFT JOIN ret r
+        ON s.l_orderkey = r.l_orderkey AND s.l_partkey = r.l_partkey
+      JOIN part p ON s.l_partkey = p.p_partkey
+      WHERE s.l_returnflag <> 'R'
+    )
+    SELECT o.o_orderpriority AS priority,
+           CAST(extract(month FROM o.o_orderdate) AS INTEGER) AS mo,
+           CAST(sum(a.act_amt) AS DOUBLE) AS net_sales,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM adjusted a JOIN orders o ON a.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("tpcds", "outer-join", "fact-fact"),
+)
+def qds93_returns_adjusted_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q93 plan shape (spec: store sales LEFT JOINED to store
+    returns on item+ticket; the sold quantity is reduced by the
+    returned quantity when a return matched): kept lineitem rows net
+    of same-order same-part 'R' returns, valued at retail price,
+    reported per order priority and month over H1-1996.
+
+    Shape's point at scale: this is a fact-to-fact LEFT OUTER join on
+    a compound key where the right side is first collapsed by a
+    map-side-combinable aggregate (sum of returned quantity per
+    order+part) — so the outer join's build side is bounded by
+    DISTINCT return keys, not return rows, and rows with no return
+    survive with COALESCE(0) exactly as Q93's CASE keeps unmatched
+    sales whole.  The quantity adjustment and retail valuation stay
+    in exact decimals end to end; the final rollup groups on
+    low-cardinality keys so the last shuffle is tiny."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    dec0 = F.lit(0).cast("decimal(12,2)")
+    ret = (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .groupBy(
+            F.col("l_orderkey").alias("r_orderkey"),
+            F.col("l_partkey").alias("r_partkey"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("ret_qty")
+        )
+    )
+    adjusted = (
+        t.lineitem.filter(F.col("l_returnflag") != "R")
+        .join(
+            ret,
+            (F.col("l_orderkey") == F.col("r_orderkey"))
+            & (F.col("l_partkey") == F.col("r_partkey")),
+            "left",
+        )
+        .join(t.part, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_orderkey",
+            (
+                (
+                    F.col("l_quantity").cast("decimal(12,2)")
+                    - F.coalesce(F.col("ret_qty"), dec0)
+                )
+                * F.col("p_retailprice").cast("decimal(12,2)")
+            ).alias("act_amt"),
+        )
+    )
+    return (
+        adjusted.join(
+            t.orders.filter(
+                (F.col("o_orderdate") >= _ts("1996-01-01"))
+                & (F.col("o_orderdate") < _ts("1996-07-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.sum("act_amt").cast("double").alias("net_sales"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("priority", "mo")
+    )
+
+
+@register(
+    "qds14_cross_channel_intersect",
+    oracle="""
+    WITH ch AS (
+      SELECT DISTINCT l.l_partkey, o.o_orderpriority AS prio
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-01-01'
+        AND o.o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+    ), cross_items AS (
+      SELECT l_partkey FROM ch WHERE prio = '1-URGENT'
+      INTERSECT
+      SELECT l_partkey FROM ch WHERE prio = '2-HIGH'
+      INTERSECT
+      SELECT l_partkey FROM ch WHERE prio = '3-MEDIUM'
+    ), by_brand AS (
+      SELECT p.p_brand AS brand,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,4))) AS rev_dec,
+             count(*) AS n_lines
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        AND l.l_partkey IN (SELECT l_partkey FROM cross_items)
+      GROUP BY 1
+    )
+    SELECT brand,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(n_lines AS BIGINT) AS n_lines
+    FROM by_brand
+    WHERE rev_dec * 400 > (SELECT sum(rev_dec) FROM by_brand)
+    ORDER BY brand
+    """,
+    tags=("tpcds", "intersect", "scalar-subquery"),
+)
+def qds14_cross_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q14 plan shape (spec: cross_items = item ids sold in ALL
+    THREE channels via INTERSECT, avg_sales = a scalar threshold
+    subquery, then channel sales over cross_items filtered by the
+    scalar): parts ordered under all three fast priorities in 1995
+    form the item set; 1996 revenue by brand over that set, keeping
+    brands above a 1/400 share of the filtered total.
+
+    Shape's point at scale: the INTERSECT chain runs over DISTINCT
+    (partkey, priority) projections — key-only sets a planner
+    broadcasts into the fact scan as a semi-join, exactly how Q14's
+    cross_items prunes catalog_sales.  All three channel slices read
+    ONE persisted distinct projection instead of three fact passes.
+    The scalar threshold is derived from the GROUPED result (brand
+    count rows, not a second fact pass) and compared in exact
+    decimals (x400 is a lossless integer multiply), so the share cut
+    cannot flip on float rounding in either engine."""
+    ensure_parity_conf(spark)
+    release_prior()
+    t = Tables(spark, sf_dir)
+    fast = ("1-URGENT", "2-HIGH", "3-MEDIUM")
+    ch = persist_tracked(
+        t.lineitem.join(
+            t.orders.filter(
+                (F.col("o_orderdate") >= _ts("1995-01-01"))
+                & (F.col("o_orderdate") < _ts("1996-01-01"))
+                & F.col("o_orderpriority").isin(*fast)
+            ).select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_partkey"), F.col("o_orderpriority").alias("prio")
+        )
+        .distinct()
+    )
+    cross_items = (
+        ch.filter(F.col("prio") == fast[0]).select("l_partkey")
+        .intersect(ch.filter(F.col("prio") == fast[1]).select("l_partkey"))
+        .intersect(ch.filter(F.col("prio") == fast[2]).select("l_partkey"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    by_brand = persist_tracked(
+        t.lineitem.join(
+            t.orders.filter(
+                (F.col("o_orderdate") >= _ts("1996-01-01"))
+                & (F.col("o_orderdate") < _ts("1997-01-01"))
+            ).select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cross_items, "l_partkey", "left_semi")
+        .join(t.part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(rev).alias("rev_dec"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    total = by_brand.agg(F.sum("rev_dec").alias("total_dec"))
+    return (
+        by_brand.crossJoin(F.broadcast(total))
+        .filter(F.col("rev_dec") * 400 > F.col("total_dec"))
+        .select(
+            "brand",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.col("n_lines"),
+        )
+        .orderBy("brand")
+    )
