@@ -828,3 +828,39 @@ def test_substring_dedup_semi_join_broadcasts_on_clean_corpus(spark):
     assert not any("SortMergeJoin" in l for l in joins), (
         f"unexpected shuffle join on the clean corpus: {joins}"
     )
+
+
+def test_qds67_rollup_feeds_window_group_limit(spark):
+    """Q67 shape: Expand (rollup grouping sets) must feed a window
+    whose rank<=3 filter is pushed below the per-partition sort as a
+    WindowGroupLimit — at 100 TB the full ranked rollup is never
+    materialized, only each brand partition's top rows survive the
+    partial pass."""
+    plan = physical_plan(q("qds67_rollup_brand_topn", spark))
+    assert "Expand" in plan
+    assert "WindowGroupLimit" in plan
+    # Partial limit runs map-side before the window partition shuffle.
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_qds93_outer_join_build_side_pre_collapsed(spark):
+    """Q93 shape: the returns side of the LEFT OUTER fact-fact join
+    must be an aggregate (distinct return keys), not raw return rows
+    — and the aggregate must run partial→final so the collapse is
+    map-side-combinable."""
+    plan = physical_plan(q("qds93_returns_adjusted_sales", spark))
+    assert "LeftOuter" in plan
+    assert "partial_sum" in plan, plan
+
+
+def test_qds14_intersect_applies_as_semi_join(spark):
+    """Q14 shape: the INTERSECT-built item set must apply to the fact
+    table as a LeftSemi join (never a distinct-then-inner that would
+    duplicate fact rows), and the scalar share threshold must come
+    from the grouped result (a scalar aggregate over brand rows), not
+    a second pass over lineitem."""
+    df = q("qds14_cross_channel_intersect", spark)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    # Scalar total: a keyless aggregate over the persisted grouped rows.
+    assert "InMemoryTableScan" in plan, plan
