@@ -580,3 +580,193 @@ def stream_dedup_within_watermark(
         .agg(F.count(F.lit(1)).alias("n_unique"))
         .orderBy("event_type")
     )
+
+
+def _attrib_outer_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events.parquet plus a watermark-flush sentinel file for
+    the OUTER attribution join.
+
+    A streaming outer join emits its null-matched rows only when the
+    watermark passes the end of each row's join window — and the
+    watermark is max(event time) − delay, so on a finite (or merely
+    quiescent) stream the youngest ``delay + gap`` of clicks would
+    stay pending forever.  Production fixes this with heartbeat/flush
+    events that advance the watermark past the last real window; this
+    helper stages exactly that: the untouched events file, then one
+    sentinel file (strictly newer mtime, so the oldest-first file
+    source delivers it last) holding one un-matchable click and one
+    un-matchable purchase 3 hours after the real maximum — far enough
+    that the final watermark (sentinel − 1 h delay) closes every real
+    click's 30-minute window.  Sentinels use negative ids/users (real
+    ids start at 0) and are dropped after the join.  Idempotent per
+    sf_dir."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    out = os.path.join(
+        tempfile.gettempdir(), "splitserve_spark_stream", f"attribouter_{tag}"
+    )
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    src = f"{sf_dir}/events.parquet"
+    real = os.path.join(out, "events_00.parquet")
+    shutil.copy(src, real)
+
+    raw = spark.read.parquet(src)
+    dt = dict(raw.dtypes)["ts"]
+    mx = raw.agg(F.max("ts").alias("m"))
+    if dt == "bigint":  # TIMESTAMP(NANOS) surfaced as long nanos
+        flush_ts = (F.col("m") + F.lit(3 * 3600 * 10**9)).alias("ts")
+    else:  # timestamp / timestamp_ntz: interval add preserves the type
+        flush_ts = (F.col("m") + F.expr("INTERVAL 3 HOURS")).alias("ts")
+    sent = mx.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(-1).cast("bigint").alias("event_id"),
+                    F.lit(-1).cast("bigint").alias("user_id"),
+                    F.lit("click").alias("event_type"),
+                ),
+                F.struct(
+                    F.lit(-2).cast("bigint").alias("event_id"),
+                    F.lit(-2).cast("bigint").alias("user_id"),
+                    F.lit("purchase").alias("event_type"),
+                ),
+            )
+        ).alias("s"),
+        flush_ts,
+    ).select(
+        F.col("s.event_id").alias("event_id"),
+        F.col("ts"),
+        F.col("s.user_id").alias("user_id"),
+        F.col("s.event_type").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    staging = os.path.join(out, "_staging_sentinel")
+    sent.coalesce(1).write.parquet(staging)
+    part = next(
+        f for f in os.listdir(staging)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    sentinel = os.path.join(out, "events_01_flush.parquet")
+    shutil.move(os.path.join(staging, part), sentinel)
+    shutil.rmtree(staging, ignore_errors=True)
+    now = time.time()
+    os.utime(real, (now - 10, now - 10))
+    os.utime(sentinel, (now, now))
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return out
+
+
+@register(
+    "stream_click_attribution_outer",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS buy_id, c.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us,
+           p.event_id IS NOT NULL AS matched
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+    ORDER BY click_id, buy_id NULLS FIRST
+    """,
+    tags=("streaming", "join", "stateful", "outer", "beyond-2.1"),
+)
+def stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join (beyond-2.1 extra — modern Spark
+    supports outer stream joins since 2.3): every click joined to
+    same-user purchases within ATTRIB_GAP, clicks with NO purchase
+    emitted with null buy columns.  The subtle semantics under test is
+    WHEN the null rows appear: an outer-join row is held in state
+    until the watermark passes the end of its join window (only then
+    is "no match ever" decidable), so the stream stages a heartbeat
+    sentinel (_attrib_outer_dir) that advances the final watermark
+    past every real window — the production pattern for closing outer
+    joins on quiescent streams.  The oracle is the equivalent batch
+    LEFT JOIN, so the driver proves stream==batch INCLUDING the
+    null-matched rows.
+
+    Scale notes: state on each side is bounded to watermark + gap
+    exactly as the inner variant (O(rate × gap), not O(history)); the
+    outer semantics add no state, only deferred emission.  The
+    sentinel rows are un-matchable by construction (negative user ids,
+    disjoint between sides) and filtered AFTER the join, so they
+    contribute watermark advancement and nothing else."""
+    ensure_parity_conf(spark)
+    from splitserve_spark.tables import normalize_event_ts
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    name = f"scao_{tag}"
+    src_dir = _attrib_outer_dir(spark, sf_dir)
+    raw_schema = spark.read.parquet(src_dir).schema
+
+    def _side(event_type: str, id_col: str, user_col: str, ts_col: str):
+        s = normalize_event_ts(
+            spark.readStream.schema(raw_schema).parquet(f"{src_dir}/events_*")
+        )
+        return s.filter(F.col("event_type") == event_type).select(
+            F.col("event_id").alias(id_col),
+            F.col("user_id").alias(user_col),
+            F.col("ts").alias(ts_col),
+        )
+
+    clicks = _side("click", "click_id", "c_user", "click_ts").withWatermark(
+        "click_ts", "1 hour"
+    )
+    buys = _side("purchase", "buy_id", "b_user", "buy_ts").withWatermark(
+        "buy_ts", "1 hour"
+    )
+    joined = (
+        clicks.join(
+            buys,
+            (F.col("c_user") == F.col("b_user"))
+            & (F.col("buy_ts") >= F.col("click_ts"))
+            & (
+                F.col("buy_ts")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIB_GAP}")
+            ),
+            "left_outer",
+        )
+        # NOTE: the flush sentinel is NOT filtered here.  A
+        # click_id >= 0 predicate inside the streaming plan gets
+        # pushed below the EventTimeWatermark node (it does not
+        # reference the watermark column), which silently removes the
+        # sentinel BEFORE it can advance the clicks-side watermark —
+        # leaving the youngest real click's window open forever.
+        # Sentinels are dropped from the SINK table after the drain.
+        .select(
+            "click_id",
+            "buy_id",
+            F.col("c_user").alias("user_id"),
+            F.timestamp_diff(
+                "MICROSECOND", F.col("click_ts"), F.col("buy_ts")
+            ).alias("lag_us"),
+            F.col("buy_id").isNotNull().alias("matched"),
+        )
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        raise TimeoutError(
+            "stream_click_attribution_outer: AvailableNow drain did not "
+            "terminate within 180 s; aborting rather than compare a "
+            "partial append-mode table against the batch oracle"
+        )
+    return (
+        spark.table(name)
+        .filter(F.col("click_id") >= 0)  # drop the flush sentinel
+        .orderBy("click_id", F.col("buy_id").asc_nulls_first())
+    )

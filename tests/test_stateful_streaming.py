@@ -25,6 +25,7 @@ EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
         "stream_file_source_agg",
         "stream_dedup_ids",
         "stream_click_attribution",
+        "stream_click_attribution_outer",
         "stream_static_join",
     ],
 )
@@ -384,3 +385,35 @@ def test_hot_key_safe_boundary_cases(spark):
     assert len(per_user[3]) == 2  # 30 min + 1 µs starts a new one
     assert len(per_user[5]) == 2  # empty days between sessions
     assert len(per_user[8]) == 1 and per_user[8][0].n_events == 9
+
+
+def test_outer_attribution_flushes_youngest_unmatched_click(spark):
+    """Regression pin for the watermark-pushdown trap: a sentinel-drop
+    predicate placed INSIDE the streaming plan gets pushed below the
+    EventTimeWatermark node, so the flush sentinel never advances the
+    clicks-side watermark and the youngest real click's outer row is
+    never emitted (it sat in state forever).  The youngest unmatched
+    click is exactly the row that disappears when the flush breaks —
+    assert it is present with null buy columns."""
+    from splitserve_spark.registry import REGISTRY, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["stream_click_attribution_outer"].fn(spark, sf).collect()
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    clicks = {r.event_id for r in
+              ev.filter(F.col("event_type") == "click")
+              .select("event_id").collect()}
+    got_clicks = {r.click_id for r in out}
+    assert got_clicks == clicks  # every real click emitted exactly
+    youngest = (
+        ev.filter(F.col("event_type") == "click")
+        .orderBy(F.col("ts").desc())
+        .select("event_id")
+        .first()
+        .event_id
+    )
+    y_rows = [r for r in out if r.click_id == youngest]
+    assert y_rows, "youngest click missing: watermark never closed it"
+    # No sentinel leakage.
+    assert all(r.click_id >= 0 for r in out)
