@@ -79,7 +79,8 @@ SMOKE_QUERIES = [
 #: (sessions / ids / in-horizon join rows / event types), never input
 #: history — the property that bounds an unbounded 100 TB/day stream.
 STREAM_SMOKE = ["session_window", "dedup_ids", "dedup_within",
-                "stream_stream_join", "cusum", "ingest_horizon"]
+                "stream_stream_join", "attribution_outer", "cusum",
+                "ingest_horizon"]
 
 
 #: Graph-family smoke: the iterative operators are exempt from the
@@ -337,6 +338,76 @@ def streaming_smoke(spark, src, out, scale):
         return {"rows": rows, "state": state, "keys": keys,
                 "inputs": ev.count()}
 
+    def attribution_outer(sf_dir):
+        """LEFT OUTER twin of stream_stream_join (the round-11
+        stream_click_attribution_outer operator): buffered-row state
+        must be IDENTICAL in kind to the inner join — outer semantics
+        add no state rows, only deferred null emission — while the
+        output grows by the unmatched clicks.  The runner also proves
+        the heartbeat flush holds at K×: sink rows must EQUAL the
+        batch LEFT JOIN row count (every unmatched click's window
+        closed by the sentinel-advanced watermark), failing loudly if
+        the flush ever stops working at scale."""
+        from splitserve_spark.streaming.stateful import (
+            ATTRIB_GAP,
+            _attrib_outer_dir,
+        )
+        from splitserve_spark.tables import normalize_event_ts
+
+        tag = "sso_" + run_tag + ("_k" if sf_dir == out else "_1")
+        src_dir = _attrib_outer_dir(spark, sf_dir)
+        raw_schema = spark.read.parquet(src_dir).schema
+
+        def side(et, idc, uc, tc):
+            s = normalize_event_ts(
+                spark.readStream.schema(raw_schema)
+                .parquet(f"{src_dir}/events_*")
+            )
+            return s.filter(F.col("event_type") == et).select(
+                F.col("event_id").alias(idc),
+                F.col("user_id").alias(uc),
+                F.col("ts").alias(tc),
+            )
+
+        clicks = side("click", "click_id", "c_user", "click_ts")\
+            .withWatermark("click_ts", "1 hour")
+        buys = side("purchase", "buy_id", "b_user", "buy_ts")\
+            .withWatermark("buy_ts", "1 hour")
+        cond = (
+            (F.col("c_user") == F.col("b_user"))
+            & (F.col("buy_ts") >= F.col("click_ts"))
+            & (F.col("buy_ts")
+               <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIB_GAP}"))
+        )
+        joined = clicks.join(buys, cond, "left_outer")
+        _, state = drive(
+            joined.writeStream.format("memory").outputMode("append"), tag
+        )
+        rows = spark.table(tag).filter(F.col("click_id") >= 0).count()
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        cb = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        bb = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("buy_ts"),
+        )
+        expect = cb.join(bb, cond, "left_outer").count()
+        if rows != expect:
+            raise AssertionError(
+                f"outer flush incomplete at {sf_dir}: sink rows {rows} "
+                f"!= batch left-join {expect}"
+            )
+        # Join state buffers in-horizon rows of both sides, plus the
+        # two heartbeat sentinels.
+        keys = ev.filter(
+            F.col("event_type").isin("click", "purchase")
+        ).count() + 2
+        return {"rows": rows, "state": state, "keys": keys,
+                "inputs": ev.count()}
+
     def cusum(sf_dir):
         from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -484,6 +555,7 @@ def streaming_smoke(spark, src, out, scale):
         "dedup_ids": dedup_ids,
         "dedup_within": dedup_within,
         "stream_stream_join": stream_stream_join,
+        "attribution_outer": attribution_outer,
         "cusum": cusum,
         "ingest_horizon": ingest_horizon,
     }
@@ -1235,6 +1307,13 @@ def main() -> int:
             shutil.rmtree(
                 os.path.join(tempfile.gettempdir(),
                              "splitserve_spark_stream", f"cusum_{tag}"),
+                ignore_errors=True,
+            )
+            # Same for the outer-attribution heartbeat staging.
+            shutil.rmtree(
+                os.path.join(tempfile.gettempdir(),
+                             "splitserve_spark_stream",
+                             f"attribouter_{tag}"),
                 ignore_errors=True,
             )
 
