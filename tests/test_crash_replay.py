@@ -320,3 +320,106 @@ def test_kafka_crash_window_doubles_once_delivery_exact(spark, tmp_path):
     # ledger applied exactly once per batch_id
     led = target.ledger()["applied"]
     assert len(led) == len(set(led)), led
+
+
+# ---------------------------------------------------------------------
+# Stream-stream LEFT OUTER join across a kill: matched rows must not
+# double-emit on batch replay (file-sink manifest absorbs it), and the
+# deferred null-match emission must still happen after recovery.
+
+
+def _outer_drain(spark, staged_dir, out, ckpt):
+    def side(et, idc, uc, tc):
+        s = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, "
+                "ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(staged_dir)
+        )
+        return s.filter(F.col("event_type") == et).select(
+            F.col("event_id").alias(idc),
+            F.col("user_id").alias(uc),
+            F.col("ts").alias(tc),
+        )
+
+    clicks = side("click", "click_id", "c_user", "click_ts").withWatermark(
+        "click_ts", "30 minutes"
+    )
+    buys = side("purchase", "buy_id", "b_user", "buy_ts").withWatermark(
+        "buy_ts", "30 minutes"
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("click_id", "buy_id")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q.lastProgress
+
+
+def test_outer_join_exactly_once_and_flush_across_kill(spark, tmp_path):
+    """LEFT OUTER stream-stream join across a crash: run 1 emits the
+    matched pair (in-batch match), the kill deletes the newest commit
+    so run 2 REPLAYS that batch — the parquet sink's own manifest must
+    absorb the duplicate addBatch (matched row appears exactly once) —
+    and run 2's heartbeat click then advances BOTH sides' watermarks
+    past the unmatched click's window, so its deferred null row emits
+    AFTER recovery from join state that was itself restored from the
+    checkpoint.  This composes the three recovery surfaces: offset WAL
+    replay, sink idempotence, and state-store restore of an OUTER
+    join's pending-row buffer."""
+    staged = str(tmp_path / "staged")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_json_batch(staged, 0, [
+        {"event_id": 1, "user_id": 1, "event_type": "click",
+         "ts": "2024-01-01 10:00:00"},
+        {"event_id": 2, "user_id": 2, "event_type": "click",
+         "ts": "2024-01-01 10:05:00"},
+        {"event_id": 11, "user_id": 1, "event_type": "purchase",
+         "ts": "2024-01-01 10:10:00"},
+    ])
+    _outer_drain(spark, staged, out, ckpt)
+    rows1 = {(r.click_id, r.buy_id) for r in spark.read.parquet(out).collect()}
+    # The matched pair emits in-batch; the unmatched click 2 is held in
+    # state (its window is still open against the 9:40 watermark).
+    assert rows1 == {(1, 11)}, rows1
+    replayed = delete_latest_commit(ckpt)  # the kill
+    assert replayed >= 0
+    # Run 2: an unrelated purchase plus a heartbeat click, both far
+    # enough ahead (13:30 watermark) to close click 2's 10:35 window.
+    # Without the heartbeat CLICK the clicks-side watermark would stay
+    # at 10:05 and the null row would never flush (min-policy across
+    # both event-time columns) — same trap the heartbeat sentinel in
+    # stream_click_attribution_outer exists for.
+    _write_json_batch(staged, 1, [
+        {"event_id": 12, "user_id": 3, "event_type": "purchase",
+         "ts": "2024-01-01 14:00:00"},
+        {"event_id": 99, "user_id": 99, "event_type": "click",
+         "ts": "2024-01-01 14:00:00"},
+    ])
+    progress = _outer_drain(spark, staged, out, ckpt)
+    rows2 = sorted(
+        (r.click_id, r.buy_id)
+        for r in spark.read.parquet(out).collect()
+        if r.click_id != 99  # the heartbeat's own window stays open
+    )
+    assert rows2 == [(1, 11), (2, None)], (
+        f"replay duplicated the match or lost the deferred null row: {rows2}"
+    )
+    # Eviction check: the 13:30 watermark has expired clicks 1-2 and
+    # purchase 11; only the in-horizon purchase 12 and heartbeat click
+    # may remain buffered.
+    state = progress["stateOperators"][0]
+    assert state["numRowsTotal"] <= 2, state
