@@ -2,12 +2,12 @@
 
 entry(spark)   — flagship query (TPC-H Q1 style) on sf0.001.
 queries()      — every registered operator query from SURVEY.md §2 plus
-                 the beyond-parity pipeline operators (355 entries:
+                 the beyond-parity pipeline operators (356 entries:
                  TPC-H Q1-Q22, the paper's TPC-DS Q5/Q16/Q94/Q95 shapes,
                  joins/aggregates/windows/setops/subqueries, scalar
                  functions, UDF surface, stats, DDL, RDD ops, streaming,
                  dedup/similarity/text/multimodal, graph/ML workloads).
-oracle_sql()   — matching DuckDB SQL per query (355 entries; ZERO
+oracle_sql()   — matching DuckDB SQL per query (356 entries; ZERO
                  rows-only checks since round 8: the last five
                  RNG/sketch cases (agg_approx, ml_kmeans, seeded
                  sampling ×2, freqItems) were upgraded to value-checked

@@ -225,3 +225,132 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total"))
         .orderBy("band_id")
     )
+
+
+def _pit_attach(examples: DataFrame, feats: DataFrame, key: str,
+                out_col: str, ttl: str | None = None) -> DataFrame:
+    """Attach ONE feature table to an example set, point-in-time.
+
+    ``examples`` must carry ``key`` and event-time ``ts``; ``feats``
+    must be (key, _fts, _fval, _fid).  Union+window form (same family
+    as asof_join_events_orders): both sets merge into one keyed
+    timeline, a last(ignorenulls) running window carries the newest
+    feature value onto each example row, and an optional staleness TTL
+    nulls values whose feature time has fallen more than ``ttl``
+    behind the example time.  One shuffle on the entity key per
+    feature table; examples are never fanned out (no range-join row
+    explosion), which is what makes the operator safe when one entity
+    has millions of feature updates.
+
+    Tie discipline (mirrors the oracle's ORDER BY ts DESC, id DESC
+    LIMIT 1): at equal time, feature rows sort BEFORE the example
+    (at-or-before is inclusive) and among same-time feature rows the
+    highest _fid wins."""
+    ex_struct = F.struct(*[F.col(c) for c in examples.columns]).alias("_ex")
+    e = examples.select(
+        F.col(key).alias("_k"),
+        F.col("ts").alias("_t"),
+        F.lit(1).alias("_kind"),
+        F.lit(-1).cast("long").alias("_fid"),
+        F.lit(None).cast("double").alias("_fval"),
+        ex_struct,
+    )
+    ex_type = e.schema["_ex"].dataType
+    f = feats.select(
+        F.col(key).alias("_k"),
+        F.col("_fts").alias("_t"),
+        F.lit(0).alias("_kind"),
+        F.col("_fid").cast("long").alias("_fid"),
+        F.col("_fval").cast("double").alias("_fval"),
+        F.lit(None).cast(ex_type).alias("_ex"),
+    )
+    u = e.unionByName(f)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_kind", "_fid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried_v = F.last("_fval", ignorenulls=True).over(w)
+    carried_t = F.last(
+        F.when(F.col("_kind") == 0, F.col("_t")), ignorenulls=True
+    ).over(w)
+    if ttl is None:
+        val = carried_v
+    else:
+        val = F.when(
+            carried_t >= F.col("_t") - F.expr(f"INTERVAL {ttl}"), carried_v
+        )
+    return (
+        u.withColumn("_v", val)
+        .filter(F.col("_kind") == 1)
+        .select(F.col("_ex.*"), F.col("_v").alias(out_col))
+    )
+
+
+@register(
+    "pit_feature_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT c.value FROM events c
+             WHERE c.user_id = p.user_id AND c.event_type = 'click'
+               AND c.ts <= p.ts
+               AND c.ts >= p.ts - INTERVAL '2 hours'
+             ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
+             AS f_click_value,
+           (SELECT o.o_totalprice FROM orders o
+             WHERE o.o_custkey = p.user_id AND o.o_orderdate <= p.ts
+             ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+             AS f_last_order_price
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    ORDER BY p.event_id
+    """,
+    tags=("join", "asof", "pit", "pipeline", "custom-operator"),
+)
+def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (feature-store) join: enrich each training
+    example — here every purchase event — with the value each feature
+    table had AS OF the example's event time, never later (no label
+    leakage), each feature under its own staleness TTL.  This is the
+    canonical training-set assembly operator (Feast/Tecton-style PIT
+    correctness); the reference has no temporal joins at all
+    (SURVEY.md §2.3: non-equi conditions fall to nested-loop), and
+    stock Spark expresses it only as a per-example correlated
+    subquery.
+
+    Two feature tables with different freshness rules:
+      * f_click_value — the user's most recent click `value`, stale
+        after 2 hours (older click => NULL, exactly how a feature
+        store serves an expired online feature);
+      * f_last_order_price — the customer's most recent order total,
+        no TTL (slowly-changing profile feature).
+
+    Scale design: one union+window pass per feature table, each a
+    single shuffle on the entity key, JVM end to end (no pandas, no
+    correlated per-row probe); examples never duplicate (a hot entity
+    with millions of feature updates costs sort time, not row
+    explosion — and the prefix-rank split-and-stitch mitigation in
+    prefix_rank.py applies unchanged if one key dominates).  Feature
+    values pass through VERBATIM (no arithmetic), so parity with the
+    oracle's correlated form is exact."""
+    ensure_parity_conf(spark)
+    t = Tables(spark, sf_dir)
+    examples = t.events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("_fts"),
+        F.col("value").alias("_fval"),
+        F.col("event_id").alias("_fid"),
+    )
+    orders = t.orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("_fts"),
+        F.col("o_totalprice").alias("_fval"),
+        F.col("o_orderkey").alias("_fid"),
+    )
+    step1 = _pit_attach(examples, clicks, "user_id",
+                        "f_click_value", ttl="2 HOURS")
+    step2 = _pit_attach(step1, orders, "user_id", "f_last_order_price")
+    return step2.orderBy("event_id")

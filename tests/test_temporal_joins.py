@@ -10,7 +10,8 @@ load_all()
 
 
 @pytest.mark.parametrize(
-    "name", ["asof_join_events_orders", "range_join_price_bands"]
+    "name", ["asof_join_events_orders", "range_join_price_bands",
+             "pit_feature_join"]
 )
 def test_oracle_match(spark, name):
     check_query(spark, name, SF_DIR)
@@ -45,3 +46,65 @@ def test_range_join_is_equi_not_nested_loop(spark):
     plan = physical_plan(df, mode="simple")
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+
+
+def test_pit_semantics_leakage_ttl_ties(spark):
+    """PIT correctness on a hand-built timeline: (a) no label leakage —
+    a feature dated one microsecond AFTER the example is invisible;
+    (b) inclusive as-of — a feature at exactly the example time IS
+    visible; (c) staleness TTL — a feature older than the TTL yields
+    NULL, not the stale value; (d) tie-break — among same-timestamp
+    features the highest feature id wins."""
+    from pyspark.sql import functions as F
+
+    from splitserve_spark.operators.temporal_joins import _pit_attach
+
+    ex = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 12:00:00"),   # feature 1 µs later: leak test
+            (2, 20, "2024-01-01 12:00:00"),   # feature exactly at ts
+            (3, 30, "2024-01-01 12:00:00"),   # feature 2h+1µs old: stale
+            (4, 40, "2024-01-01 12:00:00"),   # two features, same ts
+            (5, 50, "2024-01-01 12:00:00"),   # no feature at all
+        ],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    feats = spark.createDataFrame(
+        [
+            (10, "2024-01-01 12:00:00.000001", 111.0, 1),
+            (20, "2024-01-01 12:00:00", 222.0, 2),
+            (30, "2024-01-01 09:59:59.999999", 333.0, 3),
+            (40, "2024-01-01 11:00:00", 401.0, 4),
+            (40, "2024-01-01 11:00:00", 402.0, 5),
+        ],
+        "user_id long, _fts string, _fval double, _fid long",
+    ).withColumn("_fts", F.col("_fts").cast("timestamp"))
+    got = {
+        r.event_id: r.f
+        for r in _pit_attach(ex, feats, "user_id", "f", ttl="2 HOURS")
+        .collect()
+    }
+    assert got[1] is None          # future feature must not leak
+    assert got[2] == 222.0         # at-or-before is inclusive
+    assert got[3] is None          # 2h TTL expired by 1 µs
+    assert got[4] == 402.0         # same-ts tie -> highest _fid
+    assert got[5] is None          # never-seen entity
+    # Without a TTL the stale feature IS served (profile semantics).
+    got_no_ttl = {
+        r.event_id: r.f
+        for r in _pit_attach(ex, feats, "user_id", "f").collect()
+    }
+    assert got_no_ttl[3] == 333.0
+
+
+def test_pit_single_shuffle_per_feature_table(spark):
+    """Scale gate: the two-feature PIT plan must contain exactly the
+    per-feature-table window shuffles (plus the final presentation
+    sort) and no join operator at all — examples are never fanned out
+    through a range join."""
+    from splitserve_spark.plans.inspect import physical_plan
+
+    df = REGISTRY["pit_feature_join"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
