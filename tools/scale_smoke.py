@@ -67,6 +67,7 @@ SMOKE_QUERIES = [
     "text_gopher_filter",
     "dedup_substring_spans",
     "split_dedup_cluster",
+    "pit_feature_join",
 ]
 
 
