@@ -235,9 +235,12 @@ def _pit_attach(examples: DataFrame, feats: DataFrame, key: str,
     must be (key, _fts, _fval, _fid).  Union+window form (same family
     as asof_join_events_orders): both sets merge into one keyed
     timeline, a last(ignorenulls) running window carries the newest
-    feature value onto each example row, and an optional staleness TTL
-    nulls values whose feature time has fallen more than ``ttl``
-    behind the example time.  One shuffle on the entity key per
+    feature ROW (as a struct, so a feature whose value is NULL still
+    wins over an older non-null one — exactly what the oracle's
+    ORDER BY ts DESC LIMIT 1 serves) onto each example row, and an
+    optional staleness TTL nulls values whose feature time has fallen
+    more than ``ttl`` behind the example time.  One shuffle on the
+    entity key per
     feature table; examples are never fanned out (no range-join row
     explosion), which is what makes the operator safe when one entity
     has millions of feature updates.
@@ -270,10 +273,18 @@ def _pit_attach(examples: DataFrame, feats: DataFrame, key: str,
         .orderBy("_t", "_kind", "_fid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried_v = F.last("_fval", ignorenulls=True).over(w)
-    carried_t = F.last(
-        F.when(F.col("_kind") == 0, F.col("_t")), ignorenulls=True
+    # Carry the newest feature ROW, not the newest non-null value:
+    # the struct is non-null for every feature row even when _fval is
+    # NULL, so a fresh NULL-valued feature correctly shadows an older
+    # non-null one (ignorenulls on the bare value would skip it while
+    # carried_t still advanced — serving a stale, possibly
+    # TTL-expired value the oracle's LIMIT 1 would never return).
+    carried = F.last(
+        F.when(F.col("_kind") == 0, F.struct("_t", "_fval")),
+        ignorenulls=True,
     ).over(w)
+    carried_v = carried["_fval"]
+    carried_t = carried["_t"]
     if ttl is None:
         val = carried_v
     else:

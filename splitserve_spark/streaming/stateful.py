@@ -598,8 +598,11 @@ def _attrib_outer_dir(spark: SparkSession, sf_dir: str) -> str:
     un-matchable purchase 3 hours after the real maximum — far enough
     that the final watermark (sentinel − 1 h delay) closes every real
     click's 30-minute window.  Sentinels use negative ids/users (real
-    ids start at 0) and are dropped after the join.  Idempotent per
-    sf_dir."""
+    ids start at 0) and are dropped after the join.  Memoized per
+    sf_dir, keyed on the source file's (mtime, size) so a regenerated
+    events.parquet restages automatically instead of serving stale
+    data against a fresh oracle."""
+    import json
     import os
     import shutil
     import tempfile
@@ -610,11 +613,17 @@ def _attrib_outer_dir(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(), "splitserve_spark_stream", f"attribouter_{tag}"
     )
     marker = os.path.join(out, "_READY")
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    src_key = {"mtime": st.st_mtime, "size": st.st_size}
     if os.path.exists(marker):
-        return out
+        try:
+            if json.load(open(marker)) == src_key:
+                return out
+        except (ValueError, OSError):
+            pass  # unreadable marker: restage
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
-    src = f"{sf_dir}/events.parquet"
     real = os.path.join(out, "events_00.parquet")
     shutil.copy(src, real)
 
@@ -662,8 +671,46 @@ def _attrib_outer_dir(spark: SparkSession, sf_dir: str) -> str:
     os.utime(real, (now - 10, now - 10))
     os.utime(sentinel, (now, now))
     with open(marker, "w") as fh:
-        fh.write("ok\n")
+        json.dump(src_key, fh)
     return out
+
+
+def _attrib_outer_joined(spark: SparkSession, src_dir: str) -> DataFrame:
+    """The LEFT OUTER attribution topology over a staged heartbeat dir
+    (two filtered watermarked sides, the 3-clause range condition) —
+    shared by the registered operator and tools/scale_smoke.py, so the
+    smoke certifies the SHIPPED plan rather than a hand copy that can
+    drift."""
+    from splitserve_spark.tables import normalize_event_ts
+
+    raw_schema = spark.read.parquet(src_dir).schema
+
+    def _side(event_type: str, id_col: str, user_col: str, ts_col: str):
+        s = normalize_event_ts(
+            spark.readStream.schema(raw_schema).parquet(f"{src_dir}/events_*")
+        )
+        return s.filter(F.col("event_type") == event_type).select(
+            F.col("event_id").alias(id_col),
+            F.col("user_id").alias(user_col),
+            F.col("ts").alias(ts_col),
+        )
+
+    clicks = _side("click", "click_id", "c_user", "click_ts").withWatermark(
+        "click_ts", "1 hour"
+    )
+    buys = _side("purchase", "buy_id", "b_user", "buy_ts").withWatermark(
+        "buy_ts", "1 hour"
+    )
+    return clicks.join(
+        buys,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (
+            F.col("buy_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIB_GAP}")
+        ),
+        "left_outer",
+    )
 
 
 @register(
@@ -701,40 +748,11 @@ def stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFram
     disjoint between sides) and filtered AFTER the join, so they
     contribute watermark advancement and nothing else."""
     ensure_parity_conf(spark)
-    from splitserve_spark.tables import normalize_event_ts
-
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
     name = f"scao_{tag}"
     src_dir = _attrib_outer_dir(spark, sf_dir)
-    raw_schema = spark.read.parquet(src_dir).schema
-
-    def _side(event_type: str, id_col: str, user_col: str, ts_col: str):
-        s = normalize_event_ts(
-            spark.readStream.schema(raw_schema).parquet(f"{src_dir}/events_*")
-        )
-        return s.filter(F.col("event_type") == event_type).select(
-            F.col("event_id").alias(id_col),
-            F.col("user_id").alias(user_col),
-            F.col("ts").alias(ts_col),
-        )
-
-    clicks = _side("click", "click_id", "c_user", "click_ts").withWatermark(
-        "click_ts", "1 hour"
-    )
-    buys = _side("purchase", "buy_id", "b_user", "buy_ts").withWatermark(
-        "buy_ts", "1 hour"
-    )
     joined = (
-        clicks.join(
-            buys,
-            (F.col("c_user") == F.col("b_user"))
-            & (F.col("buy_ts") >= F.col("click_ts"))
-            & (
-                F.col("buy_ts")
-                <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIB_GAP}")
-            ),
-            "left_outer",
-        )
+        _attrib_outer_joined(spark, src_dir)
         # NOTE: the flush sentinel is NOT filtered here.  A
         # click_id >= 0 predicate inside the streaming plan gets
         # pushed below the EventTimeWatermark node (it does not
@@ -760,6 +778,7 @@ def stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFram
         .start()
     )
     if not q.awaitTermination(180):
+        q.stop()  # don't leak an active query (queryName collision on retry)
         raise TimeoutError(
             "stream_click_attribution_outer: AvailableNow drain did not "
             "terminate within 180 s; aborting rather than compare a "

@@ -398,7 +398,7 @@ def test_outer_attribution_flushes_youngest_unmatched_click(spark):
     from splitserve_spark.registry import REGISTRY, load_all
 
     load_all()
-    sf = "/root/testdata/sf0.001"
+    sf = SF_DIR
     out = REGISTRY["stream_click_attribution_outer"].fn(spark, sf).collect()
     ev = spark.read.parquet(f"{sf}/events.parquet")
     clicks = {r.event_id for r in

@@ -66,6 +66,7 @@ def test_pit_semantics_leakage_ttl_ties(spark):
             (3, 30, "2024-01-01 12:00:00"),   # feature 2h+1µs old: stale
             (4, 40, "2024-01-01 12:00:00"),   # two features, same ts
             (5, 50, "2024-01-01 12:00:00"),   # no feature at all
+            (6, 60, "2024-01-01 12:00:00"),   # newest feature value NULL
         ],
         "event_id long, user_id long, ts string",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
@@ -76,6 +77,8 @@ def test_pit_semantics_leakage_ttl_ties(spark):
             (30, "2024-01-01 09:59:59.999999", 333.0, 3),
             (40, "2024-01-01 11:00:00", 401.0, 4),
             (40, "2024-01-01 11:00:00", 402.0, 5),
+            (60, "2024-01-01 11:00:00", 600.0, 6),
+            (60, "2024-01-01 11:30:00", None, 7),
         ],
         "user_id long, _fts string, _fval double, _fid long",
     ).withColumn("_fts", F.col("_fts").cast("timestamp"))
@@ -89,12 +92,16 @@ def test_pit_semantics_leakage_ttl_ties(spark):
     assert got[3] is None          # 2h TTL expired by 1 µs
     assert got[4] == 402.0         # same-ts tie -> highest _fid
     assert got[5] is None          # never-seen entity
+    # The newest feature wins even when its VALUE is null — the row
+    # carries, not the last non-null value (oracle LIMIT 1 parity).
+    assert got[6] is None
     # Without a TTL the stale feature IS served (profile semantics).
     got_no_ttl = {
         r.event_id: r.f
         for r in _pit_attach(ex, feats, "user_id", "f").collect()
     }
     assert got_no_ttl[3] == 333.0
+    assert got_no_ttl[6] is None   # fresh NULL shadows older 600.0
 
 
 def test_pit_single_shuffle_per_feature_table(spark):

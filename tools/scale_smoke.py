@@ -352,40 +352,27 @@ def streaming_smoke(spark, src, out, scale):
         from splitserve_spark.streaming.stateful import (
             ATTRIB_GAP,
             _attrib_outer_dir,
+            _attrib_outer_joined,
         )
         from splitserve_spark.tables import normalize_event_ts
 
         tag = "sso_" + run_tag + ("_k" if sf_dir == out else "_1")
         src_dir = _attrib_outer_dir(spark, sf_dir)
-        raw_schema = spark.read.parquet(src_dir).schema
-
-        def side(et, idc, uc, tc):
-            s = normalize_event_ts(
-                spark.readStream.schema(raw_schema)
-                .parquet(f"{src_dir}/events_*")
-            )
-            return s.filter(F.col("event_type") == et).select(
-                F.col("event_id").alias(idc),
-                F.col("user_id").alias(uc),
-                F.col("ts").alias(tc),
-            )
-
-        clicks = side("click", "click_id", "c_user", "click_ts")\
-            .withWatermark("click_ts", "1 hour")
-        buys = side("purchase", "buy_id", "b_user", "buy_ts")\
-            .withWatermark("buy_ts", "1 hour")
+        # The SHIPPED topology, not a hand copy — drift-proof.
+        joined = _attrib_outer_joined(spark, src_dir)
+        _, state = drive(
+            joined.writeStream.format("memory").outputMode("append"), tag
+        )
+        rows = spark.table(tag).filter(F.col("click_id") >= 0).count()
+        ev = normalize_event_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        )
         cond = (
             (F.col("c_user") == F.col("b_user"))
             & (F.col("buy_ts") >= F.col("click_ts"))
             & (F.col("buy_ts")
                <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIB_GAP}"))
         )
-        joined = clicks.join(buys, cond, "left_outer")
-        _, state = drive(
-            joined.writeStream.format("memory").outputMode("append"), tag
-        )
-        rows = spark.table(tag).filter(F.col("click_id") >= 0).count()
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         cb = ev.filter(F.col("event_type") == "click").select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user"),
@@ -1310,13 +1297,10 @@ def main() -> int:
                              "splitserve_spark_stream", f"cusum_{tag}"),
                 ignore_errors=True,
             )
-            # Same for the outer-attribution heartbeat staging.
-            shutil.rmtree(
-                os.path.join(tempfile.gettempdir(),
-                             "splitserve_spark_stream",
-                             f"attribouter_{tag}"),
-                ignore_errors=True,
-            )
+            # (The outer-attribution heartbeat staging needs no sweep
+            # here: its _READY marker is keyed on the source file's
+            # mtime/size and restages itself when the corpus is
+            # rebuilt.)
 
     from splitserve_spark.registry import REGISTRY, load_all
     from splitserve_spark.session import get_session
