@@ -115,3 +115,61 @@ def test_pit_single_shuffle_per_feature_table(spark):
     plan = physical_plan(df)
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_pit_matches_bruteforce_on_random_timeline(spark):
+    """Equivalence against a pure-Python reference on a seeded random
+    timeline (500 feature rows / 200 examples / 40 entities, ~27% NULL
+    feature values, duplicate timestamps forced by second-granularity
+    draws): for every example the reference scans its entity's feature
+    list for the newest at-or-before row (ties: highest id), applies
+    the TTL, and must agree with the union+window result exactly."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from splitserve_spark.operators.temporal_joins import _pit_attach
+
+    rng = random.Random(11)
+    base = datetime(2024, 1, 1)
+    feats = [
+        (
+            rng.randrange(40),
+            base + timedelta(seconds=rng.randrange(0, 36000)),
+            None if rng.random() < 0.27 else round(rng.uniform(0, 100), 3),
+            i,
+        )
+        for i in range(500)
+    ]
+    exs = [
+        (i, rng.randrange(40), base + timedelta(seconds=rng.randrange(0, 36000)))
+        for i in range(200)
+    ]
+    ttl = timedelta(hours=1)
+
+    def reference(uid, ts):
+        cands = [
+            (fts, fid, fval)
+            for (fuid, fts, fval, fid) in feats
+            if fuid == uid and fts <= ts
+        ]
+        if not cands:
+            return None
+        fts, _, fval = max(cands)  # newest ts, then highest id
+        return fval if ts - fts <= ttl else None
+
+    ex_df = spark.createDataFrame(exs, "event_id long, user_id long, ts timestamp")
+    f_df = spark.createDataFrame(
+        feats, "user_id long, _fts timestamp, _fval double, _fid long"
+    )
+    got = {
+        r.event_id: r.f
+        for r in _pit_attach(ex_df, f_df, "user_id", "f", ttl="1 HOURS")
+        .collect()
+    }
+    assert len(got) == 200
+    for eid, uid, ts in exs:
+        assert got[eid] == reference(uid, ts), (
+            eid, uid, ts, got[eid], reference(uid, ts)
+        )
