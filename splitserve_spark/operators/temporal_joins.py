@@ -259,7 +259,10 @@ def _pit_attach(examples: DataFrame, feats: DataFrame, key: str,
         ex_struct,
     )
     ex_type = e.schema["_ex"].dataType
-    f = feats.select(
+    # A NULL-timestamped feature row is "never observed" (the oracle's
+    # ts <= example.ts predicate excludes it); without this filter the
+    # window's NULLS FIRST ordering would carry it into EVERY example.
+    f = feats.filter(F.col("_fts").isNotNull()).select(
         F.col(key).alias("_k"),
         F.col("_fts").alias("_t"),
         F.lit(0).alias("_kind"),

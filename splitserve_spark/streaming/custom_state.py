@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.tables import sfdir_tag
 
 OUTPUT_SCHEMA = (
     "user_id bigint, n_events bigint, total_value double, last_ts_micros bigint"
@@ -119,7 +120,7 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_parity_conf(spark)
     from splitserve_spark.streaming.stateful import _events_stream
 
-    name = "ssp_" + "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    name = "ssp_" + sfdir_tag(sf_dir)
     raw = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
     q = (
         running_user_profile(spark, raw)
@@ -217,7 +218,7 @@ def _ordered_event_splits(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     import tempfile
 
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    tag = sfdir_tag(sf_dir)
     out = os.path.join(
         tempfile.gettempdir(), "splitserve_spark_stream", f"cusum_{tag}"
     )
@@ -280,7 +281,7 @@ def stream_cusum_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from splitserve_spark.streaming.stateful import _events_stream
 
     src_dir = _ordered_event_splits(spark, sf_dir)
-    name = "scs_" + "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    name = "scs_" + sfdir_tag(sf_dir)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     from splitserve_spark.tables import normalize_event_ts
 

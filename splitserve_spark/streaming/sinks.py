@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from splitserve_spark.registry import register
+from splitserve_spark.tables import sfdir_tag
 from splitserve_spark.session import ensure_parity_conf
 
 #: The canonical wordcount feed — single source of truth for the Spark
@@ -421,7 +422,7 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_parity_conf(spark)
     src_dir = _ordered_event_splits(spark, sf_dir)
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    tag = sfdir_tag(sf_dir)
     base = os.path.join(
         _tf.gettempdir(), "splitserve_spark_stream",
         f"fbmerge_{tag}_p{os.getpid()}",
@@ -532,7 +533,7 @@ def stream_merge_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits_dir = _ordered_event_splits(spark, sf_dir)
     split_files = sorted(_glob.glob(os.path.join(splits_dir, "b*.parquet")))
     assert len(split_files) >= 4, split_files
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    tag = sfdir_tag(sf_dir)
     base = os.path.join(
         _tf.gettempdir(), "splitserve_spark_stream",
         f"fbrecover_{tag}_p{os.getpid()}",
@@ -681,7 +682,7 @@ def pipeline_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_parity_conf(spark)
     register_kafka_shaped(spark)
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    tag = sfdir_tag(sf_dir)
     base = os.path.join(
         _tf.gettempdir(), "splitserve_spark_stream",
         f"ingest_{tag}_p{os.getpid()}",

@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 
 from splitserve_spark.registry import PRI_BEHIND_BACKLOG, register
 from splitserve_spark.session import ensure_parity_conf
-from splitserve_spark.tables import Tables
+from splitserve_spark.tables import Tables, sfdir_tag
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet with the SAME timestamp
@@ -200,7 +200,7 @@ def stream_file_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete mode). The returned table is IncrementalExecution output —
     the oracle proves stream == batch semantics end to end."""
     ensure_parity_conf(spark)
-    name = "sfsa_" + "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    name = "sfsa_" + sfdir_tag(sf_dir)
     stream = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -243,7 +243,7 @@ def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     total alongside would need a second stateful aggregation over the
     pre-dedup stream; kept out of scope for this single-metric check.)"""
     ensure_parity_conf(spark)
-    name = "sdid_" + "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    name = "sdid_" + sfdir_tag(sf_dir)
     deduped = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -293,7 +293,7 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     not O(history).  The oracle is the equivalent batch self-join, so
     the driver proves stream==batch for the join too."""
     ensure_parity_conf(spark)
-    name = "sca_" + "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    name = "sca_" + sfdir_tag(sf_dir)
     clicks = (
         _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
@@ -367,7 +367,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-stream attribution join above.  The aggregation state is
     bounded by |segments|."""
     ensure_parity_conf(spark)
-    name = "sssj_" + "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    name = "sssj_" + sfdir_tag(sf_dir)
     customers = Tables(spark, sf_dir).customer.select(
         "c_custkey", "c_mktsegment"
     )
@@ -598,37 +598,56 @@ def _attrib_outer_dir(spark: SparkSession, sf_dir: str) -> str:
     un-matchable purchase 3 hours after the real maximum — far enough
     that the final watermark (sentinel − 1 h delay) closes every real
     click's 30-minute window.  Sentinels use negative ids/users (real
-    ids start at 0) and are dropped after the join.  Memoized per
-    sf_dir, keyed on the source file's (mtime, size) so a regenerated
-    events.parquet restages automatically instead of serving stale
-    data against a fresh oracle."""
-    import json
+    ids start at 0) and are dropped after the join.
+
+    Concurrency + staleness contract: the staged dir's NAME embeds a
+    generation hash of the source file's (mtime, size) and the
+    runtime's ts surface type, and the dir is published by an atomic
+    rename from a per-pid build dir — so (a) a regenerated
+    events.parquet or a pyspark ts-representation change yields a NEW
+    generation instead of serving stale/mixed-schema data, (b) two
+    concurrent sessions never rmtree a directory the other is
+    streaming from (a published generation is never deleted while
+    fresh; prior generations are swept only once older than 6 h,
+    mirroring the warehouse sweep's liveness guard), and (c) a staging
+    race has a single winner via rename semantics — the loser discards
+    its build dir and uses the winner's."""
+    import hashlib
     import os
     import shutil
     import tempfile
     import time
 
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
-    out = os.path.join(
-        tempfile.gettempdir(), "splitserve_spark_stream", f"attribouter_{tag}"
-    )
-    marker = os.path.join(out, "_READY")
+    tag = sfdir_tag(sf_dir)
     src = f"{sf_dir}/events.parquet"
     st = os.stat(src)
-    src_key = {"mtime": st.st_mtime, "size": st.st_size}
-    if os.path.exists(marker):
-        try:
-            if json.load(open(marker)) == src_key:
-                return out
-        except (ValueError, OSError):
-            pass  # unreadable marker: restage
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
-    real = os.path.join(out, "events_00.parquet")
-    shutil.copy(src, real)
-
     raw = spark.read.parquet(src)
     dt = dict(raw.dtypes)["ts"]
+    gen = hashlib.md5(
+        f"{st.st_mtime}:{st.st_size}:{dt}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), "splitserve_spark_stream")
+    out = os.path.join(root, f"attribouter_{tag}_{gen}")
+    if os.path.isdir(out):
+        return out
+    # Sweep prior generations for this sf_dir, but only stale ones —
+    # a <6h-old dir may back another session's running query.
+    try:
+        for d in os.listdir(root):
+            full = os.path.join(root, d)
+            if (
+                d.startswith(f"attribouter_{tag}_")
+                and d != f"attribouter_{tag}_{gen}"
+                and time.time() - os.path.getmtime(full) > 6 * 3600
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+    except OSError:
+        pass
+    build = f"{out}.build-{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    os.makedirs(build, exist_ok=True)
+    real = os.path.join(build, "events_00.parquet")
+    shutil.copy(src, real)
     mx = raw.agg(F.max("ts").alias("m"))
     if dt == "bigint":  # TIMESTAMP(NANOS) surfaced as long nanos
         flush_ts = (F.col("m") + F.lit(3 * 3600 * 10**9)).alias("ts")
@@ -658,20 +677,27 @@ def _attrib_outer_dir(spark: SparkSession, sf_dir: str) -> str:
         F.lit(0.0).alias("value"),
         F.lit(None).cast("string").alias("props"),
     )
-    staging = os.path.join(out, "_staging_sentinel")
+    staging = os.path.join(build, "_staging_sentinel")
     sent.coalesce(1).write.parquet(staging)
     part = next(
         f for f in os.listdir(staging)
         if f.endswith(".parquet") and not f.startswith("_")
     )
-    sentinel = os.path.join(out, "events_01_flush.parquet")
+    sentinel = os.path.join(build, "events_01_flush.parquet")
     shutil.move(os.path.join(staging, part), sentinel)
     shutil.rmtree(staging, ignore_errors=True)
     now = time.time()
     os.utime(real, (now - 10, now - 10))
     os.utime(sentinel, (now, now))
-    with open(marker, "w") as fh:
-        json.dump(src_key, fh)
+    # Atomic publish: the generation dir appears fully staged or not at
+    # all.  A concurrent stager that won the rename owns the dir; this
+    # loser discards its build and uses the winner's.
+    try:
+        os.rename(build, out)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+        if not os.path.isdir(out):
+            raise
     return out
 
 
@@ -748,7 +774,7 @@ def stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFram
     disjoint between sides) and filtered AFTER the join, so they
     contribute watermark advancement and nothing else."""
     ensure_parity_conf(spark)
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    tag = sfdir_tag(sf_dir)
     name = f"scao_{tag}"
     src_dir = _attrib_outer_dir(spark, sf_dir)
     joined = (

@@ -98,3 +98,11 @@ class Tables:
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return getattr(Tables(spark, sf_dir), name)
+
+
+def sfdir_tag(sf_dir: str) -> str:
+    """Filesystem/metastore-safe tag for an sf_dir path — THE shared
+    sanitizer for memory-sink query names, staged stream directories
+    and their sweepers.  One definition so cache creation and cache
+    cleanup can never disagree on the name."""
+    return "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))

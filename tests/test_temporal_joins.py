@@ -106,15 +106,17 @@ def test_pit_semantics_leakage_ttl_ties(spark):
 
 def test_pit_single_shuffle_per_feature_table(spark):
     """Scale gate: the two-feature PIT plan must contain exactly the
-    per-feature-table window shuffles (plus the final presentation
-    sort) and no join operator at all — examples are never fanned out
-    through a range join."""
-    from splitserve_spark.plans.inspect import physical_plan
+    per-feature-table window shuffles (2) plus the final presentation
+    sort (1) — three exchanges total — and no join operator at all, so
+    examples are never fanned out through a range join and no extra
+    repartition sneaks in."""
+    from splitserve_spark.plans.inspect import count_exchanges, physical_plan
 
     df = REGISTRY["pit_feature_join"].fn(spark, SF_DIR)
     plan = physical_plan(df)
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan
+    assert count_exchanges(df) <= 3, plan
 
 
 def test_pit_matches_bruteforce_on_random_timeline(spark):

@@ -1291,7 +1291,9 @@ def main() -> int:
             # The CUSUM splits fixture memoizes per sf_dir tag; the K×
             # corpus was just rebuilt, so drop any stale splits for it.
             import tempfile
-            tag = "".join(c if c.isalnum() else "_" for c in out.strip("/"))
+
+            from splitserve_spark.tables import sfdir_tag
+            tag = sfdir_tag(out)
             shutil.rmtree(
                 os.path.join(tempfile.gettempdir(),
                              "splitserve_spark_stream", f"cusum_{tag}"),
