@@ -417,3 +417,57 @@ def test_outer_attribution_flushes_youngest_unmatched_click(spark):
     assert y_rows, "youngest click missing: watermark never closed it"
     # No sentinel leakage.
     assert all(r.click_id >= 0 for r in out)
+
+
+def test_attrib_staging_generations_and_race(spark, tmp_path, monkeypatch):
+    """The heartbeat staging contract (review batch 2): (a) same
+    source → same generation dir, served without restaging; (b) a
+    touched source file → a NEW generation dir, old one left on disk
+    (it may back another session's running query) until the 6h sweep;
+    (c) a leftover build dir from a crashed/racing stager never blocks
+    publication; (d) a pre-existing published generation wins the
+    rename race and the loser's build dir is discarded."""
+    import os
+    import shutil
+    import time
+
+    from splitserve_spark.streaming.stateful import _attrib_outer_dir
+
+    src_dir = str(tmp_path / "sf")
+    os.makedirs(src_dir)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.limit(200).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    part = next(
+        f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet")
+    )
+    shutil.copy(str(tmp_path / "stage" / part),
+                os.path.join(src_dir, "events.parquet"))
+
+    d1 = _attrib_outer_dir(spark, src_dir)
+    assert os.path.isdir(d1)
+    files1 = sorted(os.listdir(d1))
+    assert "events_00.parquet" in files1 and "events_01_flush.parquet" in files1
+    # (a) memoized: same call returns the same published generation.
+    assert _attrib_outer_dir(spark, src_dir) == d1
+
+    # (c) a stale build dir must not block a fresh staging.
+    leftover = f"{d1}.build-99999"
+    os.makedirs(leftover, exist_ok=True)
+    assert _attrib_outer_dir(spark, src_dir) == d1
+
+    # (b) touching the source changes the generation; the old dir stays.
+    st = os.stat(os.path.join(src_dir, "events.parquet"))
+    os.utime(os.path.join(src_dir, "events.parquet"),
+             (st.st_atime, st.st_mtime + 7))
+    d2 = _attrib_outer_dir(spark, src_dir)
+    assert d2 != d1
+    assert os.path.isdir(d1), "fresh prior generation must NOT be swept"
+
+    # Aged-out prior generations ARE swept on the next staging call.
+    old = time.time() - 7 * 3600
+    os.utime(d1, (old, old))
+    os.utime(os.path.join(src_dir, "events.parquet"),
+             (st.st_atime, st.st_mtime + 14))
+    d3 = _attrib_outer_dir(spark, src_dir)
+    assert d3 not in (d1, d2)
+    assert not os.path.isdir(d1), "6h-old generation should be swept"
