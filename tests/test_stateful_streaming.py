@@ -419,7 +419,7 @@ def test_outer_attribution_flushes_youngest_unmatched_click(spark):
     assert all(r.click_id >= 0 for r in out)
 
 
-def test_attrib_staging_generations_and_race(spark, tmp_path, monkeypatch):
+def test_attrib_staging_generations_and_race(spark, tmp_path):
     """The heartbeat staging contract (review batch 2): (a) same
     source → same generation dir, served without restaging; (b) a
     touched source file → a NEW generation dir, old one left on disk
