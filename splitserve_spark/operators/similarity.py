@@ -1513,13 +1513,20 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: assignment is ONE scan with the seed matrix closed over an
     Arrow kernel (bounded SEM_K·EMB_DIM broadcast, the PQ-codebook
-    pattern — no join, no shuffle); the pair stage is an equi-join on
-    cluster_id (never all-pairs: the no-cartesian guard covers it)
-    whose cost is bounded by the cluster size the K-schedule pins; the
-    rollup is a map-side-combinable groupBy.  At 100 TB: K ∝ n keeps
-    each cluster at ~10⁴ vectors, and the per-cluster block runs
-    exactly this join.  Beyond-reference (LLM-pipeline mandate);
-    cluster-scoped twin of dedup_embedding_cosine's fenced all-pairs."""
+    pattern — no join, no shuffle); the pair stage is ONE exchange on
+    cluster_id into a cluster-local Arrow kernel (applyInPandas) that
+    mines + aggregates the within-cluster pairs in NumPy.  Each vector
+    crosses the Python boundary once — the previous equi-join shipped
+    BOTH full vectors of every candidate pair through ArrowEvalPython,
+    O(pairs·dim) bytes vs this shape's O(n·dim) (optimization guide
+    §4.2/§8: move the payload once, decide vectorized).  Cosines fold
+    via the same sequential np.cumsum as _arrow_cosine, so every value
+    is bit-identical to the pair-join form (regression-pinned by
+    tests/test_similarity_multimodal.py).  Per-cluster work is bounded
+    by the K-schedule (K ∝ n keeps clusters at ~10⁴ vectors) and the
+    kernel chunks its pairwise block to a fixed-size intermediate, so
+    task memory stays flat at 100 TB.  Beyond-reference (LLM-pipeline
+    mandate); cluster-scoped twin of dedup_embedding_cosine."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     e = t.embeddings.filter(F.col("vec_id") < SEM_N).select(
@@ -1532,31 +1539,83 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [x for r in seed_rows for x in r["v"]], len(seed_rows)
     )
     cl = e.select("vec_id", "v", kernel("v").alias("cluster_id"))
-    a = cl.select(
-        F.col("vec_id").alias("earlier_id"),
-        F.col("v").alias("v_a"),
-        F.col("cluster_id").alias("cl_a"),
-    )
-    b = cl.select(
-        F.col("vec_id").alias("dup_id"),
-        F.col("v").alias("v_b"),
-        F.col("cluster_id").alias("cluster_id"),
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("cl_a") == F.col("cluster_id"))
-            & (F.col("earlier_id") < F.col("dup_id")),
+
+    def cluster_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "dup_id": pd.Series(dtype="int64"),
+                "cluster_id": pd.Series(dtype="int32"),
+                "keeper_id": pd.Series(dtype="int64"),
+                "n_near": pd.Series(dtype="int64"),
+                "max_cos": pd.Series(dtype="float64"),
+            }
         )
-        .withColumn("cos", _arrow_cosine(F.col("v_a"), F.col("v_b")))
-        .filter(F.col("cos") >= SEM_TAU)
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = _stack(pdf["v"])
+        n, dim = mat.shape
+        # ‖v‖ via the same sequential fold as _arrow_cosine; computed
+        # once per vector (identical IEEE ops → identical doubles).
+        norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        cnt = np.zeros(n, dtype=np.int64)
+        keeper = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        maxcos = np.full(n, -np.inf, dtype=np.float64)
+        # Bound the (chunk, n, dim) pairwise intermediate to ~16 MB so
+        # per-task memory is flat regardless of cluster size.
+        chunk = max(1, (16 << 20) // (n * dim * 8))
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            prods = mat[lo:hi, None, :] * mat[None, :, :]
+            dots = np.cumsum(prods, axis=2)[:, :, -1]  # sequential fold
+            cos = dots / (norms[lo:hi, None] * norms[None, :])
+            # Row index i = earlier side, column j = dup side; sorted
+            # by vec_id, so index order IS id order.
+            mask = (cos >= SEM_TAU) & (
+                np.arange(lo, hi)[:, None] < np.arange(n)[None, :]
+            )
+            cnt += mask.sum(axis=0)
+            maxcos = np.maximum(
+                maxcos, np.where(mask, cos, -np.inf).max(axis=0)
+            )
+            keeper = np.minimum(
+                keeper,
+                np.where(
+                    mask, ids[lo:hi, None], np.iinfo(np.int64).max
+                ).min(axis=0),
+            )
+        sel = cnt > 0
+        if not sel.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "dup_id": ids[sel],
+                "cluster_id": np.full(
+                    int(sel.sum()),
+                    np.int32(pdf["cluster_id"].iloc[0]),
+                    dtype=np.int32,
+                ),
+                "keeper_id": keeper[sel],
+                "n_near": cnt[sel],
+                "max_cos": maxcos[sel],
+            }
+        )
+
+    mined = cl.groupBy("cluster_id").applyInPandas(
+        cluster_dups,
+        schema=(
+            "dup_id bigint, cluster_id int, keeper_id bigint, "
+            "n_near bigint, max_cos double"
+        ),
     )
     return (
-        pairs.groupBy("dup_id", "cluster_id")
-        .agg(
-            F.min("earlier_id").alias("keeper_id"),
-            F.count(F.lit(1)).alias("n_near"),
-            F.round(F.max("cos"), 6).alias("max_cos"),
+        mined.select(
+            "dup_id",
+            "cluster_id",
+            "keeper_id",
+            "n_near",
+            F.round("max_cos", 6).alias("max_cos"),
         )
         .orderBy("dup_id")
     )
