@@ -929,11 +929,19 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins on lineitem.
-    Decorrelated form: one pass computes per-order supplier/late-supplier
-    distinct counts, then the sole-late-supplier-in-multi-supplier-order
-    condition becomes two scalar predicates — a single extra shuffle
-    instead of two per-row correlated probes (lateness = shipdate >
-    orderdate + 60d; no receipt/commit dates in this schema)."""
+    Decorrelated form, single pass: one per-order aggregate computes
+    the supplier/late-supplier distinct counts AND the late-line count
+    AND the (unique, when n_late = 1) late supplier — so the
+    sole-late-supplier-in-multi-supplier-order condition plus the
+    per-line contribution both come out of ONE shuffle of the
+    lineitem⋈orders stream.  The earlier form re-derived that stream a
+    second time for the late-line side and joined it back to the
+    aggregate (two fact passes + an extra join); since every late line
+    in a qualifying order belongs to the single late supplier,
+    sum(late_lines) grouped by that supplier is the same count
+    (optimization guide §2.4: remove the pass, not just the shuffle).
+    Lateness = shipdate > orderdate + 60d; no receipt/commit dates in
+    this schema."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     li = (
@@ -949,9 +957,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_late"),
         )
     )
+    # Count every late LINE (the oracle's l1 is a lineitem row, so a
+    # supplier with 2 late lines in one order contributes 2) — a
+    # per-(order, supplier) dedup here undercounts at SFs where such
+    # duplicates exist (they first appear at sf0.1).  When n_late = 1
+    # the late supplier is unique, so max(late supplier) identifies it.
     per_order = li.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+        F.sum(F.when(F.col("is_late"), F.lit(1))).alias("late_lines"),
+        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
     )
     nation4_supp = (
         t.supplier
@@ -961,17 +976,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name")
     )
-    # Count every late LINE (the oracle's l1 is a lineitem row, so a
-    # supplier with 2 late lines in one order contributes 2) — a
-    # per-(order, supplier) dedup here undercounts at SFs where such
-    # duplicates exist (they first appear at sf0.1).
     return (
-        li.filter(F.col("is_late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(nation4_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(nation4_supp, F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_lines").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
