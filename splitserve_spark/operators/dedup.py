@@ -242,6 +242,55 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unique set stays collect_list + in-row k²: bucket groups over
     *distinct* texts are small by construction (that is the point of
     LSH; cf. MMDS ch.3)."""
+    members, confirmed = _lsh_members_confirmed(spark, sf_dir)
+    # Expand back to member pairs.  Twin pairs (same fingerprint) share
+    # identical shingle sets — every band bucket matches and jaccard is
+    # exactly 1.0, no confirm needed.  Cross-group pairs inherit their
+    # representatives' jaccard; least/greatest restores the doc_a <
+    # doc_b orientation (group membership does not follow rep order).
+    x, y = members.alias("x"), members.alias("y")
+    twins = (
+        x.join(y, "fp")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    cross = (
+        confirmed.join(
+            members.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("a")),
+            "rep_a",
+        )
+        .join(
+            members.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("b")),
+            "rep_b",
+        )
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return twins.unionByName(cross).orderBy("doc_a", "doc_b")
+
+
+def _lsh_members_confirmed(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash-LSH front end: exact-duplicate collapse →
+    shingles → signatures → banded buckets → candidate mining → exact
+    Jaccard confirm over the UNIQUE-content representatives.
+
+    Returns ``(members, confirmed)``: the persisted (doc_id, fp, rep)
+    membership table of the exact collapse, and the confirmed
+    representative pairs (rep_a < rep_b, jaccard ≥ 0.3, rounded).
+    dedup_minhash_lsh expands these to the full (quadratic-per-group)
+    member-pair output — that IS its declared result; consumers that
+    only need per-DOC decisions (pipeline_training_data's loser set)
+    derive them linearly from membership instead of materializing the
+    pair expansion."""
     ensure_parity_conf(spark)
     _release_prior()
     t = Tables(spark, sf_dir)
@@ -322,37 +371,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jaccard", 6).alias("jaccard"),
         )
     )
-    # Expand back to member pairs.  Twin pairs (same fingerprint) share
-    # identical shingle sets — every band bucket matches and jaccard is
-    # exactly 1.0, no confirm needed.  Cross-group pairs inherit their
-    # representatives' jaccard; least/greatest restores the doc_a <
-    # doc_b orientation (group membership does not follow rep order).
-    x, y = members.alias("x"), members.alias("y")
-    twins = (
-        x.join(y, "fp")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    cross = (
-        confirmed.join(
-            members.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("a")),
-            "rep_a",
-        )
-        .join(
-            members.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("b")),
-            "rep_b",
-        )
-        .select(
-            F.least("a", "b").alias("doc_a"),
-            F.greatest("a", "b").alias("doc_b"),
-            "jaccard",
-        )
-    )
-    return twins.unionByName(cross).orderBy("doc_a", "doc_b")
+    return members, confirmed
 
 
 _N_SIMHASH_BITS = 16

@@ -25,8 +25,8 @@ from splitserve_spark.operators.dedup import (
     _NORM_SQL,
     _SHINGLE_CTE,
     _SIG_CTE,
+    _lsh_members_confirmed,
     _norm,
-    dedup_minhash_lsh,
 )
 from splitserve_spark.registry import register
 from splitserve_spark.session import ensure_parity_conf
@@ -82,8 +82,25 @@ JACCARD = 0.3
 def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed corpus-prep pipeline (quality → exact dedup →
     LSH near-dup prune → stats).  Near-dup losers come from the SAME
-    dedup_minhash_lsh operator users run standalone — composition, not
-    re-implementation."""
+    LSH front end (_lsh_members_confirmed) users run standalone via
+    dedup_minhash_lsh — composition, not re-implementation.
+
+    The loser set is derived LINEARLY from the collapse membership
+    table instead of expanding the full member-pair list and taking
+    distinct doc_b (every confirmed pair's jaccard already ≥ 0.3, so
+    the old jaccard filter was a no-op):
+      * twin losers   — any doc that is not its fingerprint group's
+        min-id representative (doc_id ≠ rep);
+      * cross losers  — for a confirmed rep pair (rep_a < rep_b, both
+        group minima): max(a, b) over a ∈ grp(rep_a), b ∈ grp(rep_b)
+        is every member of grp(rep_b) (all exceed rep_a) plus the
+        grp(rep_a) members above rep_b.
+    Same set, but O(|members|) rows instead of O(Σ|A|·|B|) — at corpus
+    scale a 10⁷-copy boilerplate page contributes 10⁷ loser rows here
+    versus ~10¹⁴ expanded twin pairs (optimization guide §1.2: fix the
+    distributed algorithm first; the pair expansion is
+    dedup_minhash_lsh's declared OUTPUT, but this pipeline only ever
+    consumed the per-doc decision)."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     words = F.split(F.trim(F.col("text")), " +")
@@ -99,12 +116,29 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    losers = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .filter(F.col("jaccard") >= JACCARD)
-        .select(F.col("doc_b").alias("loser_id"))
-        .distinct()
+    members, confirmed = _lsh_members_confirmed(spark, sf_dir)
+    twin_losers = members.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("doc_id").alias("loser_id")
     )
+    # Both cross cases are "members of grp above a threshold": grp(rep_b)
+    # members all exceed rep_a, grp(rep_a) members must exceed rep_b —
+    # one (grp, thr) table over the confirmed pair set, one join.  Built
+    # with a single explode (NOT a two-branch union, which would run the
+    # unpersisted confirm subtree twice).
+    thresholds = confirmed.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("rep_b").alias("grp"), F.col("rep_a").alias("thr")),
+                F.struct(F.col("rep_a").alias("grp"), F.col("rep_b").alias("thr")),
+            )
+        ).alias("gt")
+    ).select("gt.grp", "gt.thr")
+    cross_losers = (
+        members.join(thresholds, F.col("rep") == F.col("grp"))
+        .filter(F.col("doc_id") > F.col("thr"))
+        .select(F.col("doc_id").alias("loser_id"))
+    )
+    losers = twin_losers.unionByName(cross_losers).distinct()
 
     return (
         quality
