@@ -150,19 +150,26 @@ def _q16_94_impl(
         & (~prio if negate_prio else prio)
     )
     li = t.lineitem.select("l_orderkey", "l_suppkey", "l_returnflag")
-    multi_supp = (
+    # Both membership tests fold into ONE per-order aggregate over ONE
+    # lineitem pass: "≥2 distinct suppliers" ⟺ min(suppkey)≠max(suppkey)
+    # (single-shuffle with map-side partial min/max, where the
+    # countDistinct form needs a two-level (orderkey, suppkey) →
+    # orderkey aggregate = two exchanges), and "has a returned line" is
+    # a max() flag in the same aggregate (was a second lineitem scan +
+    # distinct + anti join).  The EXISTS correlates only on o_orderkey,
+    # so the per-line quantifier reduces to the per-order predicate.
+    qualifying = (
         li.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
-        .filter(F.col("n_supp") > 1)
+        .agg(
+            (F.min("l_suppkey") != F.max("l_suppkey")).alias("multi"),
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r"),
+        )
+        .filter(F.col("multi") & (F.col("has_r") == 0))
         .select("l_orderkey")
-    )
-    returned = (
-        li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
     )
     return (
         orders
-        .join(multi_supp, F.col("o_orderkey") == multi_supp["l_orderkey"], "left_semi")
-        .join(returned, F.col("o_orderkey") == returned["l_orderkey"], "left_anti")
+        .join(qualifying, F.col("o_orderkey") == qualifying["l_orderkey"], "left_semi")
         .agg(
             F.countDistinct("o_orderkey").alias("order_count"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
@@ -182,10 +189,11 @@ def _q16_94_impl(
 def qds16_multi_site_no_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS Q16 shape: orders shipped from ≥2 sites (EXISTS another
     supplier's line) with no returns (NOT EXISTS), count-distinct +
-    sum.  EXISTS/NOT EXISTS decorrelate to one aggregate per membership
-    set + semi/anti joins — each lineitem pass shuffles on l_orderkey
-    once. (Oracle's l1 join has duplicate orders per line; DISTINCT
-    before the final aggregate mirrors Q16's count(DISTINCT).)"""
+    sum.  Both quantifiers correlate only on o_orderkey, so they fold
+    into one per-order lineitem aggregate (see _q16_94_impl) followed
+    by a single semi join. (Oracle's l1 join has duplicate orders per
+    line; DISTINCT before the final aggregate mirrors Q16's
+    count(DISTINCT).)"""
     ensure_parity_conf(spark)
     return _q16_94_impl(
         spark, sf_dir, "1996-01-01", "1996-04-01",
@@ -236,25 +244,30 @@ def qds94_web_no_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpcds", "paper", "subquery", "cte", "self-join"),
 )
 def qds95_both_sites_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS Q95 shape: the multi-site order set defined once as a
-    self-join view (ws_wh) and referenced by BOTH membership tests —
-    Catalyst's ReuseExchange computes it once.  Unlike Q94, the return
-    test requires the returning line itself to be in a multi-site
-    order."""
+    """TPC-DS Q95 shape: the multi-site order set (the oracle's ws_wh
+    self-join view) referenced by BOTH membership tests.  Unlike Q94,
+    the return test requires the returning line itself to be in a
+    multi-site order — but that line's order is then multi-site by
+    definition, so the two tests collapse to one per-order aggregate
+    (see the inline note)."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     li = t.lineitem.select("l_orderkey", "l_suppkey", "l_returnflag")
-    ws_wh = (
+    # The two membership tests collapse: returned_multi ⊆ ws_wh (its
+    # lines are semi-joined against ws_wh), so "IN ws_wh AND IN
+    # returned_multi" ⟺ "≥2 distinct suppliers AND has a returned
+    # line" — one per-order aggregate over one lineitem pass, with
+    # min≠max replacing the two-exchange countDistinct form and the
+    # return test a max() flag in the same aggregate (was: self-join-
+    # shaped CTE + a second scan + semi join + distinct).
+    qualifying = (
         li.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
-        .filter(F.col("n_supp") > 1)
-        .select(F.col("l_orderkey").alias("okey"))
-    )
-    returned_multi = (
-        li.filter(F.col("l_returnflag") == "R")
-        .join(ws_wh, F.col("l_orderkey") == F.col("okey"), "left_semi")
+        .agg(
+            (F.min("l_suppkey") != F.max("l_suppkey")).alias("multi"),
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r"),
+        )
+        .filter(F.col("multi") & (F.col("has_r") == 1))
         .select("l_orderkey")
-        .distinct()
     )
     return (
         t.orders
@@ -262,12 +275,7 @@ def qds95_both_sites_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= _ts("1996-06-01"))
             & (F.col("o_orderdate") < _ts("1996-09-01"))
         )
-        .join(ws_wh, F.col("o_orderkey") == F.col("okey"), "left_semi")
-        .join(
-            returned_multi,
-            F.col("o_orderkey") == returned_multi["l_orderkey"],
-            "left_semi",
-        )
+        .join(qualifying, F.col("o_orderkey") == qualifying["l_orderkey"], "left_semi")
         .agg(
             F.countDistinct("o_orderkey").alias("order_count"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))

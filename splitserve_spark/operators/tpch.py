@@ -97,9 +97,26 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     parts = t.part.filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+    # Prune the fact BEFORE the pair distinct: the selective part
+    # filter (p_size AND p_type, ~0.2% of part; 591k → 1.4k distinct
+    # pairs at sf0.1) cannot be pushed below _part_supp's aggregate by
+    # Catalyst, so the unfiltered form would shuffle every distinct
+    # (partkey, suppkey) pair of the corpus first.  Joining the
+    # broadcast part slice ahead of the distinct shuffles only the
+    # matching pairs — and because p_partkey is unique, the part
+    # columns are functionally dependent on the distinct key, so
+    # distinct∘join ≡ join∘distinct and ONE part scan serves both the
+    # prune and the output columns.
     candidates = (
-        _part_supp(t)
-        .join(parts, F.col("ps_partkey") == F.col("p_partkey"))
+        t.lineitem.select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .join(
+            F.broadcast(parts.select("p_partkey", "p_type")),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .distinct()
         .join(eu_suppliers, F.col("ps_suppkey") == F.col("s_suppkey"))
     )
     # Per-part max as a window over the single candidate pass — the

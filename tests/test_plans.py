@@ -653,9 +653,6 @@ def test_no_row_python_outside_designated_slow_path(registry_simple_plans):
 #: dau/wau/mau, MAD outliers, PQ/IVF/truncation/embedding-LSH/centroid
 #: -drift, boilerplate, segment-rewrite).
 REPEAT_SCAN_ALLOWED = {
-    "qds95_both_sites_view": "TPC-DS spec shape; executed plan reuses the "
-        "ws_wh exchange (verified ReusedExchange), remaining scans carry "
-        "different pushed filters",
     "stat_heavy_hitters_exact": "per-column single-column scans emitting "
         "map-side-combined partials; one scan per audited column + the "
         "1-row count, documented in the op",
