@@ -75,12 +75,13 @@ def test_broadcast_vs_sortmerge_equivalence(spark):
     assert broadcast_rows == shuffle_rows
 
 
-def test_qds95_reuses_exchange(spark):
-    """Q95's multi-site view is referenced twice; the executed plan must
-    compute it once (ReusedExchange).  Under AQE the reuse materializes
-    at runtime, so execute before inspecting the final plan."""
+def test_qds95_single_fact_pass(spark):
+    """Q95's two membership tests (multi-site view referenced twice +
+    returned-line semi join) fold into ONE per-order aggregate over ONE
+    lineitem pass (r11 optimization): the plan must scan lineitem
+    exactly once, with no countDistinct-style two-level expansion —
+    min/max partials collapse the fact stream map-side."""
     df = REGISTRY["qds95_both_sites_view"].fn(spark, SF_DIR)
-    df.collect()
     plan = physical_plan(df, mode="simple")
-    assert "isFinalPlan=true" in plan
-    assert "ReusedExchange" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "partial_min" in plan and "partial_max" in plan, plan
