@@ -10,6 +10,7 @@ point at either.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -61,6 +62,18 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Session-scoped cache of lazy DataFrame HANDLES, keyed weakly on the
+#: SparkSession so a stopped session's entries die with it.  Every
+#: `spark.read.parquet` call pays a driver-side footer/schema read
+#: (~0.1 s warm) — with one `Tables` instance per query invocation,
+#: a bench run repeats that ~150×.  The cached object is metadata only
+#: (an unexecuted scan over immutable input files); every execution
+#: still reads the parquet data itself, so this caches no results.
+_DF_HANDLES: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 class Tables:
     """Lazy per-table loader: ``Tables(spark, sf_dir).lineitem``.
 
@@ -71,14 +84,18 @@ class Tables:
     def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
         self._spark = spark
         self._sf_dir = sf_dir
-        self._cache: dict[str, DataFrame] = {}
 
     def __getattr__(self, name: str) -> DataFrame:
         if name.startswith("_"):
             raise AttributeError(name)
         if name not in TABLE_NAMES:
             raise AttributeError(f"unknown table {name!r}; have {TABLE_NAMES}")
-        if name not in self._cache:
+        try:
+            per_session = _DF_HANDLES.setdefault(self._spark, {})
+        except TypeError:  # session not weak-referenceable (mocks)
+            per_session = {}
+        key = (self._sf_dir, name)
+        if key not in per_session:
             from splitserve_spark.session import ensure_parity_conf
 
             ensure_parity_conf(self._spark)
@@ -87,8 +104,8 @@ class Tables:
             )
             if name == "events":
                 df = normalize_event_ts(df)
-            self._cache[name] = df
-        return self._cache[name]
+            per_session[key] = df
+        return per_session[key]
 
     def register_temp_views(self) -> None:
         """Expose every table as a temp view for the SQL entry point."""
