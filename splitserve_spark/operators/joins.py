@@ -120,10 +120,27 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     ).select("o_orderkey", "o_custkey")
+    # Pre-prune customer to ASIA nations: the final join requires
+    # c_nationkey = s_nationkey with s restricted to ASIA, but Catalyst
+    # does not propagate value-set constraints through a later join
+    # condition, so without this the customer ⋈ orders join carries
+    # every region's customers (~5x the rows) only to drop them at the
+    # dims join.  Broadcast semi on the tiny nation slice; result
+    # unchanged by the inner-join equality.
+    asia_customers = t.customer.select("c_custkey", "c_nationkey").join(
+        F.broadcast(
+            t.nation.join(
+                F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select("n_nationkey")
+        ),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
     return (
         t.lineitem
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t.customer.select("c_custkey", "c_nationkey"),
+        .join(asia_customers,
               F.col("o_custkey") == F.col("c_custkey"))
         .join(
             dims,

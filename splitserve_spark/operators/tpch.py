@@ -162,9 +162,16 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= _ts("1996-07-01"))
         & (F.col("o_orderdate") < _ts("1996-10-01"))
     )
+    # Derived bound (guide §6: predicates must reach the scan): the
+    # join condition l_shipdate > o_orderdate + 60d with o_orderdate ≥
+    # 1996-07-01 implies l_shipdate > 1996-08-30, a constant Catalyst
+    # cannot infer across the non-equi condition.  Stated explicitly it
+    # pushes to the parquet scan's row-group stats and prunes the fact
+    # before the semi join's build; result unchanged (implied filter).
+    li = t.lineitem.filter(F.col("l_shipdate") > _ts("1996-08-30"))
     return (
         o.join(
-            t.lineitem,
+            li,
             (F.col("l_orderkey") == F.col("o_orderkey"))
             & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
             "left_semi",
@@ -254,11 +261,23 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t.lineitem.filter(
         F.col("l_shipdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
     )
+    # Attach the supplier nation FIRST and filter the fact stream to
+    # the two nations the pair predicate can accept (pair ⊆ isin(N1,N2)
+    # on each side) BEFORE the orders/customer joins: the old order
+    # carried every nation's lines through both fact joins only to
+    # drop ~92% at the post-join filter.  Doing the prune as a filter
+    # on the already-joined stream (rather than pre-joining a pruned
+    # supplier relation) keeps the supplier/n1/n2/customer broadcast
+    # builds independent — a pruned-supplier build chains two
+    # broadcasts back-to-back and measured slower at every core count.
+    # The pair filter still excludes the (N1,N1)/(N2,N2) combinations.
+    two = ("NATION_1", "NATION_2")
     return (
-        li.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        li.join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .filter(F.col("supp_nation").isin(*two))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(pair)
         .select(
@@ -506,6 +525,14 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(F.sum("v").alias("value"))
     # decimal sum * double literal -> double on both engines, computed
     # from the exact sum, so the threshold is bit-identical everywhere.
+    # The threshold branch re-derives `li` (a second narrow fact pass:
+    # broadcast-joined supplier prune + map-side global agg, no
+    # shuffle) rather than sharing per_part through a persist —
+    # measured (r11, interleaved best-of-5): the persisted single-pass
+    # form is 0.69→0.90 s at 32 cores and 1.01→1.90 s at 8 cores,
+    # because caching pins the subtree's shuffle outside AQE and adds
+    # a materialization barrier, while the recompute is a cheap
+    # pipelined scan that overlaps the main branch.
     threshold = li.agg((F.sum("v") * 0.001).alias("threshold"))
     return (
         per_part.join(F.broadcast(threshold))
@@ -547,8 +574,14 @@ def q12_shipping_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("1996-01-01"))
         & (F.col("l_shipdate") < _ts("1997-01-01"))
     )
+    # Derived bound (guide §6): l_shipdate < 1997-01-01 with the
+    # post-join lateness predicate l_shipdate > o_orderdate + 30d
+    # implies o_orderdate < 1996-12-02 — push it to the orders scan so
+    # non-qualifying orders never enter the join.  Implied filter;
+    # result unchanged.
+    o = t.orders.filter(F.col("o_orderdate") < _ts("1996-12-02"))
     return (
-        li.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
         .groupBy("l_linestatus")
         .agg(
@@ -580,16 +613,24 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     double aggregation (count per customer → histogram of counts)."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
+    # Aggregate orders BEFORE the outer join (guide §2.3 "aggregate
+    # before you shuffle"): the priority predicate touches only the
+    # orders side, so LEFT JOIN ... ON key AND pred ≡ LEFT JOIN
+    # (orders WHERE pred) ON key, and count(o_orderkey) per customer
+    # is the pre-grouped per-custkey count (0 via coalesce for
+    # no-match customers, matching count(col)'s null-skipping).  The
+    # custkey exchange now moves map-side-combined (custkey, count)
+    # partials instead of every joined order row, and the per-customer
+    # re-group of the join output disappears outright.
+    per_cust = (
+        t.orders.filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     return (
-        t.customer
-        .join(
-            t.orders,
-            (F.col("c_custkey") == F.col("o_custkey"))
-            & (F.col("o_orderpriority") != "5-LOW"),
-            "left_outer",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        t.customer.select("c_custkey")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
         .groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
@@ -724,10 +765,22 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_type") != "PROMO")
         & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
     )
+    # No pre-distinct on the (partkey, suppkey) pairs: the anti join is
+    # duplicate-insensitive, p_partkey is unique (join preserves
+    # multiplicity only), and countDistinct's own two-level plan
+    # already dedups (group keys, suppkey) map-side before its first
+    # exchange — so _part_supp's distinct was a full extra shuffle of
+    # every pair in the corpus that changed nothing (guide §2.4: a
+    # distinct on data an aggregate re-dedups anyway).  The selective
+    # part filter joins BEFORE that first exchange, pruning ~86% of
+    # pairs from it (same move as q2, commit 6e23a0f).
     return (
-        _part_supp(t)
-        .join(bad_supp, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        t.lineitem.select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
         .join(parts, F.col("p_partkey") == F.col("ps_partkey"))
+        .join(bad_supp, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -753,11 +806,24 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-part aggregate joined back (container filter → p_size<10)."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
+    parts = t.part.filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10))
+    # The AVG subquery correlates only on partkey and the outer join
+    # keeps only the filtered parts (~0.6% of part), so the per-part
+    # aggregate needs only THEIR lines — but Catalyst cannot push the
+    # join below the aggregate.  Broadcast-semi prune the fact before
+    # the per-partkey shuffle; the surviving parts' lines (and hence
+    # their averages) are untouched.  Quantities are integer-valued, so
+    # the average is exact either way.
     per_part_avg = (
-        t.lineitem.groupBy(F.col("l_partkey").alias("ap_partkey"))
+        t.lineitem
+        .join(
+            F.broadcast(parts.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("ap_partkey"))
         .agg((0.5 * F.avg("l_quantity")).alias("half_avg_qty"))
     )
-    parts = t.part.filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10))
     return (
         t.lineitem
         .join(parts, F.col("p_partkey") == F.col("l_partkey"))
@@ -793,23 +859,27 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: IN over an aggregated-HAVING subquery → semi join."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
+    # One fact pass: the HAVING aggregate already computes each
+    # qualifying order's total quantity, and the outer query's
+    # sum(l_quantity) grouped by (customer, order) is that SAME total
+    # (every line of the order joins exactly one customer row), so
+    # re-joining lineitem to re-sum it was a second fact scan + join
+    # for a value already in hand.  Quantities are integer-valued
+    # doubles — the sum is exact, so carrying it is bit-identical to
+    # re-aggregating.
     big_orders = (
         t.lineitem.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("tq"))
-        .filter(F.col("tq") > 300)
-        .select("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
     )
     return (
-        t.lineitem
-        .join(
-            big_orders.withColumnRenamed("l_orderkey", "big_okey"),
-            F.col("l_orderkey") == F.col("big_okey"),
-            "inner",
-        )
+        big_orders
         .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
