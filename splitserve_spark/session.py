@@ -17,6 +17,7 @@ the same settings exercise the identical plans.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -99,3 +100,32 @@ def get_session(
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     return ensure_parity_conf(spark)
+
+
+@contextmanager
+def stream_shuffle_bound(spark: SparkSession, floor: int = 8):
+    """Pin ``spark.sql.shuffle.partitions`` to the session's actual
+    parallelism while a streaming query plans and drains, restoring the
+    prior value afterwards.
+
+    A stateful streaming query freezes its state-store partition count
+    from this conf at first start — it is a physical layout, not a
+    batch-tuning knob, and AQE never coalesces it.  Inheriting a
+    batch-sized value (stock Spark: 200) gives a small drain hundreds
+    of state-store instances per stateful operator PER MICRO-BATCH
+    (commit + maintenance each), which multiplies drain wall-time by
+    the partition surplus rather than adding parallelism.  Sizing it to
+    ``defaultParallelism`` tracks the cluster (a 1000-core cluster gets
+    1000), so this is scale-adaptive, not a local constant.
+
+    Use around ``.start()`` + ``awaitTermination()`` — both the
+    micro-batch planning and the drain happen inside the block; the
+    restore only runs after the query has terminated.
+    """
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    target = max(int(spark.sparkContext.defaultParallelism), floor)
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)

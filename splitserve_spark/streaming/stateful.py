@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from splitserve_spark.registry import PRI_BEHIND_BACKLOG, register
-from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.session import ensure_parity_conf, stream_shuffle_bound
 from splitserve_spark.tables import Tables, sfdir_tag
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -796,20 +796,28 @@ def stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("buy_id").isNotNull().alias("matched"),
         )
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(180):
-        q.stop()  # don't leak an active query (queryName collision on retry)
-        raise TimeoutError(
-            "stream_click_attribution_outer: AvailableNow drain did not "
-            "terminate within 180 s; aborting rather than compare a "
-            "partial append-mode table against the batch oracle"
+    # Two-sided stream-stream join state on a short staged drain: at
+    # the stock 200 shuffle partitions this query builds 200 state
+    # stores per side per micro-batch and blows the 180 s drain budget
+    # on a 4-core driver session (measured r11: >180 s at 200 vs 28 s
+    # at parallelism-sized partitions).  The bound tracks
+    # defaultParallelism, so a real cluster still gets cluster-wide
+    # state parallelism.
+    with stream_shuffle_bound(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(180):
+            q.stop()  # don't leak an active query (queryName collision on retry)
+            raise TimeoutError(
+                "stream_click_attribution_outer: AvailableNow drain did not "
+                "terminate within 180 s; aborting rather than compare a "
+                "partial append-mode table against the batch oracle"
+            )
     return (
         spark.table(name)
         .filter(F.col("click_id") >= 0)  # drop the flush sentinel
