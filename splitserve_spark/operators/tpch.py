@@ -337,6 +337,16 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey")
     )
+    # The customer join selects no customer column and c_custkey is
+    # unique, so it is a pure FILTER on orders — apply it as a semi
+    # join on orders BEFORE the fact joins instead of inner-joining
+    # the full lineitem⋈part⋈orders stream against customers on
+    # o_custkey (which shuffled the whole fact stream on a key used
+    # only to discard rows; guide §2.4 "remove shuffles outright",
+    # §3.2 semi-join pre-filter).  Result identical by key uniqueness.
+    orders_asia = t.orders.filter(
+        F.col("o_orderdate").between(_ts("1995-01-01"), _ts("1996-12-31"))
+    ).join(asia_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
     supp_nation = (
         t.supplier
         .join(
@@ -347,17 +357,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "nation")
     )
-    o = t.orders.filter(
-        F.col("o_orderdate").between(_ts("1995-01-01"), _ts("1996-12-31"))
-    )
     return (
         t.lineitem
         .join(
             t.part.filter(F.col("p_type") == "ECONOMY"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(orders_asia, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(supp_nation, F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
