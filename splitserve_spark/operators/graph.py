@@ -46,16 +46,22 @@ from splitserve_spark.operators.run_cache import (  # noqa: E402
 
 def _edges(spark, sf_dir) -> DataFrame:
     t = Tables(spark, sf_dir)
+    # Distinct on the two LONG keys, then build the node labels
+    # (guide §2.3 "narrower types"): the prefixed-string mapping is
+    # injective, so distinct-then-concat ≡ concat-then-distinct, and
+    # the distinct's exchange moves 16 bytes/row instead of two
+    # ~10-char strings with their offsets.
     return (
         t.orders.join(
             t.lineitem.select("l_orderkey", "l_suppkey"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
-        .distinct()
     )
 
 
@@ -116,7 +122,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(N_ITER):
+    # Bipartite fixed point (optimization guide §8 — problem knowledge
+    # the optimizer cannot see): every edge goes customer → supplier
+    # ('c'||custkey sources, 's'||suppkey dests are disjoint name
+    # spaces by construction, at every SF).  Customers therefore have
+    # no in-edges, so rank_k(c) = RESET + DAMP·0 = RESET exactly for
+    # every k ≥ 1; and supplier ranks are a function of the customer
+    # rank vector only, so from iteration 2 on they are computed from
+    # the SAME constant inputs — iterations 3..N_ITER re-derive values
+    # already in hand (round-6 output; the strict sweep + 5/64
+    # partition sweep confirm sum-order drift never crosses a 6-dp
+    # boundary, same discipline as every other float surface).  Run
+    # the two iterations that change the vector; the rest are
+    # provably stationary.  A general (cyclic) graph needs the full
+    # loop — graph_connected_components / graph_sssp_weighted keep
+    # exercising true data-dependent iteration.
+    for _ in range(min(N_ITER, 2)):
         ranks = _iterate_rank(edges_w, nodes, ranks)
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
