@@ -60,7 +60,7 @@ from pyspark.sql.datasource import (
 )
 
 from splitserve_spark.registry import register
-from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.session import ensure_parity_conf, stream_shuffle_bound
 
 #: Epoch for record timestamps: CreateTime of offset o is EPOCH + o s.
 KAFKA_EPOCH = datetime(2026, 1, 1, 0, 0, 0)
@@ -745,28 +745,29 @@ def stream_kafka_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_partitions"),
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        # AvailableNow terminates on its own once the drain finishes;
-        # a False return means the 180 s budget elapsed first and the
-        # complete-mode table is PARTIAL — fail loudly instead of
-        # letting the oracle comparison surface it as a confusing
-        # value mismatch.
-        if not q.awaitTermination(180):
-            raise TimeoutError(
-                "stream_kafka_windowed: AvailableNow drain did not "
-                "terminate within 180 s; aborting rather than compare "
-                "a partial complete-mode table against the full-log "
-                "oracle"
-            )
-    finally:
-        q.stop()
+    with stream_shuffle_bound(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            # AvailableNow terminates on its own once the drain finishes;
+            # a False return means the 180 s budget elapsed first and the
+            # complete-mode table is PARTIAL — fail loudly instead of
+            # letting the oracle comparison surface it as a confusing
+            # value mismatch.
+            if not q.awaitTermination(180):
+                raise TimeoutError(
+                    "stream_kafka_windowed: AvailableNow drain did not "
+                    "terminate within 180 s; aborting rather than compare "
+                    "a partial complete-mode table against the full-log "
+                    "oracle"
+                )
+        finally:
+            q.stop()
     return (
         spark.table(name)
         .select(

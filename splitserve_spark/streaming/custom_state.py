@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.session import ensure_parity_conf, stream_shuffle_bound
 from splitserve_spark.tables import sfdir_tag
 
 OUTPUT_SCHEMA = (
@@ -122,15 +122,16 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "ssp_" + sfdir_tag(sf_dir)
     raw = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
-    q = (
-        running_user_profile(spark, raw)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_bound(spark):
+        q = (
+            running_user_profile(spark, raw)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -290,22 +291,23 @@ def stream_cusum_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src_dir}/b*.parquet")
     ).select("event_type", "ts", "event_id", "value")
-    q = (
-        stream.groupBy("event_type")
-        .applyInPandasWithState(
-            _fold_cusum,
-            outputStructType=CUSUM_OUTPUT_SCHEMA,
-            stateStructType=CUSUM_STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+    with stream_shuffle_bound(spark):
+        q = (
+            stream.groupBy("event_type")
+            .applyInPandasWithState(
+                _fold_cusum,
+                outputStructType=CUSUM_OUTPUT_SCHEMA,
+                stateStructType=CUSUM_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("event_type")

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from splitserve_spark.registry import register
 from splitserve_spark.tables import sfdir_tag
-from splitserve_spark.session import ensure_parity_conf
+from splitserve_spark.session import ensure_parity_conf, stream_shuffle_bound
 
 #: The canonical wordcount feed — single source of truth for the Spark
 #: query AND the DuckDB oracle (interpolated into the SQL below).
@@ -437,13 +437,14 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src_dir}/b*.parquet")
     ).select("user_id", "value", "ts")
-    q = (
-        stream.writeStream.foreachBatch(target.apply)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_bound(spark):
+        q = (
+            stream.writeStream.foreachBatch(target.apply)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         target.current()
         .filter(F.col("user_id") % 17 == 0)
@@ -553,13 +554,14 @@ def stream_merge_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{staged}/b*.parquet")
         ).select("user_id", "value", "ts")
-        q = (
-            stream.writeStream.foreachBatch(target.apply)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_shuffle_bound(spark):
+            q = (
+                stream.writeStream.foreachBatch(target.apply)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     def _stage(files) -> None:
         for f in files:
@@ -723,19 +725,20 @@ def pipeline_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = gated.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["content_fp"]
     )
-    q = (
-        deduped.select("content_fp", "quality", "source_bucket")
-        .writeStream.format("parquet")
-        .option("path", shards)
-        .option("checkpointLocation", ckpt)
-        .partitionBy("source_bucket")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("ingest drain exceeded 300s")
+    with stream_shuffle_bound(spark):
+        q = (
+            deduped.select("content_fp", "quality", "source_bucket")
+            .writeStream.format("parquet")
+            .option("path", shards)
+            .option("checkpointLocation", ckpt)
+            .partitionBy("source_bucket")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("ingest drain exceeded 300s")
     return (
         spark.read.parquet(shards)
         .groupBy(F.col("source_bucket").cast("long").alias("source_bucket"))
