@@ -704,25 +704,40 @@ def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
     a = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
-    b = (
-        a.filter(F.col("o_orderkey") % SNAP_DEL != 0)
-        .select(
-            "o_orderkey",
-            "o_orderstatus",
+    # Derive snapshot B in ONE pass over orders instead of a union of
+    # two filtered branches (guide §2.4: the union cost a second full
+    # fact scan; row order is irrelevant to the full-outer join + agg
+    # that consume it).  Each order emits 0–2 B rows: its surviving
+    # (possibly repriced) self, and/or its negative-key mirror.
+    b_rows = F.filter(
+        F.array(
             F.when(
-                F.col("o_orderkey") % SNAP_CHG == 0,
-                F.round(F.col("o_totalprice") + 1.00, 2),
-            )
-            .otherwise(F.col("o_totalprice"))
-            .alias("o_totalprice"),
-        )
-        .unionAll(
-            a.filter(F.col("o_orderkey") % SNAP_INS == 0).select(
-                (-F.col("o_orderkey") - 1).alias("o_orderkey"),
-                "o_orderstatus",
-                "o_totalprice",
-            )
-        )
+                F.col("o_orderkey") % SNAP_DEL != 0,
+                F.struct(
+                    F.col("o_orderkey"),
+                    F.col("o_orderstatus"),
+                    F.when(
+                        F.col("o_orderkey") % SNAP_CHG == 0,
+                        F.round(F.col("o_totalprice") + 1.00, 2),
+                    )
+                    .otherwise(F.col("o_totalprice"))
+                    .alias("o_totalprice"),
+                ),
+            ),
+            F.when(
+                F.col("o_orderkey") % SNAP_INS == 0,
+                F.struct(
+                    (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+                    F.col("o_orderstatus"),
+                    F.col("o_totalprice"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    b = (
+        a.select(F.explode(b_rows).alias("r"))
+        .select("r.o_orderkey", "r.o_orderstatus", "r.o_totalprice")
     )
     bb = b.select(
         F.col("o_orderkey").alias("b_key"),

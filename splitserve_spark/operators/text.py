@@ -366,9 +366,16 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("gs").alias("g"))
         .distinct()
     )
+    # explode_outer keeps one (doc_id, NULL) row for gram-less docs, so
+    # the zero-gram candidates survive the aggregation and the third
+    # corpus scan that used to re-attach them (documents → doc_id →
+    # left join) is gone (guide §2.4: 3 → 2 corpus passes; the eval
+    # scan is row-group-pruned to doc_id < EVAL_MAX_ID).  count("g")
+    # skips the NULL rows, so n_grams/n_hit are unchanged; the join's
+    # NULL key never matches, so hit stays NULL for them.
     cand_g = (
         g.filter(F.col("doc_id") >= EVAL_MAX_ID)
-        .select("doc_id", F.explode("gs").alias("g"))
+        .select("doc_id", F.explode_outer("gs").alias("g"))
         .distinct()
     )
     m = (
@@ -377,24 +384,24 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
+            F.count("g").alias("n_grams"),
             F.sum(
                 F.when(F.col("hit").isNotNull(), 1).otherwise(0)
             ).alias("n_hit"),
         )
     )
     return (
-        t.documents.filter(F.col("doc_id") >= EVAL_MAX_ID)
-        .select("doc_id")
-        .join(m, "doc_id", "left")
-        .select(
+        m.select(
             "doc_id",
-            F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
-            F.coalesce("n_hit", F.lit(0).cast("bigint")).alias("n_hit"),
-            F.coalesce(
+            "n_grams",
+            "n_hit",
+            # Guard the 0-gram division explicitly: n_grams = 0 gives
+            # double NaN (not NULL) under IEEE division, which the old
+            # coalesce path never saw because those docs joined as NULL.
+            F.when(
+                F.col("n_grams") > 0,
                 F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6),
-                F.lit(0.0),
-            ).alias("contamination"),
+            ).otherwise(F.lit(0.0)).alias("contamination"),
         )
         .orderBy("doc_id")
     )
