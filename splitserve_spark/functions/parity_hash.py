@@ -48,9 +48,25 @@ def md5_hash60_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+def md5_hash60_spark_sql(expr: str) -> str:
+    """Spark-SQL string for md5_hash60 — parses to the IDENTICAL
+    Catalyst expression as the Column form (verified by plan diff).
+    String construction exists because every F.* call is a py4j round
+    trip: an 8-permutation signature built Column-by-Column costs ~100
+    driver↔JVM round trips, while one F.expr parses JVM-side in a
+    single call (optimization guide §7.3 — driver/planning overhead)."""
+    return f"CAST(conv(substring(md5(CAST(({expr}) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+
+
 def perm_hash(h: Column, a: int, b: int) -> Column:
     """Permutation hash (a·(h mod P) + b) mod P, overflow-safe."""
     return F.pmod(F.lit(a) * (h % HASH_P) + F.lit(b), F.lit(HASH_P))
+
+
+def perm_hash_spark_sql(expr: str, a: int, b: int) -> str:
+    """Spark-SQL string for perm_hash (same single-parse rationale as
+    md5_hash60_spark_sql; pmod is native on the Spark side)."""
+    return f"pmod({a} * (({expr}) % {HASH_P}) + {b}, {HASH_P})"
 
 
 def perm_hash_sql(expr: str, a: int, b: int) -> str:

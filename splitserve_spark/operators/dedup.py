@@ -28,8 +28,9 @@ from splitserve_spark.functions.parity_hash import (
     HASH_P,
     MINHASH_PERMS,
     md5_hash60,
+    md5_hash60_spark_sql,
     md5_hash60_sql,
-    perm_hash,
+    perm_hash_spark_sql,
     perm_hash_sql,
 )
 from splitserve_spark.registry import PRI_BEHIND_BACKLOG, PRI_NEXT_WINDOW, register
@@ -37,6 +38,10 @@ from splitserve_spark.session import ensure_parity_conf
 from splitserve_spark.tables import Tables
 
 _NORM_SQL = "regexp_replace(trim(lower(text)), ' +', ' ', 'g')"
+
+#: Spark-SQL spelling of _norm (no 'g' flag — Spark replaces all
+#: matches by default); parses to the identical Catalyst expression.
+_NORM_SPARK_SQL = "regexp_replace(trim(lower(text)), ' +', ' ')"
 
 #: Shared oracle CTE: doc_id → distinct 3-word shingles (docs shorter
 #: than 3 words contribute their whole normalized text as one shingle).
@@ -103,24 +108,18 @@ def _shingles(spark, sf_dir, docs: DataFrame | None = None) -> DataFrame:
     # this, CollapseProject/ColumnPruning re-inline the split into all
     # ~3·|shingles| element_at calls — measured 10× slower.  (A plain
     # two-step select does NOT protect: the optimizer collapses it.)
-    def shingles_of(w):
-        return F.array_distinct(
-            F.when(
-                F.size(w) >= 3,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(w, i),
-                        F.element_at(w, i + 1),
-                        F.element_at(w, i + 2),
-                    ),
-                ),
-            ).otherwise(F.array(F.array_join(w, " ")))
-        )
-
-    let_bound = F.element_at(
-        F.transform(F.array(F.split(_norm(F.col("text")), " ")), shingles_of), 1
+    # Built as ONE F.expr string (single JVM-side parse) instead of
+    # ~40 Column calls: each F.* call is a py4j round trip, and this
+    # expression is constructed on every LSH-family invocation — the
+    # parsed tree is plan-identical to the Column form modulo lambda
+    # variable names (guide §7.3: driver/planning overhead).
+    let_bound = F.expr(
+        f"""element_at(transform(array(split({_NORM_SPARK_SQL}, ' ')),
+          w -> array_distinct(CASE WHEN size(w) >= 3
+            THEN transform(sequence(1, size(w) - 2),
+                 i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+                                element_at(w, i + 2)))
+            ELSE array(array_join(w, ' ')) END)), 1)"""
     )
     parallelism = spark.sparkContext.defaultParallelism
     base = Tables(spark, sf_dir).documents if docs is None else docs
@@ -142,10 +141,13 @@ def _signatures(
     if sh is None:
         sh = _shingles(spark, sf_dir, docs)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    h = md5_hash60(F.col("s"))
+    # One F.expr per permutation (8 parses) instead of ~100 Column
+    # round trips — plan-identical to min(perm_hash(md5_hash60(s)))
+    # (same rationale and verification as the _shingles expr string).
+    h_sql = md5_hash60_spark_sql("s")
     return ex.groupBy("doc_id").agg(
         *[
-            F.min(perm_hash(h, a, b)).alias(f"m{i}")
+            F.expr(f"min({perm_hash_spark_sql(h_sql, a, b)})").alias(f"m{i}")
             for i, (a, b) in enumerate(MINHASH_PERMS)
         ]
     )
