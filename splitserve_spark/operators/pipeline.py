@@ -109,11 +109,25 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text")
 
     fp = F.md5(_norm(F.col("text")).cast("binary"))
-    exact_canon = (
-        quality.select("doc_id", fp.alias("fp"))
+    # The exact-dedup canonical election carries the canonical doc's
+    # output stats through the aggregate (min_by on the unique doc_id
+    # ordering key) instead of electing ids and semi-joining back into
+    # a SECOND quality scan: one documents scan, and no exchange ever
+    # carries text (guide §2.3/§2.4 — the old join-back shuffled every
+    # surviving (doc_id, text) row at corpus scale).
+    canon_stats = (
+        quality.select(
+            "doc_id",
+            fp.alias("fp"),
+            F.length("text").cast("bigint").alias("n_chars_obs"),
+            F.size(words).alias("n_words"),
+        )
         .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("n_chars_obs", "doc_id").alias("n_chars_obs"),
+            F.min_by("n_words", "doc_id").alias("n_words"),
+        )
     )
 
     members, confirmed = _lsh_members_confirmed(spark, sf_dir)
@@ -138,16 +152,14 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") > F.col("thr"))
         .select(F.col("doc_id").alias("loser_id"))
     )
-    losers = twin_losers.unionByName(cross_losers).distinct()
+    # No distinct() on the loser side: a left-anti join is insensitive
+    # to right-side duplicates (the build side dedups implicitly), so
+    # the distinct's exchange + aggregate were pure overhead (§2.4).
+    losers = twin_losers.unionByName(cross_losers)
 
     return (
-        quality
-        .join(exact_canon, "doc_id", "left_semi")
+        canon_stats
         .join(losers, F.col("doc_id") == F.col("loser_id"), "left_anti")
-        .select(
-            "doc_id",
-            F.length("text").cast("bigint").alias("n_chars_obs"),
-            F.size(words).alias("n_words"),
-        )
+        .select("doc_id", "n_chars_obs", "n_words")
         .orderBy("doc_id")
     )
