@@ -140,7 +140,7 @@ def _signatures(
     shares one persisted shingle pass across its consumers)."""
     if sh is None:
         sh = _shingles(spark, sf_dir, docs)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ex = sh.selectExpr("doc_id", "explode(shingles) AS s")
     # One F.expr per permutation (8 parses) instead of ~100 Column
     # round trips — plan-identical to min(perm_hash(md5_hash60(s)))
     # (same rationale and verification as the _shingles expr string).
@@ -250,30 +250,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly 1.0, no confirm needed.  Cross-group pairs inherit their
     # representatives' jaccard; least/greatest restores the doc_a <
     # doc_b orientation (group membership does not follow rep order).
+    # String-parsed expressions throughout (selectExpr / SQL filter
+    # strings): one JVM parse replaces a py4j round trip per Column
+    # call — the LSH build was measured ~1,700 round trips ≈ 0.9 s per
+    # invocation (guide §7.3 driver overhead); trees are identical.
     x, y = members.alias("x"), members.alias("y")
     twins = (
         x.join(y, "fp")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
+        .filter("x.doc_id < y.doc_id")
+        .selectExpr("x.doc_id AS doc_a", "y.doc_id AS doc_b", "1.0D AS jaccard")
     )
     cross = (
-        confirmed.join(
-            members.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("a")),
-            "rep_a",
-        )
-        .join(
-            members.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("b")),
-            "rep_b",
-        )
-        .select(
-            F.least("a", "b").alias("doc_a"),
-            F.greatest("a", "b").alias("doc_b"),
-            "jaccard",
-        )
+        confirmed.join(members.selectExpr("rep AS rep_a", "doc_id AS a"), "rep_a")
+        .join(members.selectExpr("rep AS rep_b", "doc_id AS b"), "rep_b")
+        .selectExpr("least(a, b) AS doc_a", "greatest(a, b) AS doc_b", "jaccard")
     )
     return twins.unionByName(cross).orderBy("doc_a", "doc_b")
 
@@ -296,16 +286,21 @@ def _lsh_members_confirmed(
     ensure_parity_conf(spark)
     _release_prior()
     t = Tables(spark, sf_dir)
-    fp_df = t.documents.select(
-        "doc_id", F.md5(_norm(F.col("text")).cast("binary")).alias("fp")
+    # selectExpr / SQL-string predicates below parse to the identical
+    # Catalyst trees as the previous Column-by-Column construction but
+    # cost one py4j round trip each instead of one per F.* call — this
+    # build path runs on every LSH-family invocation and was measured
+    # py4j-bound (guide §7.3 driver overhead).
+    fp_df = t.documents.selectExpr(
+        "doc_id", f"md5(CAST({_NORM_SPARK_SQL} AS BINARY)) AS fp"
     )
-    reps = fp_df.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    reps = fp_df.groupBy("fp").agg(F.expr("min(doc_id) AS rep"))
     # groupBy+join, NOT a partitionBy(fp) window: map-side partial
     # aggregation keeps a 10⁷-copy hot fingerprint from concentrating
     # its rows in one window task; AQE splits the skewed join side.
     members = _persist_tracked(fp_df.join(reps, "fp"))
     uniq_docs = t.documents.join(
-        members.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        members.filter("doc_id = rep").select("doc_id"),
         "doc_id",
         "left_semi",
     ).select("doc_id", "text")
@@ -320,58 +315,44 @@ def _lsh_members_confirmed(
     # One (band, bucket) struct array exploded in a single pass — NOT a
     # per-band unionAll, which would re-run the whole signature job once
     # per band (4× the explode/hash/groupBy cost).
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                (F.col(f"m{2 * j}") * HASH_P + F.col(f"m{2 * j + 1}")).alias("bucket"),
-            )
-            for j in range(n_bands)
-        ]
+    band_structs = ", ".join(
+        f"named_struct('band', {j}, 'bucket', m{2 * j} * {HASH_P} + m{2 * j + 1})"
+        for j in range(n_bands)
     )
-    bands = sig.select("doc_id", F.explode(band_arr).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    bands = sig.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bb"
+    ).selectExpr("doc_id", "bb.band AS band", "bb.bucket AS bucket")
     # Candidate pairs per bucket via collect_list + in-memory pair
     # expansion: one shuffle on (band, bucket) replaces a bands⋈bands
     # self-join (which would shuffle AND recompute signatures twice).
     # Bucket groups are small by construction (that is the point of
     # LSH); the k² expansion happens inside a row, never across rows.
-    doc_pairs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ds"),
-                lambda x: F.transform(
-                    F.col("ds"),
-                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                ),
-            )
-        ),
-        lambda p: p["doc_a"] < p["doc_b"],
+    doc_pairs = (
+        "filter(flatten(transform(ds, x -> transform(ds, y -> "
+        "named_struct('doc_a', x, 'doc_b', y)))), p -> p.doc_a < p.doc_b)"
     )
     cand = (
         bands.groupBy("band", "bucket")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") > 1)
-        .select(F.explode(doc_pairs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.expr("collect_list(doc_id) AS ds"))
+        .filter("size(ds) > 1")
+        .selectExpr(f"explode({doc_pairs}) AS p")
+        .selectExpr("p.doc_a AS doc_a", "p.doc_b AS doc_b")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    sa = sh.selectExpr("doc_id AS doc_a", "shingles AS sh_a")
+    sb = sh.selectExpr("doc_id AS doc_b", "shingles AS sh_b")
     confirmed = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.3)
-        .select(
-            F.col("doc_a").alias("rep_a"),
-            F.col("doc_b").alias("rep_b"),
-            F.round("jaccard", 6).alias("jaccard"),
+        .withColumn(
+            "jaccard",
+            F.expr(
+                "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"
+                " / size(array_union(sh_a, sh_b))"
+            ),
         )
+        .filter("jaccard >= 0.3D")
+        .selectExpr("doc_a AS rep_a", "doc_b AS rep_b", "round(jaccard, 6) AS jaccard")
     )
     return members, confirmed
 

@@ -22,11 +22,11 @@ from pyspark.sql import functions as F
 
 from splitserve_spark.operators.dedup import (
     _BANDS_SQL,
+    _NORM_SPARK_SQL,
     _NORM_SQL,
     _SHINGLE_CTE,
     _SIG_CTE,
     _lsh_members_confirmed,
-    _norm,
 )
 from splitserve_spark.registry import register
 from splitserve_spark.session import ensure_parity_conf
@@ -103,12 +103,14 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumed the per-doc decision)."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
-    words = F.split(F.trim(F.col("text")), " +")
+    # String-parsed expressions (selectExpr / SQL predicate strings)
+    # parse to the identical trees as the Column forms in one py4j
+    # round trip each — this builder runs per invocation and shares
+    # the LSH front end's py4j-bound build path (guide §7.3).
     quality = t.documents.filter(
-        (F.length("text") >= MIN_CHARS) & (F.size(words) >= MIN_WORDS)
+        f"length(text) >= {MIN_CHARS} AND size(split(trim(text), ' +')) >= {MIN_WORDS}"
     ).select("doc_id", "text")
 
-    fp = F.md5(_norm(F.col("text")).cast("binary"))
     # The exact-dedup canonical election carries the canonical doc's
     # output stats through the aggregate (min_by on the unique doc_id
     # ordering key) instead of electing ids and semi-joining back into
@@ -116,41 +118,35 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carries text (guide §2.3/§2.4 — the old join-back shuffled every
     # surviving (doc_id, text) row at corpus scale).
     canon_stats = (
-        quality.select(
+        quality.selectExpr(
             "doc_id",
-            fp.alias("fp"),
-            F.length("text").cast("bigint").alias("n_chars_obs"),
-            F.size(words).alias("n_words"),
+            f"md5(CAST({_NORM_SPARK_SQL} AS BINARY)) AS fp",
+            "CAST(length(text) AS BIGINT) AS n_chars_obs",
+            "size(split(trim(text), ' +')) AS n_words",
         )
         .groupBy("fp")
         .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.min_by("n_chars_obs", "doc_id").alias("n_chars_obs"),
-            F.min_by("n_words", "doc_id").alias("n_words"),
+            F.expr("min(doc_id) AS doc_id"),
+            F.expr("min_by(n_chars_obs, doc_id) AS n_chars_obs"),
+            F.expr("min_by(n_words, doc_id) AS n_words"),
         )
     )
 
     members, confirmed = _lsh_members_confirmed(spark, sf_dir)
-    twin_losers = members.filter(F.col("doc_id") != F.col("rep")).select(
-        F.col("doc_id").alias("loser_id")
-    )
+    twin_losers = members.filter("doc_id != rep").selectExpr("doc_id AS loser_id")
     # Both cross cases are "members of grp above a threshold": grp(rep_b)
     # members all exceed rep_a, grp(rep_a) members must exceed rep_b —
     # one (grp, thr) table over the confirmed pair set, one join.  Built
     # with a single explode (NOT a two-branch union, which would run the
     # unpersisted confirm subtree twice).
-    thresholds = confirmed.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("rep_b").alias("grp"), F.col("rep_a").alias("thr")),
-                F.struct(F.col("rep_a").alias("grp"), F.col("rep_b").alias("thr")),
-            )
-        ).alias("gt")
-    ).select("gt.grp", "gt.thr")
+    thresholds = confirmed.selectExpr(
+        "explode(array(named_struct('grp', rep_b, 'thr', rep_a),"
+        " named_struct('grp', rep_a, 'thr', rep_b))) AS gt"
+    ).selectExpr("gt.grp", "gt.thr")
     cross_losers = (
-        members.join(thresholds, F.col("rep") == F.col("grp"))
-        .filter(F.col("doc_id") > F.col("thr"))
-        .select(F.col("doc_id").alias("loser_id"))
+        members.join(thresholds, F.expr("rep = grp"))
+        .filter("doc_id > thr")
+        .selectExpr("doc_id AS loser_id")
     )
     # No distinct() on the loser side: a left-anti join is insensitive
     # to right-side duplicates (the build side dedups implicitly), so
@@ -159,7 +155,7 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         canon_stats
-        .join(losers, F.col("doc_id") == F.col("loser_id"), "left_anti")
+        .join(losers, F.expr("doc_id = loser_id"), "left_anti")
         .select("doc_id", "n_chars_obs", "n_words")
         .orderBy("doc_id")
     )
