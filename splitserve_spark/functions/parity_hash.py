@@ -65,7 +65,16 @@ def perm_hash(h: Column, a: int, b: int) -> Column:
 
 def perm_hash_spark_sql(expr: str, a: int, b: int) -> str:
     """Spark-SQL string for perm_hash (same single-parse rationale as
-    md5_hash60_spark_sql; pmod is native on the Spark side)."""
+    md5_hash60_spark_sql; pmod is native on the Spark side).
+
+    NB: ``expr`` is textually embedded in the returned string, so a
+    call site that emits one perm_hash per permutation (the MinHash
+    signature aggregate emits 8) duplicates the inner hash expression
+    that many times and relies on codegen common-subexpression
+    elimination to evaluate it once.  That holds for the signature
+    aggregate (measured: factoring the hash into a pre-projection did
+    not change runtime), but reusing this helper where CSE does not
+    apply would pay O(perms) hash evaluations."""
     return f"pmod({a} * (({expr}) % {HASH_P}) + {b}, {HASH_P})"
 
 

@@ -366,17 +366,27 @@ def test_md5_hash60_and_perm_hash_cross_engine(spark, texts):
     import duckdb
 
     from splitserve_spark.functions.parity_hash import (
-        HASH_P, MINHASH_PERMS, md5_hash60, md5_hash60_sql, perm_hash,
+        HASH_P, MINHASH_PERMS, md5_hash60, md5_hash60_spark_sql,
+        md5_hash60_sql, perm_hash, perm_hash_spark_sql,
     )
     from pyspark.sql import functions as F
 
     df = spark.createDataFrame([(t,) for t in texts], ["s"])
     a0, b0 = MINHASH_PERMS[0]
+    h_sql = md5_hash60_spark_sql("s")
     rows = df.select(
         "s",
         md5_hash60(F.col("s")).alias("h"),
+        # The Spark-SQL string spellings are the production path for
+        # MinHash signatures (operators/dedup.py builds via F.expr);
+        # they must evaluate to the same values as the Column forms.
+        F.expr(h_sql).alias("h_expr"),
         *[
             perm_hash(md5_hash60(F.col("s")), a, b).alias(f"p{i}")
+            for i, (a, b) in enumerate(MINHASH_PERMS)
+        ],
+        *[
+            F.expr(perm_hash_spark_sql(h_sql, a, b)).alias(f"pe{i}")
             for i, (a, b) in enumerate(MINHASH_PERMS)
         ],
     ).collect()
@@ -385,6 +395,7 @@ def test_md5_hash60_and_perm_hash_cross_engine(spark, texts):
     for r in rows:
         py_h = int(hashlib.md5(r["s"].encode("utf-8")).hexdigest()[:15], 16)
         assert r["h"] == py_h, r["s"]
+        assert r["h_expr"] == py_h, r["s"]
         duck_h = con.execute(
             f"SELECT {md5_hash60_sql('?')}", [r["s"]]
         ).fetchone()[0]
@@ -392,4 +403,48 @@ def test_md5_hash60_and_perm_hash_cross_engine(spark, texts):
         for i, (a, b) in enumerate(MINHASH_PERMS):
             exp = (a * (py_h % HASH_P) + b) % HASH_P
             assert r[f"p{i}"] == exp
+            assert r[f"pe{i}"] == exp, (r["s"], i)
             assert 0 <= r[f"p{i}"] < HASH_P
+
+
+def test_norm_spellings_are_one_expression(spark):
+    """The normalization has three hand-maintained spellings — the
+    Column form (_norm), the Spark-SQL string (_NORM_SPARK_SQL, the
+    F.expr production path of the LSH family) and the DuckDB oracle
+    string (_NORM_SQL).  The LSH exact-collapse's losslessness argument
+    requires fingerprint and shingles to share ONE normalization, so a
+    drifted spelling must fail here, not in the end-to-end sweep."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from splitserve_spark.operators.dedup import (
+        _NORM_SPARK_SQL, _NORM_SQL, _norm,
+    )
+
+    samples = [
+        "  Mixed CASE   and   runs  ",
+        "single",
+        "", "   ",
+        "tab\tand\nnewline  kept",
+        "unicode  Ü  ß  ÅNGSTRÖM",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["text"])
+    # Same analyzed (canonicalized) tree: the two Spark spellings are
+    # literally one expression, not merely value-equal.
+    col_plan = df.select(_norm(F.col("text")).alias("n"))._jdf.queryExecution(
+    ).analyzed().canonicalized().toString()
+    sql_plan = df.select(F.expr(_NORM_SPARK_SQL).alias("n"))._jdf.queryExecution(
+    ).analyzed().canonicalized().toString()
+    assert col_plan == sql_plan
+    # And the DuckDB spelling agrees value-for-value.
+    spark_vals = [r["n"] for r in
+                  df.select(_norm(F.col("text")).alias("n")).collect()]
+    con = duckdb.connect()
+    duck_vals = [
+        con.execute(
+            f"SELECT {_NORM_SQL} FROM (SELECT ? AS text)", [s]
+        ).fetchone()[0]
+        for s in samples
+    ]
+    assert spark_vals == duck_vals
