@@ -661,6 +661,14 @@ REPEAT_SCAN_ALLOWED = {
     "text_contamination": "eval/candidate branches scan DISJOINT doc_id "
         "ranges (pushdown-pruned) + a doc_id-only projection; no "
         "duplicated tokenize work",
+    "sim_lsh_ann": "the guide-§8 decide-small/attach-once shape (r12): "
+        "one full scan computes signatures, one full scan attaches "
+        "neighbor vectors AFTER the id-level candidate dedup — the "
+        "former 2-scan form instead replicated every embedding payload "
+        "N_TABLES× through the bucket join and hashed full double[] "
+        "vectors in its distinct; the remaining two scans are "
+        "vec_id < N_QUERIES pushdown-pruned query-side fetches that "
+        "touch one row group",
     "sql_table_function": "correlated SQL-TVF demo — each per-segment "
         "scalar-subquery invocation inlines the function body (orders ⋈ "
         "customer) by design, plus the segment driving scan; the oracle's "
